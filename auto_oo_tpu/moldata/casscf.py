@@ -1,0 +1,195 @@
+"""Two-step CASSCF reference solver (host side, numpy).
+
+Replaces the ``pyscf.mcscf.CASSCF`` oracle the reference tests rely on
+(/root/reference/src/auto_oo/moldata_pyscf.py:87-105, test_oo_pqc.py:160-185).
+Alternates FCI in the active space with damped-Newton orbital rotations using
+the closed-form generalized-Fock gradient/Hessian.  Serves as the
+independent host-side check for the TPU-side OO machinery in
+auto_oo_tpu.models (which is implemented separately in JAX).
+"""
+
+import numpy as np
+from scipy.linalg import expm
+
+from . import fci as _fci
+
+
+def _fock_core(h1, g2, occ):
+    if len(occ) == 0:
+        return h1.copy()
+    return (h1 + 2.0 * np.einsum("mnii->mn", g2[:, :, occ][:, :, :, occ])
+            - np.einsum("miin->mn", g2[:, occ][:, :, occ, :]))
+
+
+def _fock_active(g2, gamma, act):
+    g_tilde = (g2[:, :, act][:, :, :, act]
+               - 0.5 * np.transpose(g2[:, :, act, :][:, act, :, :],
+                                    (0, 3, 2, 1)))
+    return np.einsum("vw,mnvw->mn", gamma, g_tilde)
+
+
+def _fock_generalized(h1, g2, gamma, Gamma, occ, act):
+    fc = _fock_core(h1, g2, occ)
+    fa = _fock_active(g2, gamma, act)
+    F = np.zeros_like(h1)
+    F[occ, :] = 2.0 * (fc[:, occ] + fa[:, occ]).T
+    g_act3 = g2[:, :, :, act][:, :, act, :][:, act, :, :]
+    F[act, :] = (np.einsum("nw,vw->vn", fc[:, act], gamma)
+                 + np.einsum("vwxy,nwxy->vn", Gamma, g_act3))
+    return F
+
+
+def _full_rdms(gamma, Gamma, occ, act, nao):
+    one = np.zeros((nao, nao))
+    one[occ, occ] = 2.0
+    one[np.ix_(act, act)] = gamma
+    two = np.zeros((nao,) * 4)
+    no = len(occ)
+    if no:
+        eye = np.eye(no)
+        two[np.ix_(occ, occ, occ, occ)] = (
+            4.0 * np.einsum("ij,kl->ijkl", eye, eye)
+            - 2.0 * np.einsum("il,jk->ijkl", eye, eye))
+        two[np.ix_(occ, occ, act, act)] = 2.0 * np.einsum(
+            "wv,ij->ijwv", gamma, eye)
+        two[np.ix_(act, act, occ, occ)] = 2.0 * np.einsum(
+            "wv,ij->wvij", gamma, eye)
+        two[np.ix_(occ, act, act, occ)] = -np.einsum("wv,ij->iwvj", gamma, eye)
+        two[np.ix_(act, occ, occ, act)] = -np.einsum("wv,ij->vjiw", gamma, eye)
+    two[np.ix_(act, act, act, act)] = Gamma
+    return one, two
+
+
+def _y_matrix(g2, two_full):
+    y0 = np.einsum("pmrn,qmns->pqrs", two_full, g2, optimize=True)
+    y1 = np.einsum("pmnr,qmns->pqrs", two_full, g2, optimize=True)
+    y2 = np.einsum("prmn,qsmn->pqrs", two_full, g2, optimize=True)
+    return y0 + y1 + y2
+
+
+def orbital_gradient_hessian(h1, g2, gamma, Gamma, occ, act):
+    """Full-space analytic orbital gradient 2(F - F^T) and Hessian."""
+    nao = h1.shape[0]
+    F = _fock_generalized(h1, g2, gamma, Gamma, occ, act)
+    grad = 2.0 * (F - F.T)
+    one_full, two_full = _full_rdms(gamma, Gamma, occ, act, nao)
+    Y = _y_matrix(g2, two_full)
+    Fs = F + F.T
+    h0 = (2.0 * np.einsum("pr,qs->pqrs", one_full, h1)
+          - np.einsum("pr,qs->pqrs", Fs, np.eye(nao)) + 2.0 * Y)
+    hess = (h0 - h0.transpose(0, 1, 3, 2) - h0.transpose(1, 0, 2, 3)
+            + h0.transpose(1, 0, 3, 2))
+    return grad, hess
+
+
+def transform_integrals(h1_ao, g2_ao, C):
+    h1 = C.T @ h1_ao @ C
+    g2 = np.einsum("pi,pqrs->iqrs", C, g2_ao, optimize=True)
+    g2 = np.einsum("qj,iqrs->ijrs", C, g2, optimize=True)
+    g2 = np.einsum("rk,ijrs->ijks", C, g2, optimize=True)
+    g2 = np.einsum("sl,ijks->ijkl", C, g2, optimize=True)
+    return h1, g2
+
+
+def nonredundant_pairs(occ, act, virt, freeze_active=False):
+    """Lower-triangle (row > col) index pairs of non-redundant rotations."""
+    nao = len(occ) + len(act) + len(virt)
+    occ_s, act_s, virt_s = set(occ), set(act), set(virt)
+    pairs = []
+    for li, ri in zip(*np.tril_indices(nao, -1)):
+        if li in occ_s and ri in occ_s:
+            continue
+        if li in virt_s and ri in virt_s:
+            continue
+        if freeze_active and li in act_s and ri in act_s:
+            continue
+        pairs.append((li, ri))
+    return np.array(pairs, dtype=int)
+
+
+class CASSCF:
+    """Two-step CASSCF: FCI in the active space + damped NR orbital steps.
+
+    After run(): e_tot, mo_coeff, converged, mo_energy(None)."""
+
+    def __init__(self, mol, hf, ncas, nelecas, fix_singlet=True,
+                 conv_tol=1e-11, max_cycle=200):
+        self.mol = mol
+        self.hf = hf
+        self.ncas = ncas
+        self.nelecas = nelecas
+        self.fix_singlet = fix_singlet
+        self.conv_tol = conv_tol
+        self.max_cycle = max_cycle
+        self.e_tot = None
+        self.mo_coeff = None
+        self.converged = False
+        self.weights = None  # state-average weights (None = ground state)
+
+    def _active_idx(self):
+        ncore = (self.mol.nelectron - self.nelecas) // 2
+        occ = np.arange(ncore)
+        act = ncore + np.arange(self.ncas)
+        virt = np.arange(ncore + self.ncas, self.mol.nao)
+        return occ, act, virt
+
+    def run(self):
+        mol = self.mol
+        h1_ao = mol.intor("int1e_kin") + mol.intor("int1e_nuc")
+        g2_ao = mol.intor("int2e")
+        enuc = mol.get_enuc()
+        C = self.hf.mo_coeff.copy()
+        occ, act, virt = self._active_idx()
+        pairs = nonredundant_pairs(occ, act, virt, freeze_active=False)
+        e_old = np.inf
+        n_roots = 1 if self.weights is None else len(self.weights)
+
+        for it in range(self.max_cycle):
+            h1, g2 = transform_integrals(h1_ao, g2_ao, C)
+            core, h_eff, g_act = _fci.active_space_integrals_np(
+                h1, g2, occ, act)
+            res = _fci.solve_cas(core + enuc, h_eff, 0.5 * g_act, self.ncas,
+                                 self.nelecas, n_roots=n_roots,
+                                 fix_singlet=self.fix_singlet)
+            if self.weights is None:
+                e_tot = res.e_tot[0]
+                gamma, Gamma = _fci.rdms_from_vec(res.vecs_full[0], self.ncas)
+            else:
+                e_tot = float(np.dot(self.weights, res.e_tot))
+                gamma = np.zeros((self.ncas, self.ncas))
+                Gamma = np.zeros((self.ncas,) * 4)
+                for w, vec in zip(self.weights, res.vecs_full):
+                    g1, g2r = _fci.rdms_from_vec(vec, self.ncas)
+                    gamma += w * g1
+                    Gamma += w * g2r
+            self._last_fci = res
+
+            grad4, hess4 = orbital_gradient_hessian(
+                h1, g2, gamma, Gamma, occ, act)
+            g_vec = np.array([grad4[i, j] for i, j in pairs])
+            H_mat = np.array([[hess4[i, j, k, l] for k, l in pairs]
+                              for i, j in pairs])
+            if np.max(np.abs(g_vec)) < 1e-9 and abs(e_tot - e_old) < self.conv_tol:
+                self.converged = True
+                e_old = e_tot
+                break
+            # augmented Newton step
+            w, V = np.linalg.eigh(H_mat)
+            if w[0] < 1e-6:
+                H_mat = H_mat + (1e-6 + 1.1 * abs(w[0])) * np.eye(len(pairs))
+                w, V = np.linalg.eigh(H_mat)
+            step = -V @ ((V.T @ g_vec) / w)
+            # simple step-size damping
+            max_step = 0.5
+            nrm = np.max(np.abs(step))
+            if nrm > max_step:
+                step = step * (max_step / nrm)
+            kappa = np.zeros_like(h1)
+            for (i, j), s in zip(pairs, step):
+                kappa[i, j] = s
+                kappa[j, i] = -s
+            C = C @ expm(-kappa)
+            e_old = e_tot
+        self.e_tot = float(e_old)
+        self.mo_coeff = C
+        return self

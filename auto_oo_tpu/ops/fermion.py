@@ -1,0 +1,189 @@
+"""Jordan-Wigner fermion algebra in the occupation-number basis (host side).
+
+Replaces the OpenFermion capability the reference used for operator
+construction (e_pq / e_pqrs sparse operators, /root/reference/src/auto_oo/
+utils/active_space.py:29-83 and pqc.py:22-66), redesigned for TPU consumption:
+instead of materializing ncas^4 sparse matrices, we precompute *gather maps*
+so that every excitation application E_pq |psi> is a single vectorized
+gather-multiply, and all RDM elements reduce to one big matmul downstream
+(see auto_oo_tpu.ops.rdms).
+
+Conventions (identical to the reference):
+* interleaved spin ordering: mode 2p = spatial p spin-up, 2p+1 = spin-down
+  ("up-down-up-down", reference pqc.py:122 up_then_down=False);
+* basis index is big-endian in qubit/mode order: mode 0 is the most
+  significant bit (OpenFermion/PennyLane statevector convention);
+* E_pq = sum_sigma a^dag_{p sigma} a_{q sigma} (restricted).
+"""
+
+import numpy as np
+from scipy import sparse
+
+
+def n_modes(ncas):
+    return 2 * ncas
+
+
+def occ_bit(idx, mode, nm):
+    """Occupation of `mode` in basis state(s) `idx` (big-endian)."""
+    return (idx >> (nm - 1 - mode)) & 1
+
+
+def _parity_below(idx, mode, nm):
+    """(-1)^{number of occupied modes k < mode} as +-1."""
+    if mode == 0:
+        return np.ones_like(idx)
+    shift = nm - mode
+    masked = (idx >> shift)
+    cnt = np.zeros_like(idx)
+    m = masked.copy()
+    while np.any(m):
+        cnt += m & 1
+        m >>= 1
+    return 1 - 2 * (cnt & 1)
+
+
+def single_mode_transfer(P, Q, nm):
+    """Gather map for a^dag_P a_Q over the full 2^nm space.
+
+    Returns (src, sign): for each output index i,
+      (a^dag_P a_Q psi)[i] = sign[i] * psi[src[i]]
+    with sign 0 where the operator annihilates.  Handles P == Q (number
+    operator) as a diagonal map.
+    """
+    D = 1 << nm
+    idx = np.arange(D, dtype=np.int64)
+    if P == Q:
+        sign = occ_bit(idx, P, nm).astype(np.float64)
+        return idx, sign
+    bitP = 1 << (nm - 1 - P)
+    bitQ = 1 << (nm - 1 - Q)
+    has_P = (idx & bitP) != 0
+    has_Q = (idx & bitQ) != 0
+    valid = has_P & (~has_Q)  # output states: P occupied, Q empty
+    src = np.where(valid, idx ^ bitP ^ bitQ, 0)
+    # sign: apply a_Q to src (parity below Q in src), then a^dag_P
+    # (parity below P in src after removing Q)
+    sq = _parity_below(src, Q, nm)
+    mid = src ^ bitQ
+    sp = _parity_below(mid, P, nm)
+    sign = np.where(valid, (sq * sp).astype(np.float64), 0.0)
+    return src, sign
+
+
+def epq_gather(ncas):
+    """Gather maps for all restricted E_pq.
+
+    Returns (src, sign) with shape (ncas, ncas, 2, D):
+      (E_pq psi)[i] = sum_sigma sign[p,q,sigma,i] * psi[src[p,q,sigma,i]].
+    """
+    nm = n_modes(ncas)
+    D = 1 << nm
+    src = np.zeros((ncas, ncas, 2, D), dtype=np.int32)
+    sign = np.zeros((ncas, ncas, 2, D), dtype=np.float64)
+    for p in range(ncas):
+        for q in range(ncas):
+            for s in range(2):
+                sp, sg = single_mode_transfer(2 * p + s, 2 * q + s, nm)
+                src[p, q, s] = sp
+                sign[p, q, s] = sg
+    return src, sign
+
+
+def single_mode_transfer_sparse(P, Q, nm):
+    """a^dag_P a_Q as a scipy CSR matrix over the full space."""
+    src, sign = single_mode_transfer(P, Q, nm)
+    D = 1 << nm
+    rows = np.arange(D)
+    mask = sign != 0.0
+    return sparse.csr_matrix(
+        (sign[mask], (rows[mask], src[mask])), shape=(D, D))
+
+
+def epq_sparse(p, q, ncas):
+    """Restricted E_pq as a sparse matrix over the full space."""
+    nm = n_modes(ncas)
+    return (single_mode_transfer_sparse(2 * p, 2 * q, nm)
+            + single_mode_transfer_sparse(2 * p + 1, 2 * q + 1, nm))
+
+
+def epqrs_sparse(p, q, r, s, ncas):
+    """Restricted chemist-ordered e_pqrs = E_pq E_rs - delta_qr E_ps."""
+    op = epq_sparse(p, q, ncas) @ epq_sparse(r, s, ncas)
+    if q == r:
+        op = op - epq_sparse(p, s, ncas)
+    return op
+
+
+def s_plus_sparse(ncas):
+    """S+ = sum_p a^dag_{p alpha} a_{p beta} (alpha = even modes)."""
+    nm = n_modes(ncas)
+    D = 1 << nm
+    out = sparse.csr_matrix((D, D))
+    for p in range(ncas):
+        out = out + single_mode_transfer_sparse(2 * p, 2 * p + 1, nm)
+    return out
+
+
+def sz_diag(ncas):
+    """Diagonal of S_z over the full space."""
+    nm = n_modes(ncas)
+    idx = np.arange(1 << nm, dtype=np.int64)
+    sz = np.zeros(idx.shape, dtype=np.float64)
+    for p in range(ncas):
+        sz += 0.5 * occ_bit(idx, 2 * p, nm)
+        sz -= 0.5 * occ_bit(idx, 2 * p + 1, nm)
+    return sz
+
+
+def s2_sparse(ncas):
+    """S^2 = S+ S- + Sz^2 - Sz as a sparse matrix (dense via .toarray())."""
+    sp = s_plus_sparse(ncas)
+    sz = sz_diag(ncas)
+    D = sz.size
+    szm = sparse.diags(sz)
+    return sp @ sp.conj().T + szm @ szm - szm
+
+
+def sz_sparse(ncas):
+    return sparse.diags(sz_diag(ncas))
+
+
+def sector_basis(ncas, nelec):
+    """Determinant indices of the (n_alpha, n_beta) sector, ascending.
+
+    nelec may be an int (split as evenly as possible, beta gets the
+    remainder like PySCF) or an (n_alpha, n_beta) tuple.
+    """
+    if isinstance(nelec, (tuple, list)):
+        na, nb = nelec
+    else:
+        nb = nelec // 2
+        na = nelec - nb
+    nm = n_modes(ncas)
+    idx = np.arange(1 << nm, dtype=np.int64)
+    cnt_a = np.zeros(idx.shape, dtype=np.int64)
+    cnt_b = np.zeros(idx.shape, dtype=np.int64)
+    for p in range(ncas):
+        cnt_a += occ_bit(idx, 2 * p, nm)
+        cnt_b += occ_bit(idx, 2 * p + 1, nm)
+    return idx[(cnt_a == na) & (cnt_b == nb)]
+
+
+def project_sector(op, basis):
+    """Restrict a full-space sparse operator to a sector basis."""
+    return op[np.ix_(basis, basis)]
+
+
+def hf_bitstring(ncas, nelec):
+    """Occupation vector of the HF reference determinant (first `nelec`
+    modes occupied, interleaved ordering), as an int basis index and as a
+    0/1 vector (matching qml.qchem.hf_state semantics, reference
+    pqc.py:131)."""
+    nm = n_modes(ncas)
+    vec = np.zeros(nm, dtype=np.int64)
+    vec[:nelec] = 1
+    idx = 0
+    for m, o in enumerate(vec):
+        idx = (idx << 1) | int(o)
+    return idx, vec
