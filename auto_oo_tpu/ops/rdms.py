@@ -1,0 +1,71 @@
+"""RDM extraction kernel (device side, pure JAX) — the TPU centerpiece.
+
+The reference computed gamma_pq = <psi|E_pq|psi> and Gamma_pqrs =
+<psi|e_pqrs|psi> with a Python loop over ncas^2 + ncas^4 sparse matvecs
+(reference pqc.py:192-218 — its hottest path).  TPU redesign:
+
+1. Build Phi[p,q] = E_pq |psi> for ALL (p,q) at once via a precomputed
+   gather map (one vectorized gather-multiply-reduce, VPU work).
+2. gamma = Phi @ psi                                   (one matvec)
+3. <E_pq E_rs> = <E_qp psi | E_rs psi> = Phi_flat @ Phi_flat^T
+                                                        (one MXU matmul)
+4. Gamma = that matrix minus the delta_qr gamma_ps contraction term
+   (e_pqrs = E_pq E_rs - delta_qr E_ps, reference utils/active_space.py:57).
+
+Everything is a fixed-shape jittable function of psi; gathers
+differentiate to scatters so jax.grad / jax.hessian flow through.
+"""
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fermion
+
+
+@lru_cache(maxsize=None)
+def _gather_tables(ncas):
+    # host numpy; embedded as XLA constants at trace time (caching jnp
+    # arrays created inside a trace would leak tracers)
+    src, sign = fermion.epq_gather(ncas)
+    D = src.shape[-1]
+    return (src.reshape(ncas * ncas * 2, D),
+            sign.reshape(ncas * ncas * 2, D))
+
+
+def apply_epq_all(psi, ncas):
+    """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D)."""
+    src, sign = _gather_tables(ncas)
+    gathered = psi[src] * sign.astype(psi.dtype)  # (ncas^2*2, D)
+    return gathered.reshape(ncas * ncas, 2, -1).sum(axis=1)
+
+
+def rdms_from_state(psi, ncas):
+    """Spin-summed restricted (gamma, Gamma), chemist ordering.
+
+    Matches reference Parameterized_circuit.get_rdms_from_state
+    (pqc.py:192-218) for real statevectors (the ansatz family is real).
+    """
+    phi = apply_epq_all(psi, ncas)                       # (ncas^2, D)
+    gamma = (phi @ psi).reshape(ncas, ncas)
+    corr = phi @ phi.T                                   # <E_qp E_rs>-ish
+    # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>
+    corr = corr.reshape(ncas, ncas, ncas, ncas)
+    epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
+    delta = jnp.eye(ncas, dtype=psi.dtype)
+    Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
+    return gamma, Gamma
+
+
+@lru_cache(maxsize=None)
+def s2_matrix(ncas):
+    """Dense S^2 matrix over the 2^(2 ncas) space (reference
+    utils/active_space.py:243-248 via PennyLane qchem.spin2)."""
+    return jnp.asarray(fermion.s2_sparse(ncas).toarray())
+
+
+@lru_cache(maxsize=None)
+def sz_matrix(ncas):
+    """Dense S_z matrix (reference utils/active_space.py:250-253)."""
+    return jnp.asarray(fermion.sz_sparse(ncas).toarray())

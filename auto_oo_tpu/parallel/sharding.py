@@ -1,0 +1,192 @@
+"""Multi-chip scale-out: device meshes, sharded Hessians, geometry batches.
+
+The reference is strictly single-process/single-device (SURVEY.md section
+2.3) — parallelism here is new TPU-native capability, not a port:
+
+* **Hessian-column sharding ("tp")**: the dominant cost of a Newton step
+  is the dense (n_theta + n_kappa)^2 Hessian, built from
+  Hessian-vector products through the statevector simulator.  HVPs for
+  different basis vectors are independent, so the basis is sharded over
+  the mesh and XLA partitions the vmapped forward-over-reverse pass; the
+  result rows come back sharded and concatenate into the full matrix.
+
+* **Geometry batching ("dp")**: potential-energy-surface scans and
+  Berry-phase loops evaluate the same functional over many geometries;
+  stacked integral tensors are vmapped and sharded over a data axis.
+
+Everything uses jax.sharding.Mesh + NamedSharding (GSPMD); collectives
+are inserted by XLA and ride ICI on real hardware.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape=None, names=("dp", "tp"), devices=None):
+    """Create a Mesh over available devices.  shape=None puts all devices
+    on the last axis."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (1,) * (len(names) - 1) + (n,)
+    arr = np.array(devices).reshape(shape)
+    return Mesh(arr, names)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def sharded_full_hessian_fn(oo, mesh, axis="tp"):
+    """Build a jitted function (theta, oao_mo_coeff) -> full AD Hessian of
+    the hybrid energy, with HVP columns sharded over `axis` of `mesh`.
+
+    Rows are padded to a multiple of the axis size; the returned function
+    slices the padding off again."""
+    nt = int(oo.pqc.theta_shape)
+    nk = int(oo.n_kappa)
+    n = nt + nk
+    n_dev = mesh.shape[axis]
+    n_pad = _round_up(n, n_dev)
+
+    def energy_flat(flat, oao):
+        return oo._energy_pure(flat[:nt], flat[nt:], oao)
+
+    def hess_rows(basis, flat0, oao):
+        def hvp(v):
+            return jax.jvp(jax.grad(energy_flat), (flat0, oao),
+                           (v, jnp.zeros_like(oao)))[1]
+        return jax.vmap(hvp)(basis)
+
+    basis = jnp.eye(n_pad, n, dtype=jnp.float64)
+    basis_sharding = NamedSharding(mesh, P(axis, None))
+    out_sharding = NamedSharding(mesh, P(axis, None))
+
+    hess_rows_jit = jax.jit(
+        hess_rows,
+        in_shardings=(basis_sharding, NamedSharding(mesh, P()),
+                      NamedSharding(mesh, P())),
+        out_shardings=out_sharding)
+
+    def full_hessian(theta, oao_mo_coeff):
+        flat0 = jnp.concatenate(
+            [jnp.ravel(theta), jnp.zeros(nk, dtype=jnp.float64)])
+        b = jax.device_put(basis, basis_sharding)
+        rows = hess_rows_jit(b, flat0, oao_mo_coeff)
+        return rows[:n]
+
+    return full_hessian
+
+
+def sharded_nr_step_fn(oo, mesh, axis="tp", alpha=1e-4, beta=0.5, mu=1e-6,
+                       rho=1.1, lambda_min=1e-6):
+    """Jitted multi-device Newton-Raphson step: sharded-HVP Hessian +
+    replicated gradient/line search.  Returns
+    (theta, oao) -> (new_theta, new_kappa, new_oao, energy, lowest_eig)."""
+    from ..utils.newton_raphson import damped_newton_step_pure
+    from ..ops.linalg import expm
+
+    nt = int(oo.pqc.theta_shape)
+    nk = int(oo.n_kappa)
+    n = nt + nk
+    n_dev = mesh.shape[axis]
+    n_pad = _round_up(n, n_dev)
+    basis = jnp.eye(n_pad, n, dtype=jnp.float64)
+    basis_sharding = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    def energy_flat(flat, oao):
+        return oo._energy_pure(flat[:nt], flat[nt:], oao)
+
+    def step(basis_sharded, theta, oao):
+        flat0 = jnp.concatenate([theta, jnp.zeros(nk, dtype=theta.dtype)])
+        grad = jax.grad(energy_flat)(flat0, oao)
+
+        def hvp(v):
+            return jax.jvp(jax.grad(energy_flat), (flat0, oao),
+                           (v, jnp.zeros_like(oao)))[1]
+
+        hess = jax.vmap(hvp)(basis_sharded)[:n]
+
+        def objective(flat):
+            return energy_flat(flat, oao)
+
+        new_flat, lowest, t, _ = damped_newton_step_pure(
+            objective, flat0, grad, hess, alpha=alpha, beta=beta, mu=mu,
+            rho=rho, lambda_min=lambda_min)
+        new_theta = new_flat[:nt]
+        new_kappa = new_flat[nt:]
+        new_oao = oao @ expm(-oo.kappa_vector_to_matrix(new_kappa))
+        e_new = energy_flat(
+            jnp.concatenate([new_theta,
+                             jnp.zeros(nk, dtype=theta.dtype)]), new_oao)
+        return new_theta, new_kappa, new_oao, e_new, lowest
+
+    step_jit = jax.jit(step,
+                       in_shardings=(basis_sharding, repl, repl),
+                       out_shardings=(repl, repl, repl, repl, repl))
+
+    def run(theta, oao):
+        b = jax.device_put(basis, basis_sharding)
+        return step_jit(b, jnp.ravel(theta), oao)
+
+    return run
+
+
+class GeometryBatch:
+    """Stacked-geometry evaluation (dp axis): one functional, many
+    molecules — the scaling axis for PES scans / Berry-phase loops
+    (BASELINE.json config 5)."""
+
+    def __init__(self, mols, ncas, nelecas, pqc, mesh=None, axis="dp",
+                 freeze_active=True):
+        from ..models.oo_pqc import OO_pqc
+        self.oo_list = [OO_pqc(pqc, m, ncas, nelecas,
+                               freeze_active=freeze_active) for m in mols]
+        self.pqc = pqc
+        oo0 = self.oo_list[0]
+        self.oo0 = oo0
+        self.mesh = mesh
+        self.axis = axis
+        self.int1e = jnp.stack([oo.int1e_ao for oo in self.oo_list])
+        self.int2e = jnp.stack([oo.int2e_ao for oo in self.oo_list])
+        self.oao_c = jnp.stack([oo.oao_coeff for oo in self.oo_list])
+        self.nuc = jnp.array([oo.nuc for oo in self.oo_list])
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(axis))
+            self.int1e = jax.device_put(self.int1e, sh)
+            self.int2e = jax.device_put(self.int2e, sh)
+            self.oao_c = jax.device_put(self.oao_c, sh)
+
+        from ..ops import transforms as _tr
+        from ..ops.linalg import expm
+
+        def energy_one(int1e, int2e, oao_c, nuc, theta, kappa, oao_mo):
+            mo = (oao_c @ oao_mo) @ expm(
+                -oo0.kappa_vector_to_matrix(kappa))
+            one_rdm, two_rdm = pqc._rdms_impl(theta)
+            h1 = _tr.int1e_transform(int1e, mo)
+            g2 = _tr.int2e_transform(int2e, mo)
+            c0, c1, c2 = _tr.molecular_hamiltonian_coefficients(
+                nuc, h1, g2, oo0._occ, oo0._act)
+            return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
+
+        self._energy_batch = jax.jit(jax.vmap(
+            energy_one, in_axes=(0, 0, 0, 0, 0, 0, 0)))
+        self._grad_batch = jax.jit(jax.vmap(
+            jax.grad(energy_one, argnums=(4, 5)),
+            in_axes=(0, 0, 0, 0, 0, 0, 0)))
+
+    def energies(self, thetas, kappas, oao_mos):
+        """Batched E(theta_i, kappa_i) over all geometries at once."""
+        return self._energy_batch(self.int1e, self.int2e, self.oao_c,
+                                  self.nuc, thetas, kappas, oao_mos)
+
+    def gradients(self, thetas, kappas, oao_mos):
+        """Batched (dE/dtheta, dE/dkappa)."""
+        return self._grad_batch(self.int1e, self.int2e, self.oao_c,
+                                self.nuc, thetas, kappas, oao_mos)

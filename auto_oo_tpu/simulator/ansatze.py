@@ -1,0 +1,162 @@
+"""Ansatz factories: UCC(S)D, GateFabric (np_fabric), k-UpCCD -> GateProgram.
+
+Reimplements the ansatz surface of the reference (pqc.py:121-163,
+ansatze/uccd.py, ansatze/kUpCCD.py) including:
+
+* spin-conserving excitation enumeration (the qml.qchem.excitations
+  ordering, which fixes the meaning of each theta entry);
+* GateFabric brick pattern with the reference's redundant-parameter
+  elimination (pqc.py:144-158 — only valid from an HF start);
+* k-UpCCD as a first-class ansatz (the reference exported it but never
+  wired it into Parameterized_circuit — SURVEY.md known-gap list).
+
+Gate sign conventions are calibrated against the reference golden
+statevectors (see tests/test_pqc.py).
+"""
+
+import numpy as np
+
+from ..ops import fermion
+from . import gates as G
+from .program import GateProgram
+
+# Sign/order conventions pinned by golden-statevector calibration
+# (scripts/calibrate_gates.py): do not change without re-running it.
+FD_SIGN = 1.0          # FermionicDoubleExcitation angle sign
+FS_SIGN = 1.0          # FermionicSingleExcitation angle sign
+DE_SIGN = 1.0          # DoubleExcitation angle sign
+OR_SIGN = 1.0          # OrbitalRotation angle sign
+OR_STRING = True       # OrbitalRotation includes JW string parity
+FABRIC_ORBROT_FIRST = False  # block order: DoubleExcitation then OrbitalRotation
+
+
+def excitations(electrons, orbitals, delta_sz=0):
+    """Spin-conserving single and double excitations of the HF state, in
+    the qml.qchem.excitations enumeration order (reference pqc.py:123)."""
+    sz = np.array([0.5 if i % 2 == 0 else -0.5 for i in range(orbitals)])
+    singles = [[r, p]
+               for r in range(electrons)
+               for p in range(electrons, orbitals)
+               if sz[p] - sz[r] == delta_sz]
+    doubles = [[s, r, q, p]
+               for s in range(electrons - 1)
+               for r in range(s + 1, electrons)
+               for q in range(electrons, orbitals - 1)
+               for p in range(q + 1, orbitals)
+               if (sz[p] + sz[q] - sz[r] - sz[s]) == delta_sz]
+    return singles, doubles
+
+
+def hf_state(electrons, orbitals):
+    """Occupation vector of the HF determinant (reference pqc.py:131)."""
+    _, vec = fermion.hf_bitstring(orbitals // 2, electrons)
+    return vec
+
+
+def uccd_program(ncas, nelecas, add_singles=False):
+    """UCC doubles (optionally + singles) ansatz.
+
+    Parameter layout matches qml.UCCSD (used by the reference via
+    uccd_circuit, pqc.py:69-76): with singles, theta = [singles...,
+    doubles...]; the circuit applies all doubles first, then singles
+    (calibrated against the reference golden statevectors).  Without
+    singles, theta = [doubles...] (reference UCCD template,
+    ansatze/uccd.py:105-114)."""
+    nm = 2 * ncas
+    singles, doubles = excitations(nelecas, nm)
+    init_idx, _ = fermion.hf_bitstring(ncas, nelecas)
+    ns = len(singles) if add_singles else 0
+    gate_list = []
+    for i, (s, r, q, p) in enumerate(doubles):
+        gate_list.append(G.fermionic_double_pairs(
+            p, q, r, s, nm, param=ns + i, half=0.5, sign_flip=FD_SIGN))
+    if add_singles:
+        for j, (r, p) in enumerate(singles):
+            gate_list.append(G.fermionic_single_pairs(
+                p, r, nm, param=j, half=0.5, sign_flip=FS_SIGN))
+    return GateProgram(gate_list, ns + len(doubles), init_idx, 1 << nm)
+
+
+def gatefabric_layout(n_qubits):
+    """Wire blocks of one GateFabric layer: offset-0 bricks then offset-2
+    bricks (n_qubits//2 - 1 blocks per layer)."""
+    blocks = [list(range(i, i + 4)) for i in range(0, n_qubits - 3, 4)]
+    blocks += [list(range(i, i + 4)) for i in range(2, n_qubits - 3, 4)]
+    return blocks
+
+
+def gatefabric_full_shape(n_layers, n_qubits):
+    return (n_layers, n_qubits // 2 - 1, 2)
+
+
+def gatefabric_redundant_idx(ncas, nelecas):
+    """Flat indices of theta entries redundant when starting from HF
+    (reference pqc.py:144-158, reproduced exactly)."""
+    n_qubits = 2 * ncas
+    if n_qubits > 4:
+        redundant = list(range(0, 2 * (nelecas // 4)))
+        if ncas % 2 == 0:
+            redundant += list(range(2 * ((n_qubits - nelecas) // 4),
+                                    2 * (n_qubits // 4)))
+    else:
+        redundant = []
+    return redundant
+
+
+def gatefabric_program(ncas, nelecas, n_layers, include_pi=False):
+    """GateFabric over the FULL theta of shape (L, n_blocks, 2); parameter
+    slot = flat index.  Block gate Q(theta, phi) = DoubleExcitation(theta)
+    then OrbitalRotation(phi) (order calibrated against goldens)."""
+    nm = 2 * ncas
+    if include_pi:
+        raise NotImplementedError("include_pi=True variant not implemented")
+    blocks = gatefabric_layout(nm)
+    init_idx, _ = fermion.hf_bitstring(ncas, nelecas)
+    gate_list = []
+    n_blocks = len(blocks)
+    for layer in range(n_layers):
+        for b, wires in enumerate(blocks):
+            p_theta = (layer * n_blocks + b) * 2
+            p_phi = p_theta + 1
+            de = G.double_excitation_pairs(wires, nm, p_theta,
+                                           sign_flip=DE_SIGN)
+            orot = G.orbital_rotation_pairs(wires, nm, p_phi,
+                                            sign_flip=OR_SIGN,
+                                            with_string=OR_STRING)
+            if FABRIC_ORBROT_FIRST:
+                gate_list.extend(orot)
+                gate_list.append(de)
+            else:
+                gate_list.append(de)
+                gate_list.extend(orot)
+    n_params = n_layers * n_blocks * 2
+    return GateProgram(gate_list, n_params, init_idx, 1 << nm)
+
+
+def generalized_pair_doubles(wires):
+    """Pair coupled-cluster double excitation wire groups
+    (reference ansatze/kUpCCD.py:16-33)."""
+    return [[list(wires[r:r + 2]), list(wires[p:p + 2])]
+            for r in range(0, len(wires) - 1, 2)
+            for p in range(0, len(wires) - 1, 2)
+            if p != r]
+
+
+def kupccd_program(ncas, nelecas, k=1):
+    """k-Unitary Pair CC Generalized Doubles: k repetitions of all pair
+    doubles (reference ansatze/kUpCCD.py:94-130).  theta shape (k, n_pd),
+    flattened row-major into parameter slots."""
+    nm = 2 * ncas
+    if nm < 4 or nm % 2:
+        raise ValueError("requires an even number of qubits >= 4")
+    d_wires = generalized_pair_doubles(list(range(nm)))
+    init_idx, _ = fermion.hf_bitstring(ncas, nelecas)
+    gate_list = []
+    for layer in range(k):
+        for i, (w1, w2) in enumerate(d_wires):
+            s, r = w1[0], w1[-1]
+            q, p = w2[0], w2[-1]
+            gate_list.append(G.fermionic_double_pairs(
+                p, q, r, s, nm, param=layer * len(d_wires) + i,
+                half=0.5, sign_flip=FD_SIGN))
+    return GateProgram(gate_list, k * len(d_wires), init_idx, 1 << nm)

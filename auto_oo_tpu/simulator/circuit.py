@@ -1,0 +1,158 @@
+"""Parameterized_circuit: the user-facing circuit/RDM interface.
+
+API mirror of reference pqc.py:86-235 on top of the in-house compiled-gate
+simulator: produces the ansatz statevector and spin-summed RDMs.  The
+reference's PennyLane device argument is accepted and ignored (we own the
+simulator); `interface`/`diff_method` likewise (there is only JAX, and
+gradients flow through the simulator natively).
+
+The statevector is REAL float64: every supported ansatz (UCC(S)D,
+GateFabric, k-UpCCD) is an orthogonal circuit acting on a real initial
+state — this halves memory/compute vs the reference's complex128 states.
+`state_complex` is provided for workflows that need a complex dtype.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import fermion, rdms as _rdms
+from . import ansatze as A
+from .program import GateProgram
+
+
+class Parameterized_circuit:
+    """Active-space PQC: state(theta) and RDMs, differentiable end-to-end.
+
+    Args mirror the reference (pqc.py:91-109); `ansatz` may be 'ucc',
+    'np_fabric', 'kupccd', or a prebuilt GateProgram / callable
+    theta -> statevector."""
+
+    def __init__(self, ncas, nelecas, dev=None, ansatz="ucc", n_layers=3,
+                 add_singles=False, interface=None, diff_method=None,
+                 k=None):
+        self.ncas = ncas
+        self.nelecas = nelecas
+        self.n_qubits = 2 * ncas
+        self.dev = dev
+        self.add_singles = add_singles
+        self.interface = "jax"
+        self.up_then_down = False
+        self.ansatz = ansatz
+        self._custom_state_fn = None
+        self.program = None
+
+        if ansatz == "ucc":
+            self.singles, self.doubles = A.excitations(nelecas,
+                                                       self.n_qubits)
+            self.theta_shape = (len(self.doubles)
+                                + (len(self.singles) if add_singles else 0))
+            self.hfstate = A.hf_state(nelecas, self.n_qubits)
+            self.program = A.uccd_program(ncas, nelecas,
+                                          add_singles=add_singles)
+        elif ansatz == "np_fabric":
+            self.n_layers = n_layers
+            self.hfstate = A.hf_state(nelecas, self.n_qubits)
+            self.full_theta_shape = A.gatefabric_full_shape(
+                n_layers, self.n_qubits)
+            self.redundant_idx = A.gatefabric_redundant_idx(ncas, nelecas)
+            nfull = int(np.prod(self.full_theta_shape))
+            self.params_idx = np.array(
+                [x for x in range(nfull) if x not in self.redundant_idx])
+            self.theta_shape = len(self.params_idx)
+            self.program = A.gatefabric_program(ncas, nelecas, n_layers)
+        elif ansatz == "kupccd":
+            self.k = k if k is not None else n_layers
+            self.hfstate = A.hf_state(nelecas, self.n_qubits)
+            self.d_wires = A.generalized_pair_doubles(
+                list(range(self.n_qubits)))
+            self.theta_shape = self.k * len(self.d_wires)
+            self.program = A.kupccd_program(ncas, nelecas, k=self.k)
+        elif isinstance(ansatz, GateProgram):
+            self.program = ansatz
+            self.theta_shape = ansatz.n_params
+            self.hfstate = None
+        elif callable(ansatz):
+            self._custom_state_fn = ansatz
+            self.theta_shape = None
+            self.hfstate = None
+        else:
+            raise ValueError(f"unknown ansatz {ansatz!r}")
+
+        self._state_jit = jax.jit(self._state_impl)
+        self._rdms_jit = jax.jit(self._rdms_impl)
+
+    # -- state ------------------------------------------------------------
+
+    def _expand_theta(self, theta):
+        if self.ansatz == "np_fabric":
+            nfull = int(np.prod(self.full_theta_shape))
+            full = jnp.zeros(nfull, dtype=theta.dtype)
+            return full.at[jnp.asarray(self.params_idx)].set(theta)
+        return theta
+
+    def _state_impl(self, theta):
+        if self._custom_state_fn is not None:
+            return self._custom_state_fn(theta)
+        return self.program.apply(self._expand_theta(jnp.ravel(theta)))
+
+    def state(self, theta):
+        """|psi(theta)> as a real float64 vector of dim 4^ncas."""
+        return self._state_jit(jnp.asarray(theta))
+
+    def state_complex(self, theta):
+        return self.state(theta).astype(jnp.complex128)
+
+    def qnode(self, theta):
+        """Reference-compatible alias (pqc.py:133)."""
+        return self.state(theta)
+
+    def init_zeros(self):
+        """All-zero parameter init (reference pqc.py:188)."""
+        return jnp.zeros(self.theta_shape, dtype=jnp.float64)
+
+    # -- RDMs -------------------------------------------------------------
+
+    def _rdms_impl(self, theta):
+        psi = self._state_impl(theta)
+        return _rdms.rdms_from_state(psi, self.ncas)
+
+    def get_rdms_from_state(self, state, restricted=True):
+        """gamma_pq = <E_pq>, Gamma_pqrs = <e_pqrs> (reference
+        pqc.py:192-218) — computed as one gather + one MXU matmul."""
+        if not restricted:
+            raise NotImplementedError(
+                "unrestricted RDMs not implemented (reference default is "
+                "restricted)")
+        state = jnp.asarray(state)
+        if jnp.iscomplexobj(state):
+            re, im = jnp.real(state), jnp.imag(state)
+            g1, G1 = _rdms.rdms_from_state(re, self.ncas)
+            g2, G2 = _rdms.rdms_from_state(im, self.ncas)
+            return g1 + g2, G1 + G2
+        return _rdms.rdms_from_state(state, self.ncas)
+
+    def get_rdms(self, theta, restricted=True):
+        if not restricted:
+            raise NotImplementedError
+        return self._rdms_jit(jnp.asarray(theta))
+
+    # -- misc -------------------------------------------------------------
+
+    def draw_circuit(self, theta):
+        """Text rendering of the compiled program (reference pqc.py:223)."""
+        lines = []
+        if self.program is None:
+            return "<custom state function>"
+        n = self.program.half.shape[0]
+        lines.append(f"GateProgram: {n} pair-rotation gates, "
+                     f"{self.program.n_params} parameters, "
+                     f"dim {self.program.dim}")
+        theta = np.ravel(np.asarray(theta))
+        full = np.asarray(self._expand_theta(jnp.asarray(theta)))
+        for i in range(n):
+            ang = self.program.half[i] * full[self.program.param[i]]
+            npairs = int(self.program.mask[i].sum())
+            lines.append(f"  gate {i:3d}: param {self.program.param[i]:3d} "
+                         f"angle {ang:+.4f} pairs {npairs}")
+        return "\n".join(lines)

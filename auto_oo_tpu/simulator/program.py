@@ -1,0 +1,100 @@
+"""Gate program: stacked pair-rotation tensors + one lax.scan application.
+
+A compiled circuit is a fixed-shape pytree of arrays; applying it is one
+``lax.scan`` over gates, each step doing two gathers and two scatters on
+the statevector.  XLA traces the whole circuit once regardless of gate
+count; jax.grad / jax.jacobian / jax.hessian flow through (gathers
+differentiate to scatters), replacing PennyLane's diff_method='backprop'
+(reference pqc.py:133).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class GateProgram:
+    """Stacked gates, padded to a common pair count.
+
+    Attributes (host numpy until `device()` is called):
+      ia, ib:   (n_gates, max_pairs) int32 paired indices
+      sign:     (n_gates, max_pairs) float64, 0 => padding (no-op pair)
+      mask:     (n_gates, max_pairs) float64 1/0 padding mask
+      half:     (n_gates,) angle multipliers
+      param:    (n_gates,) int32 parameter slot per gate
+      n_params: size of the parameter vector
+      init_idx: basis index of the initial product state
+      dim:      statevector dimension
+    """
+
+    def __init__(self, gates, n_params, init_idx, dim):
+        self.n_params = int(n_params)
+        self.init_idx = int(init_idx)
+        self.dim = int(dim)
+        if gates:
+            mp = max(g.ia.size for g in gates)
+            n = len(gates)
+            ia = np.zeros((n, mp), dtype=np.int32)
+            ib = np.zeros((n, mp), dtype=np.int32)
+            sign = np.zeros((n, mp), dtype=np.float64)
+            mask = np.zeros((n, mp), dtype=np.float64)
+            half = np.zeros((n,), dtype=np.float64)
+            param = np.zeros((n,), dtype=np.int32)
+            for i, g in enumerate(gates):
+                k = g.ia.size
+                ia[i, :k] = g.ia
+                ib[i, :k] = g.ib
+                sign[i, :k] = g.sign
+                mask[i, :k] = 1.0
+                half[i] = g.half
+                param[i] = g.param
+            self.ia, self.ib, self.sign = ia, ib, sign
+            self.mask, self.half, self.param = mask, half, param
+        else:
+            z = np.zeros((0, 1))
+            self.ia = z.astype(np.int32)
+            self.ib = z.astype(np.int32)
+            self.sign = z
+            self.mask = z
+            self.half = np.zeros((0,))
+            self.param = np.zeros((0,), dtype=np.int32)
+        self._dev = None
+
+    def device_arrays(self):
+        # numpy arrays are embedded as XLA constants at trace time; caching
+        # jnp conversions here would leak tracers when first touched inside
+        # a jit, so hand back the host arrays directly.
+        return (self.ia, self.ib, self.sign, self.mask, self.half,
+                self.param)
+
+    # -- functional application -------------------------------------------
+
+    def initial_state(self, dtype=jnp.float64):
+        psi = jnp.zeros(self.dim, dtype=dtype)
+        return psi.at[self.init_idx].set(1.0)
+
+    def apply(self, theta, psi=None):
+        """|psi(theta)> for a flat parameter vector theta."""
+        if psi is None:
+            psi = self.initial_state(
+                theta.dtype if jnp.issubdtype(theta.dtype, jnp.floating)
+                else jnp.float64)
+        if self.half.shape[0] == 0:
+            return psi
+        ia, ib, sign, mask, half, param = self.device_arrays()
+        angles = half * theta[param]  # (n_gates,)
+
+        def step(psi, gate):
+            g_ia, g_ib, g_sign, g_mask, ang = gate
+            a = g_mask * ang  # padding rotates by 0 -> identity
+            c, s = jnp.cos(a), jnp.sin(a)
+            va = psi[g_ia]
+            vb = psi[g_ib]
+            new_a = c * va - g_sign * s * vb
+            new_b = g_sign * s * va + c * vb
+            psi = psi.at[g_ia].set(new_a)
+            psi = psi.at[g_ib].set(new_b)
+            return psi, None
+
+        psi, _ = jax.lax.scan(step, psi, (ia, ib, sign, mask, angles))
+        return psi

@@ -1,0 +1,146 @@
+"""Damped / augmented-Hessian Newton-Raphson optimizer (pure JAX).
+
+API mirror of reference utils/newton_raphson.py:16-224 (NewtonStep with
+newton_step / backtracking / damped_newton_step) redesigned as pure
+functions that compile on TPU:
+
+* the Hessian augmentation is branchless (jnp.where) instead of a Python
+  if, so the step traces once;
+* backtracking line search is a lax.while_loop with the same Armijo rule
+  f(x + t dp) < f(x) + alpha t G.dp, halving t up to lmax then falling
+  back to t=0 (reference newton_raphson.py:131-192);
+* the lowest Hessian eigenvalue is returned on-device (it is a physics
+  observable tracked through Berry-phase loops).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def wolfe(t, grad, dp, alpha=1e-4):
+    """Armijo decrease threshold (reference newton_raphson.py:12)."""
+    return alpha * t * jnp.dot(grad, dp)
+
+
+def newton_step_pure(gradient, hessian, mu=1e-6, rho=1.1, lambda_min=1e-6,
+                     aug=True):
+    """dp = -H^{-1} G with conditional augmentation H += (mu+rho|l0|) I.
+
+    Returns (dp, lowest_eigenvalue). Fully traceable / jittable.
+    """
+    w, V = jnp.linalg.eigh(hessian)
+    lowest = w[0]
+    if aug:
+        shift = jnp.where(lowest < lambda_min,
+                          mu + rho * jnp.abs(lowest), 0.0)
+    else:
+        shift = 0.0
+    w_aug = w + shift
+    dp = -(V @ ((V.T @ gradient) / w_aug))
+    return dp, lowest
+
+
+def backtracking_pure(objective_flat, params_flat, dp, gradient,
+                      alpha=1e-4, beta=0.5, lmax=20):
+    """Armijo backtracking on a flat parameter vector.
+
+    objective_flat: traceable f(flat_params) -> scalar.
+    Returns (new_flat_params, t, new_energy).  lax.while_loop keeps the
+    trial count data-dependent without recompilation.
+    """
+    e0 = objective_flat(params_flat)
+    gdp = jnp.dot(gradient, dp)
+
+    e1 = objective_flat(params_flat + dp)
+
+    def cond(state):
+        t, e_t, num = state
+        return jnp.logical_and(e_t > e0 + alpha * t * gdp, num <= lmax)
+
+    def body(state):
+        t, _, num = state
+        t_new = beta * t
+        e_new = objective_flat(params_flat + t_new * dp)
+        return (t_new, e_new, num + 1)
+
+    t, e_t, num = jax.lax.while_loop(cond, body, (1.0, e1, 0))
+    t = jnp.where(num > lmax, 0.0, t)
+    e_t = jnp.where(num > lmax, e0, e_t)
+    return params_flat + t * dp, t, e_t
+
+
+def damped_newton_step_pure(objective_flat, params_flat, gradient, hessian,
+                            alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1,
+                            lambda_min=1e-6, lmax=20, aug=True):
+    """One damped Newton step on flat parameters; returns
+    (new_flat_params, lowest_eigenvalue, t, energy_after)."""
+    dp, lowest = newton_step_pure(gradient, hessian, mu=mu, rho=rho,
+                                  lambda_min=lambda_min, aug=aug)
+    newp, t, e_t = backtracking_pure(objective_flat, params_flat, dp,
+                                     gradient, alpha=alpha, beta=beta,
+                                     lmax=lmax)
+    return newp, lowest, t, e_t
+
+
+def split_list_shapes(parameters, paramshapes):
+    """Split a flat vector into chunks of the given shapes
+    (reference newton_raphson.py:214-224)."""
+    chunks = []
+    num = 0
+    for shape in paramshapes:
+        size = int(np.prod(shape)) if len(shape) else 1
+        chunks.append(parameters[num:num + size].reshape(shape))
+        num += size
+    return chunks
+
+
+class NewtonStep:
+    """API-compatible wrapper around the pure functions
+    (reference newton_raphson.py:16-211)."""
+
+    def __init__(self, alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1, lmax=20,
+                 lambda_min=1e-6, aug=True, verbose=0):
+        self.alpha = alpha
+        self.beta = beta
+        self.mu = mu
+        self.rho = rho
+        self.lmax = lmax
+        self.lambda_min = lambda_min
+        self.aug = aug
+        self.verbose = verbose
+
+    def newton_step(self, gradient, hessian):
+        dp, lowest = newton_step_pure(
+            gradient, hessian, mu=self.mu, rho=self.rho,
+            lambda_min=self.lambda_min, aug=self.aug)
+        if self.verbose:
+            print("lowest eigval hessian =", float(lowest))
+        return dp, float(lowest)
+
+    def backtracking(self, objective_fn, parameters, dp, gradient):
+        paramshapes = [np.shape(p) for p in parameters]
+
+        def objective_flat(flat):
+            return objective_fn(*split_list_shapes(flat, paramshapes))
+
+        flat = jnp.concatenate([jnp.ravel(p) for p in parameters])
+        newp, t, e_t = backtracking_pure(
+            objective_flat, flat, dp, gradient,
+            alpha=self.alpha, beta=self.beta, lmax=self.lmax)
+        if self.verbose:
+            print("line search t =", float(t), "new energy:", float(e_t))
+        if len(parameters) > 1:
+            return tuple(split_list_shapes(newp, paramshapes)), float(e_t)
+        return newp, float(e_t)
+
+    def damped_newton_step(self, objective_fn, parameters, gradient,
+                           hessian):
+        """Returns (new_parameters, lowest_hessian_eigenvalue) —
+        reference newton_raphson.py:194-211."""
+        dp, lowest = self.newton_step(gradient, hessian)
+        new_parameters, _ = self.backtracking(
+            objective_fn, parameters, dp, gradient)
+        return new_parameters, lowest

@@ -1,0 +1,87 @@
+"""Host chemistry layer tests: golden values from the reference suite.
+
+Mirrors /root/reference/test/test_moldata_pyscf.py: golden OAO matrix,
+golden FCI energies, active-space partition; plus oracle self-checks the
+reference delegated to PySCF.
+"""
+
+import numpy as np
+import pytest
+
+import auto_oo_tpu
+from auto_oo_tpu import Moldata, ao_to_oao, get_formal_geo
+
+# First two rows of the golden OAO coefficient matrix for formaldimine
+# (alpha=140, phi=80) in sto-3g (reference test_moldata_pyscf.py:22-92).
+OAO_ROWS01 = np.array([
+    [1.02410942e+00, -1.44485996e-01, -1.22283337e-03, -6.92105527e-03,
+     -1.22191185e-03, -1.68737940e-03, 1.75420166e-02, -1.64976921e-02,
+     3.63410363e-04, 9.10179123e-05, 7.02693079e-04, 7.69242606e-04,
+     2.45601209e-02],
+    [-1.44485996e-01, 1.27102203e+00, -8.35510237e-03, 8.33090765e-02,
+     1.47040840e-02, 2.05491933e-02, -1.74022090e-01, 2.16821224e-01,
+     -3.37367753e-03, -8.62524345e-04, -1.09749430e-02, -1.16666054e-02,
+     -3.66189921e-01],
+])
+
+
+@pytest.fixture(scope="module")
+def formaldimine():
+    return Moldata(get_formal_geo(140, 80), "sto-3g")
+
+
+def test_ao_to_oao_golden(formaldimine):
+    oao = formaldimine.oao_coeff
+    assert oao.shape == (13, 13)
+    assert np.allclose(oao[:2], OAO_ROWS01)
+    # S^{-1/2} S S^{-1/2} = 1
+    assert np.allclose(oao @ formaldimine.overlap @ oao, np.eye(13))
+
+
+def test_fci_golden():
+    """Reference test_moldata_pyscf.py:95-104 (tolerance limited by the
+    7-digit embedded basis data)."""
+    mol = Moldata("H 0 0 0; F 0 0 1.1", "sto-3g")
+    mol.run_fci(n_roots=2)
+    assert np.allclose(mol.fci.e_tot,
+                       [-98.595121449139, -98.283973390815], atol=5e-7)
+    assert np.all(mol.fci.s2 < 1e-6)
+
+
+def test_active_space_idx(formaldimine):
+    occ, act, virt = formaldimine.get_active_space_idx(3, 4)
+    assert list(occ) == [0, 1, 2, 3, 4, 5]
+    assert list(act) == [6, 7, 8]
+    assert list(virt) == [9, 10, 11, 12]
+    with pytest.raises(ValueError):
+        formaldimine.get_active_space_idx(2, 1)
+
+
+def test_rhf_matches_orbital_opt_golden(formaldimine):
+    """RHF equals the reference orbital-optimization golden at the
+    closed-shell RDM (reference test_oo_energy.py:396)."""
+    formaldimine.run_rhf()
+    assert abs(formaldimine.hf.e_tot - (-92.66372193556138)) < 5e-7
+
+
+def test_casscf_matches_fixed_rdm_golden(formaldimine):
+    """CASSCF(2,2) energy equals the reference fixed-RDM energy golden
+    (reference test_oo_energy.py:298 used converged-CASSCF RDMs)."""
+    formaldimine.run_casscf(2, 2)
+    assert formaldimine.casscf.converged
+    assert abs(formaldimine.casscf.e_tot - (-92.74923236954386)) < 5e-7
+
+
+def test_casci_between_rhf_and_casscf(formaldimine):
+    formaldimine.run_rhf()
+    formaldimine.run_casci(2, 2)
+    e_casci = formaldimine.casci.e_tot
+    assert e_casci < formaldimine.hf.e_tot + 1e-12
+    formaldimine.run_casscf(2, 2)
+    assert formaldimine.casscf.e_tot < e_casci + 1e-12
+
+
+def test_h2_rhf_textbook():
+    mol = Moldata("H 0 0 0; H 0 0 0.74", "sto-3g")
+    mol.run_rhf()
+    assert abs(mol.hf.e_tot - (-1.1167593)) < 1e-6

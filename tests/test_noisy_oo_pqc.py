@@ -1,0 +1,55 @@
+"""Noisy_OO_pqc tests.  The reference shipped an empty stub
+(test_noisy_oo_pqc.py:14-15) and a class that crashed when used
+(variance never plumbed, noisy_oo_pqc.py:121-122); these tests pin the
+fixed behavior.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import auto_oo_tpu
+from auto_oo_tpu import Moldata, get_formal_geo
+from auto_oo_tpu.models import Parameterized_circuit, Noisy_OO_pqc
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    return Noisy_OO_pqc(pqc, mol, 2, 2, freeze_active=True, seed=7)
+
+
+def test_zero_variance_equals_exact(noisy):
+    theta = jnp.array([0.3, -0.1])
+    g0 = noisy.full_noisy_gradient(theta, 0.0)
+    assert np.allclose(np.asarray(g0),
+                       np.asarray(noisy.full_gradient(theta)), atol=1e-14)
+    h0 = noisy.full_noisy_hessian(theta, 0.0)
+    assert np.allclose(np.asarray(h0),
+                       np.asarray(noisy.full_hessian(theta)), atol=1e-12)
+
+
+def test_noise_scale_and_reproducibility(noisy):
+    theta = jnp.array([0.3, -0.1])
+    key = jax.random.PRNGKey(42)
+    g1 = noisy.full_noisy_gradient(theta, 1e-2, key=key)
+    g2 = noisy.full_noisy_gradient(theta, 1e-2, key=key)
+    assert np.allclose(np.asarray(g1), np.asarray(g2))  # same key -> same
+    exact = np.asarray(noisy.full_gradient(theta))
+    resid = np.asarray(g1) - exact
+    assert 0.0 < np.abs(resid).max() < 1.0  # noise present, sane scale
+
+
+def test_full_noisy_optimization_runs_and_converges(noisy):
+    """With small variance the optimizer still reaches the CASSCF basin
+    (the capability the reference intended but never exercised)."""
+    energy_l, theta_l, kappa_l, oao_l, eig_l = \
+        noisy.full_noisy_optimization(noisy.pqc.init_zeros(),
+                                      variance=1e-10, max_iterations=25,
+                                      conv_tol=1e-9)
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol.run_casscf(2, 2)
+    assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-4
+    assert len(kappa_l) == len(energy_l)

@@ -1,0 +1,102 @@
+"""Simulator tests: golden statevectors and RDMs from the reference suite
+(/root/reference/test/test_pqc.py), plus structural checks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import auto_oo_tpu  # noqa: F401
+from auto_oo_tpu.models import Parameterized_circuit
+from .goldens import STATE_GOLDENS
+
+
+@pytest.mark.parametrize(
+    "ncas,ne,add_s,ansatz,L,theta,ref_map", STATE_GOLDENS,
+    ids=[f"{g[3]}-{g[0]}-{g[1]}-{g[2]}-{g[4]}" for g in STATE_GOLDENS])
+def test_state_goldens(ncas, ne, add_s, ansatz, L, theta, ref_map):
+    pqc = Parameterized_circuit(ncas, ne, ansatz=ansatz, n_layers=L or 3,
+                                add_singles=bool(add_s))
+    psi = np.asarray(pqc.state(jnp.asarray(theta)))
+    ref = np.zeros(psi.shape)
+    for k, v in ref_map.items():
+        ref[k] = v
+    assert np.allclose(psi, ref, atol=2e-5)
+    assert abs(np.linalg.norm(psi) - 1.0) < 1e-12
+
+
+def test_rdms_ucc_golden():
+    """Reference test_pqc.py:273-291 (2,2,'ucc')."""
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+    g1, G2 = pqc.get_rdms(jnp.array([2.71668364]))
+    ref1 = np.array([[8.89237535e-02, 0.0], [0.0, 1.91107625e+00]])
+    assert np.allclose(np.asarray(g1), ref1, atol=1e-7)
+    ref2 = np.zeros((2, 2, 2, 2))
+    ref2[0, 0, 0, 0] = 8.89237535e-02
+    ref2[0, 1, 0, 1] = -4.12237884e-01
+    ref2[1, 0, 1, 0] = -4.12237884e-01
+    ref2[1, 1, 1, 1] = 1.91107625e+00
+    assert np.allclose(np.asarray(G2), ref2, atol=1e-7)
+
+
+def test_rdms_fabric_golden():
+    """Reference test_pqc.py:405-424 (2,2,'np_fabric',1)."""
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    g1, G2 = pqc.get_rdms(jnp.array([3.66358854, 4.97356552]))
+    ref1 = np.array([[0.77617054, -0.83742894], [-0.83742894, 1.22382946]])
+    assert np.allclose(np.asarray(g1), ref1, atol=1e-7)
+    ref2 = np.array(
+        [[[[0.54219149, -0.35617615], [-0.35617615, 0.23397904]],
+          [[-0.35617615, 0.73259025], [0.23397904, -0.4812528]]],
+         [[[-0.35617615, 0.23397904], [0.73259025, -0.4812528]],
+          [[0.23397904, -0.4812528], [-0.4812528, 0.98985042]]]])
+    assert np.allclose(np.asarray(G2), ref2, atol=1e-7)
+
+
+def test_rdm_trace_particle_number():
+    """tr(gamma) = nelecas for any theta."""
+    for ncas, ne, ansatz in [(3, 4, "ucc"), (3, 2, "np_fabric"),
+                             (2, 2, "kupccd")]:
+        pqc = Parameterized_circuit(ncas, ne, ansatz=ansatz, n_layers=2)
+        key = jax.random.PRNGKey(0)
+        theta = jax.random.uniform(key, (pqc.theta_shape,), minval=0.0,
+                                   maxval=2 * np.pi, dtype=jnp.float64)
+        g1, G2 = pqc.get_rdms(theta)
+        assert abs(float(jnp.trace(g1)) - ne) < 1e-10
+        # partial-trace sum rule (chemist order, last pair contracted):
+        # sum_r Gamma_{p q r r} = (N - 1) gamma_pq
+        part = jnp.einsum("pqrr->pq", G2)
+        assert np.allclose(np.asarray(part), (ne - 1) * np.asarray(g1),
+                           atol=1e-10)
+
+
+def test_kupccd_first_class():
+    """k-UpCCD is wired in (the reference exported it but never connected
+    it to Parameterized_circuit — SURVEY.md gap)."""
+    pqc = Parameterized_circuit(3, 2, ansatz="kupccd", k=2)
+    assert pqc.theta_shape == 2 * len(pqc.d_wires)
+    psi = pqc.state(pqc.init_zeros())
+    # zero angles leave the HF determinant
+    hf_idx = pqc.program.init_idx
+    assert abs(float(psi[hf_idx]) - 1.0) < 1e-12
+
+
+def test_state_differentiable():
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+
+    def overlap_sq(theta):
+        psi = pqc._state_impl(theta)
+        return psi[3] ** 2
+
+    g = jax.grad(overlap_sq)(jnp.array([0.3]))
+    # d/dth sin^2(th/2) = sin(th/2)cos(th/2)
+    assert np.allclose(float(g[0]), np.sin(0.15) * np.cos(0.15), atol=1e-12)
+
+
+def test_init_zeros_and_draw():
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    th = pqc.init_zeros()
+    assert th.shape == (pqc.theta_shape,)
+    txt = pqc.draw_circuit(th)
+    assert "GateProgram" in txt
