@@ -185,7 +185,7 @@ class OO_pqc(OO_energy):
     def full_optimization(self, theta_init, max_iterations=50,
                           conv_tol=1e-10, verbose=0, flush=True,
                           alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1,
-                          lambda_min=1e-6, **kwargs):
+                          lambda_min=1e-6, monitor=None, **kwargs):
         """Newton-Raphson on (theta, kappa) jointly
         (reference oo_pqc.py:155-207).
 
@@ -208,6 +208,9 @@ class OO_pqc(OO_energy):
             oao_mo_coeff_l.append(new_oao)
             energy_l.append(float(energy))
             hess_eig_l.append(float(lowest))
+            if monitor is not None:
+                monitor.log(n + 1, energy_l[-1],
+                            lowest_hess_eig=hess_eig_l[-1])
             if verbose is not None and verbose:
                 print(f"iter = {n + 1:03}, energy = {energy_l[-1]:.12f}",
                       flush=flush)

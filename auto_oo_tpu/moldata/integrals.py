@@ -372,7 +372,27 @@ def one_electron_integrals(shells, charges, coords):
 
 def eri(shells, norms=None):
     """Full (pq|rs) chemist-ordered ERI tensor in the normalized spherical
-    AO basis.  Uses 8-fold shell-quartet symmetry."""
+    AO basis.  Uses the native C++ engine when available (built on first
+    use, auto_oo_tpu/native), else the vectorized numpy path; both share
+    the cart->sph and normalization stage."""
+    from .. import native as _native
+    G = _native.eri_cart(shells)
+    if G is None:
+        G = _eri_cart_numpy(shells)
+    C = _c2s_blockdiag(shells)
+    G = np.einsum("pi,pqrs->iqrs", C, G, optimize=True)
+    G = np.einsum("qj,iqrs->ijrs", C, G, optimize=True)
+    G = np.einsum("rk,ijrs->ijks", C, G, optimize=True)
+    G = np.einsum("sl,ijks->ijkl", C, G, optimize=True)
+    if norms is not None:
+        G = np.einsum("i,j,k,l,ijkl->ijkl", norms, norms, norms, norms, G,
+                      optimize=True)
+    return G
+
+
+def _eri_cart_numpy(shells):
+    """Cartesian (ab|cd) tensor via the numpy engine (8-fold shell-quartet
+    symmetry)."""
     nsh = len(shells)
     offs_cart, ncart, _, _ = _basis_layout(shells)
     # precompute pair data
@@ -428,14 +448,6 @@ def eri(shells, norms=None):
                     oa, ob = offs_cart[i], offs_cart[j]
                     oc, od = offs_cart[k], offs_cart[l_]
                     _fill_eri(G, blk, oa, ob, oc, od, na, nb, nc, nd)
-    C = _c2s_blockdiag(shells)
-    G = np.einsum("pi,pqrs->iqrs", C, G, optimize=True)
-    G = np.einsum("qj,iqrs->ijrs", C, G, optimize=True)
-    G = np.einsum("rk,ijrs->ijks", C, G, optimize=True)
-    G = np.einsum("sl,ijks->ijkl", C, G, optimize=True)
-    if norms is not None:
-        G = np.einsum("i,j,k,l,ijkl->ijkl", norms, norms, norms, norms, G,
-                      optimize=True)
     return G
 
 

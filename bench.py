@@ -2,20 +2,32 @@
 Hessian + damped step) for formaldimine OO-PQC — the BASELINE.json metric.
 
 Runs on whatever jax platform the environment provides (the real TPU chip
-under the driver).  Prints ONE JSON line:
+under the driver).  Prints ONE JSON line on stdout:
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+(progress goes to stderr).
 
 The reference publishes no numbers (BASELINE.md); the driver-set target is
-< 1 s per NR iteration (formaldimine (3e,3o), TPU v5e) — `vs_baseline` is
-reported as target_seconds / measured_seconds against that 1 s target for
-the headline (6e,6o) configuration, so > 1.0 beats the target.
+< 1 s per NR iteration on one TPU v5e chip — `vs_baseline` is reported as
+target_seconds / measured_seconds against that 1 s target for the headline
+(6e,6o) configuration, so > 1.0 beats the target.
+
+A persistent XLA compilation cache under .jax_cache/ makes repeat runs
+skip the (large) one-time compile of the fused NR-iteration program.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_cache")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def time_nr_iters(ncas, nelecas, n_layers, n_iters=6):
@@ -24,44 +36,57 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6):
     from auto_oo_tpu import Moldata, get_formal_geo
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
 
+    t0 = time.time()
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
                                 n_layers=n_layers)
     oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True)
     theta = pqc.init_zeros()
+    log(f"setup ({nelecas}e,{ncas}o): {time.time() - t0:.1f}s "
+        f"(n_theta={pqc.theta_shape}, n_kappa={oo.n_kappa})")
 
-    # compile (excluded from the metric, reported separately)
     t0 = time.time()
     out = oo._nr_iteration_jit(theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6,
                                1.1, 1e-6)
     out[3].block_until_ready()
     compile_s = time.time() - t0
+    log(f"first NR iteration (incl. compile): {compile_s:.1f}s")
 
     times = []
     th, oao = out[0], out[2]
-    for _ in range(n_iters):
+    for i in range(n_iters):
         t0 = time.time()
         th, kp, oao, energy, low = oo._nr_iteration_jit(
             th, oao, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
         energy.block_until_ready()
         times.append(time.time() - t0)
+        log(f"iter {i}: {times[-1]:.4f}s  E={float(energy):.10f}")
     return float(np.median(times)), compile_s, float(energy)
 
 
 def main():
+    os.makedirs(_CACHE, exist_ok=True)
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # cache is best-effort
+        log(f"compilation cache unavailable: {exc}")
+
     value, compile_s, energy = time_nr_iters(6, 6, 2)
-    v33, c33, e33 = time_nr_iters(3, 4, 1)  # (4e,3o): the reference demo active space
+    extra = {"compile_s_6e6o": round(compile_s, 2), "energy_6e6o": energy}
+    try:
+        v43, c43, e43 = time_nr_iters(3, 4, 1)
+        extra["nr_iter_wall_s_4e3o"] = round(v43, 6)
+    except Exception as exc:
+        log(f"(4e,3o) tier skipped: {exc}")
     target_s = 1.0
     print(json.dumps({
         "metric": "nr_iter_wall_s_formaldimine_6e6o_sto3g",
         "value": round(value, 6),
         "unit": "s",
         "vs_baseline": round(target_s / value, 3),
-        "extra": {
-            "compile_s_6e6o": round(compile_s, 2),
-            "energy_6e6o": energy,
-            "nr_iter_wall_s_4e3o": round(v33, 6),
-        },
+        "extra": extra,
     }))
 
 

@@ -1,0 +1,73 @@
+"""Checkpoint, monitor and misc utility tests."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import auto_oo_tpu
+from auto_oo_tpu import Moldata, get_formal_geo
+from auto_oo_tpu.utils import save_state, load_state, resume, Monitor
+from auto_oo_tpu.ops.spin_embed import restricted_to_unrestricted
+
+
+def test_get_formal_geo_contains_zmatrix():
+    geo = get_formal_geo(140, 80)
+    assert "N" in geo and "C 1" in geo and "180" in geo
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "state.npz")
+    theta = np.array([0.1, 0.2])
+    oao = np.eye(3)
+    save_state(path, theta, oao, energy=-1.5,
+               extra={"energies": np.array([-1.0, -1.5])})
+    state = load_state(path)
+    assert np.allclose(state["theta"], theta)
+    assert np.allclose(state["oao_mo_coeff"], oao)
+    assert float(state["energy"]) == -1.5
+    assert np.allclose(state["extra"]["energies"], [-1.0, -1.5])
+
+
+def test_checkpoint_resume_applies_state(tmp_path):
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    path = str(tmp_path / "ck.npz")
+    theta = jnp.array([0.3, -0.2])
+    oao = oo.oao_mo_coeff * 1.0
+    save_state(path, theta, oao)
+    oo.oao_mo_coeff = jnp.zeros_like(oao)
+    theta2 = resume(oo, path)
+    assert np.allclose(np.asarray(theta2), np.asarray(theta))
+    assert np.allclose(np.asarray(oo.oao_mo_coeff), np.asarray(oao))
+
+
+def test_monitor_records(tmp_path):
+    path = str(tmp_path / "log.jsonl")
+    mon = Monitor(jsonl_path=path, label="test")
+    mon.log(1, -1.0, lowest_hess_eig=0.5)
+    mon.log(2, -1.5, lowest_hess_eig=0.2)
+    mon.close()
+    assert mon.energies() == [-1.0, -1.5]
+    import json
+    lines = [json.loads(x) for x in open(path)]
+    assert lines[1]["energy"] == -1.5
+
+
+def test_restricted_to_unrestricted_shapes():
+    h = np.arange(4.0).reshape(2, 2)
+    hs = np.asarray(restricted_to_unrestricted(h))
+    assert hs.shape == (4, 4)
+    # interleaved embedding: alpha block at even indices
+    assert np.allclose(hs[::2, ::2], h)
+    assert np.allclose(hs[1::2, 1::2], h)
+    assert np.allclose(hs[::2, 1::2], 0.0)
+    g = np.random.RandomState(0).randn(2, 2, 2, 2)
+    gs = np.asarray(restricted_to_unrestricted(g))
+    assert gs.shape == (4, 4, 4, 4)
+    # same-spin block reproduces the spatial tensor
+    assert np.allclose(gs[::2, ::2, ::2, ::2], g)
