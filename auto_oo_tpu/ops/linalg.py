@@ -21,9 +21,11 @@ def expm(A):
     A = jnp.asarray(A)
     n = A.shape[-1]
     norm = jnp.max(jnp.sum(jnp.abs(A), axis=-1))
-    # number of halvings so the scaled norm is <= 0.5
+    # number of halvings so the scaled norm is <= 0.5 (floor the norm
+    # inside the float32 exponent range: TPU f64 emulation underflows
+    # below ~1e-38 and log2(0) -> inf handling is unreliable there)
     s = jnp.maximum(
-        0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30)) + 1.0)).astype(
+        0.0, jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-20)) + 1.0)).astype(
         jnp.int32)
     s = jnp.minimum(s, _MAX_SQUARINGS)
     As = A * (2.0 ** (-s)).astype(A.dtype)
@@ -45,6 +47,90 @@ def expm(A):
     return X
 
 
-def eigh(A):
-    """Symmetric eigendecomposition (thin wrapper; works in f64 on TPU)."""
-    return jnp.linalg.eigh(A)
+def _round_robin_orderings(n):
+    """Tournament schedule: n-1 rounds of n/2 disjoint index pairs covering
+    all pairs (classic round-robin; host-side, static per size)."""
+    import numpy as np
+
+    m = n + (n % 2)  # pad to even
+    players = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        pairs = []
+        for i in range(m // 2):
+            a, b = players[i], players[m - 1 - i]
+            if a < n and b < n:
+                pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return rounds
+
+
+_EIGH_SWEEPS = 16
+
+
+def eigh(A, sweeps=_EIGH_SWEEPS):
+    """Symmetric eigendecomposition via parallel cyclic Jacobi.
+
+    ``jnp.linalg.eigh`` silently returns NaN for general float64 matrices
+    on the TPU backend (the LAPACK-style path is not implemented for
+    emulated f64), so this solver is built from what the TPU does well:
+    each round applies n/2 disjoint Givens rotations as ONE dense n x n
+    rotation matrix, so a sweep is 2(n-1) small matmuls on the MXU.
+    Ascending eigenvalue order (numpy.linalg.eigh convention).
+    """
+    import numpy as np
+
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    if n == 1:
+        return A.reshape(1), jnp.ones((1, 1), dtype=A.dtype)
+    rounds = _round_robin_orderings(n)
+    # pack rounds into fixed arrays (n_rounds, n_pairs_max, 2); pad with
+    # the (0, 0) self-pair which produces an identity rotation
+    np_max = max(len(r) for r in rounds)
+    pair_arr = np.zeros((len(rounds), np_max, 2), dtype=np.int32)
+    mask_arr = np.zeros((len(rounds), np_max), dtype=np.float64)
+    for i, r in enumerate(rounds):
+        for j, (p, q) in enumerate(r):
+            pair_arr[i, j] = (p, q)
+            mask_arr[i, j] = 1.0
+    pair_arr = jnp.asarray(pair_arr)
+    mask_arr = jnp.asarray(mask_arr)
+
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def apply_round(carry, round_data):
+        Ac, Vc = carry
+        pairs, mask = round_data
+        p = pairs[:, 0]
+        q = pairs[:, 1]
+        app = Ac[p, p]
+        aqq = Ac[q, q]
+        apq = Ac[p, q] * mask
+        # Jacobi rotation zeroing A[p,q], via atan2 (overflow-free: the
+        # classic tau = (aqq-app)/2apq form overflows tau^2 on the TPU
+        # f64 emulation, whose exponent range is float32's)
+        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        scale = jnp.abs(app) + jnp.abs(aqq) + 1e-30
+        theta = jnp.where(jnp.abs(apq) > 1e-18 * scale, theta, 0.0)
+        c = jnp.cos(theta)
+        s = jnp.sin(theta)
+        # masked/self pairs -> identity rotation; build R with additive
+        # deltas so padded (0,0) self-pairs are harmless no-ops
+        c = jnp.where(mask > 0, c, 1.0)
+        s = jnp.where(mask > 0, s, 0.0)
+        R = (eye.at[p, p].add(c - 1.0).at[q, q].add(c - 1.0)
+             .at[p, q].add(s).at[q, p].add(-s))
+        An = R.T @ Ac @ R
+        Vn = Vc @ R
+        return (An, Vn), None
+
+    def sweep(carry, _):
+        carry, _ = jax.lax.scan(apply_round, carry, (pair_arr, mask_arr))
+        return carry, None
+
+    (Af, Vf), _ = jax.lax.scan(sweep, (A, eye), None, length=sweeps)
+    w = jnp.diagonal(Af)
+    order = jnp.argsort(w)
+    return w[order], Vf[:, order]

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.linalg import eigh as _sym_eigh
+
 
 def wolfe(t, grad, dp, alpha=1e-4):
     """Armijo decrease threshold (reference newton_raphson.py:12)."""
@@ -31,7 +33,9 @@ def newton_step_pure(gradient, hessian, mu=1e-6, rho=1.1, lambda_min=1e-6,
 
     Returns (dp, lowest_eigenvalue). Fully traceable / jittable.
     """
-    w, V = jnp.linalg.eigh(hessian)
+    # jnp.linalg.eigh NaNs for general f64 matrices on the TPU
+    # backend; use the in-house Jacobi eigensolver (ops/linalg.py)
+    w, V = _sym_eigh(hessian)
     lowest = w[0]
     if aug:
         shift = jnp.where(lowest < lambda_min,

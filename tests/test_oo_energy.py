@@ -125,3 +125,18 @@ def test_expm_vs_scipy():
         return expm(m)[0, 0]
     g = jax.grad(f)(0.3)
     assert abs(float(g) - (-np.sin(0.3))) < 1e-10
+
+
+def test_jacobi_eigh_matches_numpy():
+    """The in-house Jacobi eigensolver (used because jnp.linalg.eigh NaNs
+    for f64 on the TPU backend) matches numpy to machine precision."""
+    from auto_oo_tpu.ops.linalg import eigh
+    for n in (2, 7, 33, 66):
+        rng = np.random.RandomState(n)
+        a = rng.randn(n, n)
+        a = a + a.T
+        w1, v1 = eigh(jnp.asarray(a))
+        w0 = np.linalg.eigvalsh(a)
+        assert np.allclose(np.asarray(w1), w0, atol=1e-11)
+        recon = np.asarray(v1) @ np.diag(np.asarray(w1)) @ np.asarray(v1).T
+        assert np.allclose(recon, a, atol=1e-11)

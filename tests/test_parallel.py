@@ -1,0 +1,72 @@
+"""Sharding correctness tests on the virtual 8-device CPU mesh:
+multi-device results must equal single-device results exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import auto_oo_tpu
+from auto_oo_tpu import Moldata, get_formal_geo
+from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+from auto_oo_tpu.parallel import (make_mesh, sharded_full_hessian_fn,
+                                  sharded_nr_step_fn, GeometryBatch)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    return mol, pqc, oo, mesh
+
+
+def test_sharded_hessian_equals_replicated(setup):
+    mol, pqc, oo, mesh = setup
+    theta = jnp.array([0.21, -0.34])
+    hess_fn = sharded_full_hessian_fn(oo, mesh, axis="tp")
+    h_sharded = np.asarray(hess_fn(theta, oo.oao_mo_coeff))
+    h_ref = np.asarray(oo.full_hessian(theta))
+    assert h_sharded.shape == h_ref.shape
+    assert np.allclose(h_sharded, h_ref, atol=1e-9)
+
+
+def test_sharded_nr_step_descends(setup):
+    mol, pqc, oo, mesh = setup
+    step = sharded_nr_step_fn(oo, mesh, axis="tp")
+    theta = pqc.init_zeros()
+    e0 = float(oo.energy_from_parameters(theta))
+    new_theta, new_kappa, new_oao, e1, lowest = step(theta,
+                                                     oo.oao_mo_coeff)
+    assert float(e1) < e0
+    # matches the single-device NR iteration
+    t2, k2, o2, e2, l2 = oo._nr_iteration_jit(
+        theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+    assert abs(float(e1) - float(e2)) < 1e-9
+    assert np.allclose(np.asarray(new_theta), np.asarray(t2), atol=1e-8)
+
+
+def test_geometry_batch_matches_individual():
+    geos = [get_formal_geo(a, p) for a, p in
+            [(140, 80), (135, 85), (130, 90), (125, 95)]]
+    mols = [Moldata(g, "sto-3g") for g in geos]
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    mesh = make_mesh(shape=(4, 2), names=("dp", "tp"))
+    batch = GeometryBatch(mols, 2, 2, pqc, mesh=mesh, axis="dp")
+    n = len(mols)
+    thetas = jnp.tile(jnp.array([0.1, -0.2]), (n, 1))
+    kappas = jnp.zeros((n, batch.oo0.n_kappa))
+    oaos = jnp.stack([oo.oao_mo_coeff for oo in batch.oo_list])
+    e_batch = np.asarray(batch.energies(thetas, kappas, oaos))
+    for i, oo in enumerate(batch.oo_list):
+        e_i = float(oo.energy_from_parameters(thetas[i], kappas[i]))
+        assert abs(e_batch[i] - e_i) < 1e-10
+    # gradients too
+    g_th, g_ka = batch.gradients(thetas, kappas, oaos)
+    g0 = np.asarray(batch.oo_list[0].circuit_gradient(thetas[0]))
+    assert np.allclose(np.asarray(g_th[0]), g0, atol=1e-9)

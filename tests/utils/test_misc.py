@@ -69,5 +69,8 @@ def test_restricted_to_unrestricted_shapes():
     g = np.random.RandomState(0).randn(2, 2, 2, 2)
     gs = np.asarray(restricted_to_unrestricted(g))
     assert gs.shape == (4, 4, 4, 4)
-    # same-spin block reproduces the spatial tensor
-    assert np.allclose(gs[::2, ::2, ::2, ::2], g)
+    # same-spin (all-alpha) block carries half the spatial tensor; the
+    # other half sits in the cross-spin components (spin-component
+    # tensor (eye + mix)/2, reference utils/active_space.py:19-26)
+    assert np.allclose(gs[::2, ::2, ::2, ::2], 0.5 * g)
+    assert np.allclose(gs[::2, 1::2, 1::2, ::2], 0.5 * g)
