@@ -26,12 +26,19 @@ from . import fermion
 
 @lru_cache(maxsize=None)
 def _gather_tables(ncas):
-    # host numpy; embedded as XLA constants at trace time (caching jnp
-    # arrays created inside a trace would leak tracers)
+    # Device arrays, built EAGERLY via warm_tables() before any trace:
+    # numpy closures embed multi-MB HLO literals (catastrophic compile
+    # times on TPU), while first-touch inside a jit would cache tracers.
     src, sign = fermion.epq_gather(ncas)
     D = src.shape[-1]
-    return (src.reshape(ncas * ncas * 2, D),
-            sign.reshape(ncas * ncas * 2, D))
+    return (jnp.asarray(src.reshape(ncas * ncas * 2, D)),
+            jnp.asarray(sign.reshape(ncas * ncas * 2, D)))
+
+
+def warm_tables(ncas):
+    """Build the gather tables outside any trace (call from module-level
+    constructors)."""
+    _gather_tables(ncas)
 
 
 def apply_epq_all(psi, ncas):

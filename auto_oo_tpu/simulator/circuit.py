@@ -79,6 +79,7 @@ class Parameterized_circuit:
         else:
             raise ValueError(f"unknown ansatz {ansatz!r}")
 
+        _rdms.warm_tables(ncas)  # eager table build (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
         self._rdms_jit = jax.jit(self._rdms_impl)
 

@@ -59,13 +59,25 @@ class GateProgram:
             self.half = np.zeros((0,))
             self.param = np.zeros((0,), dtype=np.int32)
         self._dev = None
+        self.device_arrays()  # eager: avoids tracer caching AND multi-MB
+        # HLO literals (numpy closures), both of which hurt badly
 
     def device_arrays(self):
-        # numpy arrays are embedded as XLA constants at trace time; caching
-        # jnp conversions here would leak tracers when first touched inside
-        # a jit, so hand back the host arrays directly.
-        return (self.ia, self.ib, self.sign, self.mask, self.half,
-                self.param)
+        """Gate tables as device arrays, converted EAGERLY (outside any
+        trace) on first call.
+
+        Two failure modes shape this: converting inside a trace leaks
+        tracers into the cache, while handing back numpy embeds the
+        multi-MB tables as HLO literal constants — which blew XLA compile
+        time up by orders of magnitude on the TPU backend.  Closed-over
+        concrete device arrays are hoisted to executable parameters
+        instead, so: convert once, eagerly, at construction/first use.
+        """
+        if self._dev is None:
+            self._dev = tuple(jnp.asarray(x) for x in (
+                self.ia, self.ib, self.sign, self.mask, self.half,
+                self.param))
+        return self._dev
 
     # -- functional application -------------------------------------------
 

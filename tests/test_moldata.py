@@ -85,3 +85,33 @@ def test_h2_rhf_textbook():
     mol = Moldata("H 0 0 0; H 0 0 0.74", "sto-3g")
     mol.run_rhf()
     assert abs(mol.hf.e_tot - (-1.1167593)) < 1e-6
+
+
+def test_sa_casscf(formaldimine):
+    """State-averaged CASSCF (weights [0.5, 0.5], reference
+    moldata_pyscf.py:96-105): the SA energy lies between the two state
+    energies and above the ground-state CASSCF energy."""
+    formaldimine.run_casscf(2, 2)
+    formaldimine.run_sa_casscf(2, 2)
+    e_sa = formaldimine.sa_casscf.e_tot
+    e_gs = formaldimine.casscf.e_tot
+    assert e_sa > e_gs - 1e-10
+    res = formaldimine.sa_casscf._last_fci
+    assert len(res.e_tot) == 2
+    assert res.e_tot[0] - 1e-9 <= e_sa <= res.e_tot[1] + 1e-9
+
+
+@pytest.mark.slow
+def test_ccpvdz_casscf_self_consistent():
+    """cc-pVDZ (2e,2o): the OO-VQE stack matches the host CASSCF oracle
+    (self-consistent; embedded cc-pVDZ data is best-effort, see
+    PARITY.md) — reference test_oo_pqc.py:157 pattern."""
+    import jax.numpy as jnp
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "cc-pvdz")
+    mol.run_casscf(2, 2)
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    energy_l, *_ = oo.full_optimization(pqc.init_zeros())
+    assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-7

@@ -100,3 +100,34 @@ def test_init_zeros_and_draw():
     assert th.shape == (pqc.theta_shape,)
     txt = pqc.draw_circuit(th)
     assert "GateProgram" in txt
+
+
+def test_custom_gate_program_ansatz():
+    """A user-built GateProgram is accepted as the ansatz (the reference
+    accepted custom QNodes, pqc.py:163)."""
+    from auto_oo_tpu.simulator import gates as G
+    from auto_oo_tpu.simulator.program import GateProgram
+    from auto_oo_tpu.ops import fermion
+
+    nm = 4
+    init_idx, _ = fermion.hf_bitstring(2, 2)
+    prog = GateProgram(
+        [G.fermionic_double_pairs(3, 2, 1, 0, nm, param=0, half=0.5)],
+        n_params=1, init_idx=init_idx, dim=1 << nm)
+    pqc = Parameterized_circuit(2, 2, ansatz=prog)
+    psi = pqc.state(jnp.array([1.3661890029907227]))
+    assert abs(float(psi[12]) - 0.77562) < 1e-4
+    g1, _ = pqc.get_rdms(jnp.array([1.3661890029907227]))
+    assert abs(float(jnp.trace(g1)) - 2.0) < 1e-10
+
+
+def test_custom_callable_ansatz():
+    """A callable theta -> statevector is accepted (reference pqc.py:163)."""
+    def my_state(theta):
+        psi = jnp.zeros(16, dtype=theta.dtype)
+        return (psi.at[12].set(jnp.cos(theta[0]))
+                .at[3].set(jnp.sin(theta[0])))
+
+    pqc = Parameterized_circuit(2, 2, ansatz=my_state)
+    g1, G2 = pqc.get_rdms_from_state(pqc.state(jnp.array([0.3])))
+    assert abs(float(jnp.trace(g1)) - 2.0) < 1e-10
