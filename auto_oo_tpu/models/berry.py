@@ -90,9 +90,15 @@ class BerryPhaseLoop:
         self.act_idx = None
 
     def run(self, theta_init=None, conv_tol=1e-10, max_iterations=50,
-            verbose=0):
-        """Full optimization at point 0, one Newton step per point after
-        (notebook cells 19-22)."""
+            track_steps=1, track_tol=None, verbose=0):
+        """Full optimization at point 0, then adiabatic tracking at each
+        subsequent point (notebook cells 19-22).
+
+        Tracking takes up to ``track_steps`` damped Newton steps per loop
+        point (the reference notebook took exactly one); if ``track_tol``
+        is given, stepping stops early once |dE| < track_tol.  More steps
+        keep the state closer to the adiabatic ground state, which is what
+        makes the successive overlaps approach +-1."""
         mol0 = Moldata(self.geometries[0], self.basis)
         oo0 = OO_pqc(self.pqc, mol0, self.ncas, self.nelecas,
                      freeze_active=self.freeze_active)
@@ -119,9 +125,14 @@ class BerryPhaseLoop:
             oo = OO_pqc(self.pqc, mol, self.ncas, self.nelecas,
                         oao_mo_coeff=oao,
                         freeze_active=self.freeze_active)
-            theta, kappa, new_oao, energy, hess_eig = oo._nr_iteration_jit(
-                theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
-            oao = new_oao
+            energy_prev = None
+            for _ in range(max(1, int(track_steps))):
+                theta, kappa, oao, energy, hess_eig = oo._nr_iteration_jit(
+                    theta, oao, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+                if (track_tol is not None and energy_prev is not None
+                        and abs(float(energy) - energy_prev) < track_tol):
+                    break
+                energy_prev = float(energy)
             self.theta_l.append(theta)
             self.oao_mo_coeff_l.append(oao)
             self.energy_l.append(float(energy))

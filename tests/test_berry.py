@@ -58,17 +58,25 @@ def test_transfer_state_fci_self_consistency():
 @pytest.mark.slow
 def test_berry_phase_around_conical_intersection():
     """Loop around the formaldimine CI: Berry phase ~ +-pi
-    (notebook cells 10-33; red loop origin (130, 89.9), radius 10)."""
-    n_points = 8
+    (notebook cells 10-33; red loop origin (130, 89.9), radius 10,
+    10-point loop as in the notebook, first == last).
+
+    Tracking converges each loop point (up to 12 NR steps, dE < 1e-10)
+    so the state stays on the adiabatic ground-state branch; the
+    remaining sub-unit overlap magnitudes reflect the genuine rotation
+    of the state between consecutive geometries."""
+    n_points = 11
     ts = np.linspace(0, 1, n_points)
     geos = [get_formal_geo(130 + 10 * np.cos(2 * np.pi * t + np.pi / 20),
                            89.9 + 10 * np.sin(2 * np.pi * t + np.pi / 20))
             for t in ts]
     pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
     loop = BerryPhaseLoop(geos, "sto-3g", 2, 2, pqc,
-                          freeze_active=True).run(conv_tol=1e-10)
+                          freeze_active=True).run(
+        conv_tol=1e-10, track_steps=12, track_tol=1e-10)
     ov = loop.overlaps()
-    # individual overlaps are near +-1 (adiabatic tracking)
-    assert np.all(np.abs(np.abs(ov) - 1.0) < 0.2)
+    # individual overlaps are near +-1 (adiabatic tracking); measured
+    # magnitudes 0.89-1.0 on this loop
+    assert np.all(np.abs(np.abs(ov) - 1.0) < 0.15)
     phase = loop.berry_phase()
-    assert abs(abs(phase) - np.pi) < 0.3
+    assert abs(abs(phase) - np.pi) < 0.05
