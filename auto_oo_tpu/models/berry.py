@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from ..moldata import Moldata
 from ..ops import fermion
-from ..utils.newton_raphson import NewtonStep
 from .oo_pqc import OO_pqc
 
 

@@ -74,6 +74,47 @@ class Noisy_OO_pqc(OO_pqc):
         hess_oo = self.noisy_orbital_orbital_hessian(theta, variance, k3)
         return jnp.block([[hess_cc, hess_oc.T], [hess_oc, hess_oo]])
 
+    def _noisy_step_fn(self):
+        """One jitted noisy damped-Newton iteration: exact (e, grad, hess)
+        from the shared NR core, block-wise Gaussian noise (cc / oc / oo
+        Hessian blocks, mirroring the reference's per-block noise model,
+        noisy_oo_pqc.py:52-100), Armijo line search on the EXACT energy,
+        MO update — one XLA program per iteration."""
+        if getattr(self, "_noisy_step", None) is not None:
+            return self._noisy_step
+        core = self._core
+        mol_args = self._mol_args
+        nt = int(self.pqc.theta_shape)
+        nk = int(self.n_kappa)
+
+        def step(theta, oao, key, variance, alpha, beta, mu, rho,
+                 lambda_min):
+            e0, grad, hess = core["grad_hess_jit"](theta, oao, *mol_args)
+            kg, kcc, koc, koo = jax.random.split(key, 4)
+            sd = jnp.sqrt(variance)
+            grad = grad + sd * jax.random.normal(kg, grad.shape,
+                                                 grad.dtype)
+            ncc = sd * jax.random.normal(kcc, (nt, nt), hess.dtype)
+            noc = sd * jax.random.normal(koc, (nk, nt), hess.dtype)
+            noo = sd * jax.random.normal(koo, (nk, nk), hess.dtype)
+            hess = hess + jnp.block([[ncc, noc.T], [noc, noo]])
+
+            def objective(flat):
+                return core["energy"](flat[:nt], flat[nt:], oao, *mol_args)
+
+            flat0 = jnp.concatenate(
+                [theta, jnp.zeros(nk, dtype=theta.dtype)])
+            new_flat, lowest, t, e_t = damped_newton_step_pure(
+                objective, flat0, grad, hess, alpha=alpha, beta=beta,
+                mu=mu, rho=rho, lambda_min=lambda_min, e0=e0)
+            new_theta = new_flat[:nt]
+            new_kappa = new_flat[nt:]
+            new_oao = oao @ expm(-self.kappa_vector_to_matrix(new_kappa))
+            return new_theta, new_kappa, new_oao, e_t, lowest
+
+        self._noisy_step = jax.jit(step)
+        return self._noisy_step
+
     def full_noisy_optimization(self, theta_init, variance,
                                 max_iterations=50, conv_tol=1e-10,
                                 verbose=0, key=None, alpha=1e-4, beta=0.5,
@@ -91,33 +132,20 @@ class Noisy_OO_pqc(OO_pqc):
             print(f"iter = 000, energy = {energy_init:.12f}")
         theta_l, kappa_l, oao_mo_coeff_l = [], [], []
         energy_l, hess_eig_l = [], []
-        nt = theta.shape[0]
+        step = self._noisy_step_fn()
+        variance = jnp.asarray(variance, dtype=jnp.float64)
         for n in range(max_iterations):
-            grad = self.full_noisy_gradient(theta, variance)
-            hess = self.full_noisy_hessian(theta, variance)
-
-            oao = self.oao_mo_coeff
-
-            def objective(flat):
-                return self._energy_pure(flat[:nt], flat[nt:], oao)
-
-            flat0 = jnp.concatenate(
-                [theta, jnp.zeros(self.n_kappa, dtype=theta.dtype)])
-            new_flat, lowest, t, _ = damped_newton_step_pure(
-                objective, flat0, grad, hess, alpha=alpha, beta=beta,
-                mu=mu, rho=rho, lambda_min=lambda_min)
-            theta = new_flat[:nt]
-            kappa = new_flat[nt:]
-            self.oao_mo_coeff = oao @ expm(
-                -self.kappa_vector_to_matrix(kappa))
-            energy = float(self.energy_from_parameters(theta))
+            theta, kappa, new_oao, energy, lowest = step(
+                theta, self.oao_mo_coeff, self._next_key(), variance,
+                alpha, beta, mu, rho, lambda_min)
+            self.oao_mo_coeff = new_oao
             theta_l.append(theta)
             kappa_l.append(kappa)
-            oao_mo_coeff_l.append(self.oao_mo_coeff)
-            energy_l.append(energy)
+            oao_mo_coeff_l.append(new_oao)
+            energy_l.append(float(energy))
             hess_eig_l.append(float(lowest))
             if verbose:
-                print(f"iter = {n + 1:03}, energy = {energy:.12f}")
+                print(f"iter = {n + 1:03}, energy = {energy_l[-1]:.12f}")
             if n > 1 and abs(energy_l[-1] - energy_l[-2]) < conv_tol:
                 if verbose:
                     print("optimization finished.")

@@ -11,7 +11,6 @@ Static problem data (integrals, index partitions) is captured in closures;
 every hot path is jitted once per problem shape.
 """
 
-from functools import partial
 
 import numpy as np
 import jax
@@ -21,7 +20,7 @@ from ..ops import fock as _fock
 from ..ops import kappa as _kappa
 from ..ops import transforms as _tr
 from ..ops.linalg import expm
-from ..utils.newton_raphson import NewtonStep, damped_newton_step_pure
+from ..utils.newton_raphson import damped_newton_step_pure
 
 
 def mo_ao_to_mo_oao(mo_coeff, overlap):

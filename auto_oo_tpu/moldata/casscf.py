@@ -60,23 +60,33 @@ def _full_rdms(gamma, Gamma, occ, act, nao):
     return one, two
 
 
-def _y_matrix(g2, two_full):
-    y0 = np.einsum("pmrn,qmns->pqrs", two_full, g2, optimize=True)
-    y1 = np.einsum("pmnr,qmns->pqrs", two_full, g2, optimize=True)
-    y2 = np.einsum("prmn,qsmn->pqrs", two_full, g2, optimize=True)
-    return y0 + y1 + y2
-
-
 def orbital_gradient_hessian(h1, g2, gamma, Gamma, occ, act):
-    """Full-space analytic orbital gradient 2(F - F^T) and Hessian."""
+    """Full-space analytic orbital gradient 2(F - F^T) and Hessian.
+
+    Blocked Y evaluation (as in auto_oo_tpu.ops.fock): the full-space RDMs
+    vanish unless every index is in occ+act, so the Y contraction is
+    O(ns^4 nao^2) instead of O(nao^6)."""
     nao = h1.shape[0]
     F = _fock_generalized(h1, g2, gamma, Gamma, occ, act)
     grad = 2.0 * (F - F.T)
-    one_full, two_full = _full_rdms(gamma, Gamma, occ, act, nao)
-    Y = _y_matrix(g2, two_full)
+    sub = np.concatenate([np.asarray(occ, dtype=int),
+                          np.asarray(act, dtype=int)])
+    ns = len(sub)
+    no = len(occ)
+    one_sub, two_sub = _full_rdms(gamma, Gamma, np.arange(no),
+                                  np.arange(no, ns), ns)
+    g_qmns = g2[:, sub][:, :, sub, :]
+    g_qsmn = g2[:, :, sub][:, :, :, sub]
+    y0 = np.einsum("pmrn,qmns->pqrs", two_sub, g_qmns, optimize=True)
+    y1 = np.einsum("pmnr,qmns->pqrs", two_sub, g_qmns, optimize=True)
+    y2 = np.einsum("prmn,qsmn->pqrs", two_sub, g_qsmn, optimize=True)
+    h0_sub = (2.0 * np.einsum("pr,qs->pqrs", one_sub, h1)
+              + 2.0 * (y0 + y1 + y2))
+    h0 = np.zeros((nao,) * 4)
+    all_i = np.arange(nao)
+    h0[np.ix_(sub, all_i, sub, all_i)] = h0_sub
     Fs = F + F.T
-    h0 = (2.0 * np.einsum("pr,qs->pqrs", one_full, h1)
-          - np.einsum("pr,qs->pqrs", Fs, np.eye(nao)) + 2.0 * Y)
+    h0 -= np.einsum("pr,qs->pqrs", Fs, np.eye(nao))
     hess = (h0 - h0.transpose(0, 1, 3, 2) - h0.transpose(1, 0, 2, 3)
             + h0.transpose(1, 0, 3, 2))
     return grad, hess
@@ -166,9 +176,9 @@ class CASSCF:
 
             grad4, hess4 = orbital_gradient_hessian(
                 h1, g2, gamma, Gamma, occ, act)
-            g_vec = np.array([grad4[i, j] for i, j in pairs])
-            H_mat = np.array([[hess4[i, j, k, l] for k, l in pairs]
-                              for i, j in pairs])
+            pi, pj = pairs[:, 0], pairs[:, 1]
+            g_vec = grad4[pi, pj]
+            H_mat = hess4[pi[:, None], pj[:, None], pi[None, :], pj[None, :]]
             if np.max(np.abs(g_vec)) < 1e-9 and abs(e_tot - e_old) < self.conv_tol:
                 self.converged = True
                 e_old = e_tot

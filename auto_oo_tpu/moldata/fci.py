@@ -103,6 +103,12 @@ def solve_cas(c0, c1, c2, ncas, nelecas, n_roots=1, fix_singlet=True,
         s2list.append(s2_val)
         if len(energies) == n_roots:
             break
+    if len(energies) < n_roots:
+        raise RuntimeError(
+            f"solve_cas found only {len(energies)} "
+            f"{'singlet ' if fix_singlet else ''}roots of the {n_roots} "
+            f"requested (sector dim {len(basis)}); state-averaged results "
+            "would silently mis-average")
     D = 1 << (2 * ncas)
     full = np.zeros((len(vecs), D))
     for i, vec in enumerate(vecs):

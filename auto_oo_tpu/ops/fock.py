@@ -89,7 +89,8 @@ def full_rdms(one_rdm, two_rdm, occ_idx, act_idx, nao):
 
 def y_matrix(int2e_mo, two_full):
     """Y_pqrs = sum_mn [(G_pmrn + G_pmnr) g_qmns + G_prmn g_qsmn]
-    (reference oo_energy.py:381-393)."""
+    (reference oo_energy.py:381-393).  Dense O(nao^6) form; the Hessian
+    below uses the blocked form instead."""
     y0 = jnp.einsum("pmrn,qmns->pqrs", two_full, int2e_mo)
     y1 = jnp.einsum("pmnr,qmns->pqrs", two_full, int2e_mo)
     y2 = jnp.einsum("prmn,qsmn->pqrs", two_full, int2e_mo)
@@ -99,16 +100,37 @@ def y_matrix(int2e_mo, two_full):
 def analytic_hessian_from_integrals(int1e_mo, int2e_mo, one_rdm, two_rdm,
                                     occ_idx, act_idx):
     """(1-P_pq)(1-P_rs)[2 gamma_pr h_qs - (F_pr+F_rp) delta_qs + 2 Y_pqrs]
-    (reference oo_energy.py:311-340)."""
+    (reference oo_energy.py:311-340).
+
+    Blocked evaluation: the full-space RDMs vanish unless EVERY index is
+    in occ+act, so gamma/Gamma are built on that ns-dim sub-block and the
+    Y contraction costs O(ns^4 nao^2) instead of O(nao^6) — at cc-pVDZ
+    scale (ns=9, nao=43) that is a ~500x FLOP cut, which is what makes
+    large-basis CASSCF/OO-VQE Hessians tractable."""
     nao = int1e_mo.shape[0]
-    one_full, two_full = full_rdms(one_rdm, two_rdm, occ_idx, act_idx, nao)
-    Y = y_matrix(int2e_mo, two_full)
+    sub = tuple(occ_idx) + tuple(act_idx)
+    ns = len(sub)
+    no = len(occ_idx)
+    sub_a = np.asarray(sub, dtype=int)
+    # RDMs in sub coordinates (occ first, act after)
+    one_sub, two_sub = full_rdms(one_rdm, two_rdm,
+                                 tuple(range(no)), tuple(range(no, ns)), ns)
+    # g[q, m, n, s] and g[q, s, m, n] with m, n restricted to sub
+    g_qmns = int2e_mo[:, sub_a][:, :, sub_a, :]          # (nao,ns,ns,nao)
+    g_qsmn = int2e_mo[:, :, sub_a][:, :, :, sub_a]       # (nao,nao,ns,ns)
+    y0 = jnp.einsum("pmrn,qmns->pqrs", two_sub, g_qmns)
+    y1 = jnp.einsum("pmnr,qmns->pqrs", two_sub, g_qmns)
+    y2 = jnp.einsum("prmn,qsmn->pqrs", two_sub, g_qsmn)
+    # 2 gamma_pr h_qs + 2 Y, nonzero only for p, r in sub
+    h0_sub = (2.0 * jnp.einsum("pr,qs->pqrs", one_sub, int1e_mo)
+              + 2.0 * (y0 + y1 + y2))                    # (ns,nao,ns,nao)
+    all_i = np.arange(nao)
+    h0 = jnp.zeros((nao,) * 4, dtype=int1e_mo.dtype)
+    h0 = h0.at[np.ix_(sub_a, all_i, sub_a, all_i)].set(h0_sub)
     F = fock_generalized(int1e_mo, int2e_mo, one_rdm, two_rdm,
                          occ_idx, act_idx)
     Fs = F + F.T
-    h0 = (2.0 * jnp.einsum("pr,qs->pqrs", one_full, int1e_mo)
-          - jnp.einsum("pr,qs->pqrs", Fs, jnp.eye(nao, dtype=F.dtype))
-          + 2.0 * Y)
+    h0 = h0 - jnp.einsum("pr,qs->pqrs", Fs, jnp.eye(nao, dtype=F.dtype))
     return (h0 - jnp.transpose(h0, (0, 1, 3, 2))
             - jnp.transpose(h0, (1, 0, 2, 3))
             + jnp.transpose(h0, (1, 0, 3, 2)))

@@ -32,13 +32,17 @@ def expm(A):
 
     eye = jnp.eye(n, dtype=A.dtype)
 
-    def horner(carry, _):
-        return carry, None
+    # Horner evaluation of sum_{k=0}^{K} As^k / k!  (lax.scan so the
+    # matmul body lowers once instead of _TAYLOR_ORDER times — this
+    # function appears in several differentiated regions of the fused
+    # NR program and unrolling it dominated their compile time)
+    ks = jnp.arange(_TAYLOR_ORDER - 1, 0, -1, dtype=A.dtype)
 
-    # Horner evaluation of sum_{k=0}^{K} As^k / k!
-    X = eye + As / _TAYLOR_ORDER
-    for k in range(_TAYLOR_ORDER - 1, 0, -1):
-        X = eye + (As @ X) / k
+    def horner_step(X, k):
+        return eye + (As @ X) / k, None
+
+    X0 = eye + As / _TAYLOR_ORDER
+    X, _ = jax.lax.scan(horner_step, X0, ks)
 
     def square_step(i, X):
         return jnp.where(i < s, X @ X, X)
@@ -70,13 +74,26 @@ _EIGH_SWEEPS = 16
 
 
 def eigh(A, sweeps=_EIGH_SWEEPS):
-    """Symmetric eigendecomposition via parallel cyclic Jacobi.
+    """Symmetric eigendecomposition, TPU-safe.
 
     ``jnp.linalg.eigh`` silently returns NaN for general float64 matrices
     on the TPU backend (the LAPACK-style path is not implemented for
-    emulated f64), so this solver is built from what the TPU does well:
-    each round applies n/2 disjoint Givens rotations as ONE dense n x n
-    rotation matrix, so a sweep is 2(n-1) small matmuls on the MXU.
+    emulated f64), so on TPU this uses :func:`jacobi_eigh`.  On CPU (and
+    any backend with a real LAPACK path) it dispatches to
+    ``jnp.linalg.eigh`` — the Jacobi form is O(sweeps n^3) in dense
+    matmuls and needlessly slow for large Hessians there.
+    """
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return jnp.linalg.eigh(jnp.asarray(A))
+    return jacobi_eigh(A, sweeps=sweeps)
+
+
+def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
+    """Parallel cyclic Jacobi eigensolver, built from what the TPU does
+    well: each round applies n/2 disjoint Givens rotations as ONE dense
+    n x n rotation matrix, so a sweep is 2(n-1) small matmuls on the MXU.
     Ascending eigenvalue order (numpy.linalg.eigh convention).
     """
     import numpy as np

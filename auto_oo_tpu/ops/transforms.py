@@ -8,7 +8,6 @@ shapes.  Everything here is AD-traceable (the hybrid Hessian
 differentiates through these).
 """
 
-from functools import partial
 
 import jax.numpy as jnp
 

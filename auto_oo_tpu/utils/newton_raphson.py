@@ -13,8 +13,6 @@ functions that compile on TPU:
   observable tracked through Berry-phase loops).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,14 +46,17 @@ def newton_step_pure(gradient, hessian, mu=1e-6, rho=1.1, lambda_min=1e-6,
 
 
 def backtracking_pure(objective_flat, params_flat, dp, gradient,
-                      alpha=1e-4, beta=0.5, lmax=20):
+                      alpha=1e-4, beta=0.5, lmax=20, e0=None):
     """Armijo backtracking on a flat parameter vector.
 
     objective_flat: traceable f(flat_params) -> scalar.
+    e0: optional precomputed objective at params_flat (passing it avoids
+    re-tracing a full objective evaluation in the compiled program).
     Returns (new_flat_params, t, new_energy).  lax.while_loop keeps the
     trial count data-dependent without recompilation.
     """
-    e0 = objective_flat(params_flat)
+    if e0 is None:
+        e0 = objective_flat(params_flat)
     gdp = jnp.dot(gradient, dp)
 
     e1 = objective_flat(params_flat + dp)
@@ -78,14 +79,14 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
 
 def damped_newton_step_pure(objective_flat, params_flat, gradient, hessian,
                             alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1,
-                            lambda_min=1e-6, lmax=20, aug=True):
+                            lambda_min=1e-6, lmax=20, aug=True, e0=None):
     """One damped Newton step on flat parameters; returns
     (new_flat_params, lowest_eigenvalue, t, energy_after)."""
     dp, lowest = newton_step_pure(gradient, hessian, mu=mu, rho=rho,
                                   lambda_min=lambda_min, aug=aug)
     newp, t, e_t = backtracking_pure(objective_flat, params_flat, dp,
                                      gradient, alpha=alpha, beta=beta,
-                                     lmax=lmax)
+                                     lmax=lmax, e0=e0)
     return newp, lowest, t, e_t
 
 

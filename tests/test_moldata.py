@@ -101,11 +101,28 @@ def test_sa_casscf(formaldimine):
     assert res.e_tot[0] - 1e-9 <= e_sa <= res.e_tot[1] + 1e-9
 
 
+def test_h2o_rhf_ccpvdz_literature():
+    """External cross-validation of the exact embedded cc-pVDZ data AND
+    the in-house integral engine + RHF: the literature HF/cc-pVDZ energy
+    of water at the experimental geometry is -76.026799 Ha (CCCBDB)."""
+    mol = Moldata("O 0 0 0; H 0.9572 0 0; H -0.239987 0.926627 0",
+                  "cc-pvdz")
+    mol.run_rhf()
+    assert abs(mol.hf.e_tot - (-76.026799)) < 5e-6
+
+
+def test_h2_rhf_ccpvdz_literature():
+    """HF/cc-pVDZ for H2 at 0.7414 A: literature -1.128715 Ha."""
+    mol = Moldata("H 0 0 0; H 0 0 0.7414", "cc-pvdz")
+    mol.run_rhf()
+    assert abs(mol.hf.e_tot - (-1.128715)) < 5e-6
+
+
 @pytest.mark.slow
-def test_ccpvdz_casscf_self_consistent():
-    """cc-pVDZ (2e,2o): the OO-VQE stack matches the host CASSCF oracle
-    (self-consistent; embedded cc-pVDZ data is best-effort, see
-    PARITY.md) — reference test_oo_pqc.py:157 pattern."""
+def test_ccpvdz_casscf_north_star():
+    """cc-pVDZ (2e,2o) north star: full_optimization == CASSCF e_tot
+    (reference test_oo_pqc.py:157-185 ran this in sto-3g AND cc-pvdz;
+    the basis data itself is externally validated above)."""
     import jax.numpy as jnp
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
 
@@ -114,4 +131,4 @@ def test_ccpvdz_casscf_self_consistent():
     pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
     oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
     energy_l, *_ = oo.full_optimization(pqc.init_zeros())
-    assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-7
+    assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-8

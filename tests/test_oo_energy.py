@@ -85,10 +85,10 @@ def test_ad_vs_analytic_gradient_hessian(oo_with_rdms):
     (reference test_oo_energy.py:923-971)."""
     oo, one, two = oo_with_rdms
     kappa0 = jnp.zeros(oo.n_kappa)
-    g_auto = jax.grad(oo.energy_from_kappa)(kappa0, one, two)
+    g_auto = jax.jit(jax.grad(oo.energy_from_kappa))(kappa0, one, two)
     g_exact = oo.kappa_matrix_to_vector(oo.analytic_gradient(one, two))
     assert np.allclose(np.asarray(g_auto), np.asarray(g_exact), atol=1e-9)
-    h_auto = jax.hessian(oo.energy_from_kappa)(kappa0, one, two)
+    h_auto = jax.jit(jax.hessian(oo.energy_from_kappa))(kappa0, one, two)
     h_exact = oo.full_hessian_to_matrix(oo.analytic_hessian(one, two))
     assert np.allclose(np.asarray(h_auto), np.asarray(h_exact), atol=1e-8)
 
@@ -128,14 +128,15 @@ def test_expm_vs_scipy():
 
 
 def test_jacobi_eigh_matches_numpy():
-    """The in-house Jacobi eigensolver (used because jnp.linalg.eigh NaNs
-    for f64 on the TPU backend) matches numpy to machine precision."""
-    from auto_oo_tpu.ops.linalg import eigh
+    """The in-house Jacobi eigensolver (the TPU path of eigh, used because
+    jnp.linalg.eigh NaNs for f64 on the TPU backend) matches numpy to
+    machine precision."""
+    from auto_oo_tpu.ops.linalg import jacobi_eigh
     for n in (2, 7, 33, 66):
         rng = np.random.RandomState(n)
         a = rng.randn(n, n)
         a = a + a.T
-        w1, v1 = eigh(jnp.asarray(a))
+        w1, v1 = jacobi_eigh(jnp.asarray(a))
         w0 = np.linalg.eigvalsh(a)
         assert np.allclose(np.asarray(w1), w0, atol=1e-11)
         recon = np.asarray(v1) @ np.diag(np.asarray(w1)) @ np.asarray(v1).T

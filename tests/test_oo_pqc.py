@@ -31,13 +31,13 @@ def test_full_derivatives(setup_22):
     def energy(th, ka):
         return oo._energy_pure(th, ka, oo.oao_mo_coeff)
 
-    g_auto = jax.grad(energy, argnums=(0, 1))(theta, kappa)
+    g_auto = jax.jit(jax.grad(energy, argnums=(0, 1)))(theta, kappa)
     assert np.allclose(np.asarray(g_auto[0]),
                        np.asarray(oo.circuit_gradient(theta)), atol=1e-10)
     assert np.allclose(np.asarray(g_auto[1]),
                        np.asarray(oo.orbital_gradient(theta)), atol=1e-10)
 
-    h_auto = jax.hessian(energy, argnums=(0, 1))(theta, kappa)
+    h_auto = jax.jit(jax.hessian(energy, argnums=(0, 1)))(theta, kappa)
     assert np.allclose(np.asarray(h_auto[0][0]),
                        np.asarray(oo.circuit_circuit_hessian(theta)),
                        atol=1e-9)

