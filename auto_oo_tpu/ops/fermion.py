@@ -9,11 +9,15 @@ gather-multiply, and all RDM elements reduce to one big matmul downstream
 (see auto_oo_tpu.ops.rdms).
 
 Conventions (identical to the reference):
-* interleaved spin ordering: mode 2p = spatial p spin-up, 2p+1 = spin-down
-  ("up-down-up-down", reference pqc.py:122 up_then_down=False);
+* spin ordering: interleaved by default (mode 2p = spatial p spin-up,
+  2p+1 = spin-down, "up-down-up-down"); `up_then_down=True` selects the
+  up-then-down layout (mode p = spatial p up, p + ncas = spatial p down)
+  — both orderings of reference utils/active_space.py:29-57;
 * basis index is big-endian in qubit/mode order: mode 0 is the most
   significant bit (OpenFermion/PennyLane statevector convention);
-* E_pq = sum_sigma a^dag_{p sigma} a_{q sigma} (restricted).
+* E_pq = sum_sigma a^dag_{p sigma} a_{q sigma} (restricted); unrestricted
+  operators use raw spin-orbital (mode) indices directly
+  (reference active_space.py:52-55, 84-85).
 """
 
 import numpy as np
@@ -71,7 +75,12 @@ def single_mode_transfer(P, Q, nm):
     return src, sign
 
 
-def epq_gather(ncas):
+def mode_of(p, sigma, ncas, up_then_down=False):
+    """JW mode index of spatial orbital p, spin sigma (0=up, 1=down)."""
+    return p + sigma * ncas if up_then_down else 2 * p + sigma
+
+
+def epq_gather(ncas, up_then_down=False):
     """Gather maps for all restricted E_pq.
 
     Returns (src, sign) with shape (ncas, ncas, 2, D):
@@ -84,9 +93,49 @@ def epq_gather(ncas):
     for p in range(ncas):
         for q in range(ncas):
             for s in range(2):
-                sp, sg = single_mode_transfer(2 * p + s, 2 * q + s, nm)
+                sp, sg = single_mode_transfer(
+                    mode_of(p, s, ncas, up_then_down),
+                    mode_of(q, s, ncas, up_then_down), nm)
                 src[p, q, s] = sp
                 sign[p, q, s] = sg
+    return src, sign
+
+
+def annihilation_transfer(R, nm):
+    """Gather map for a_R: for each output index i (with mode R empty),
+    (a_R psi)[i] = sign[i] * psi[src[i]]; sign 0 where invalid."""
+    D = 1 << nm
+    idx = np.arange(D, dtype=np.int64)
+    bitR = 1 << (nm - 1 - R)
+    valid = (idx & bitR) == 0
+    src = np.where(valid, idx | bitR, 0)
+    sr = _parity_below(src, R, nm)
+    sign = np.where(valid, sr.astype(np.float64), 0.0)
+    return src, sign
+
+
+def pair_annihilation_gather(ncas):
+    """Gather maps for all W_rs = a_r a_s over spin-orbital (mode)
+    indices: (a_r a_s psi)[i] = sign[r,s,i] * psi[src[r,s,i]].
+
+    Used for unrestricted 2-RDMs: <a^dag_p a^dag_q a_r a_s> =
+    <W_qp psi | W_rs psi> (reference pqc.py:43-66 built the ncas^4
+    unrestricted e_pqrs as sparse operators; here two gathers + one
+    MXU gram matrix cover all elements at once)."""
+    nm = n_modes(ncas)
+    D = 1 << nm
+    src = np.zeros((nm, nm, D), dtype=np.int32)
+    sign = np.zeros((nm, nm, D), dtype=np.float64)
+    for r in range(nm):
+        s_r, g_r = annihilation_transfer(r, nm)
+        for s in range(nm):
+            if r == s:
+                continue  # a_r a_r = 0
+            s_s, g_s = annihilation_transfer(s, nm)
+            # compose: (a_r a_s psi)[i] = g_r[i] * (a_s psi)[s_r[i]]
+            #        = g_r[i] * g_s[s_r[i]] * psi[s_s[s_r[i]]]
+            src[r, s] = s_s[s_r]
+            sign[r, s] = g_r * g_s[s_r]
     return src, sign
 
 
@@ -100,19 +149,51 @@ def single_mode_transfer_sparse(P, Q, nm):
         (sign[mask], (rows[mask], src[mask])), shape=(D, D))
 
 
-def epq_sparse(p, q, ncas):
+def epq_sparse(p, q, ncas, up_then_down=False):
     """Restricted E_pq as a sparse matrix over the full space."""
     nm = n_modes(ncas)
-    return (single_mode_transfer_sparse(2 * p, 2 * q, nm)
-            + single_mode_transfer_sparse(2 * p + 1, 2 * q + 1, nm))
+    return (single_mode_transfer_sparse(
+                mode_of(p, 0, ncas, up_then_down),
+                mode_of(q, 0, ncas, up_then_down), nm)
+            + single_mode_transfer_sparse(
+                mode_of(p, 1, ncas, up_then_down),
+                mode_of(q, 1, ncas, up_then_down), nm))
 
 
-def epqrs_sparse(p, q, r, s, ncas):
+def epqrs_sparse(p, q, r, s, ncas, up_then_down=False):
     """Restricted chemist-ordered e_pqrs = E_pq E_rs - delta_qr E_ps."""
-    op = epq_sparse(p, q, ncas) @ epq_sparse(r, s, ncas)
+    op = (epq_sparse(p, q, ncas, up_then_down)
+          @ epq_sparse(r, s, ncas, up_then_down))
     if q == r:
-        op = op - epq_sparse(p, s, ncas)
+        op = op - epq_sparse(p, s, ncas, up_then_down)
     return op
+
+
+def apq_sparse(p, q, ncas):
+    """Unrestricted a^dag_p a_q (spin-orbital indices) as a sparse matrix
+    (reference active_space.py:52-55)."""
+    return single_mode_transfer_sparse(p, q, n_modes(ncas))
+
+
+def apqrs_sparse(p, q, r, s, ncas):
+    """Unrestricted a^dag_p a^dag_q a_r a_s (reference
+    active_space.py:84-85)."""
+    nm = n_modes(ncas)
+    D = 1 << nm
+    if p == q or r == s:
+        return sparse.csr_matrix((D, D))
+    # a^dag_p a^dag_q a_r a_s = (a_q a_p)^dag (a_r a_s)
+    def _pair(a, b):
+        s_a, g_a = annihilation_transfer(a, nm)
+        s_b, g_b = annihilation_transfer(b, nm)
+        rows = np.arange(D)
+        src = s_b[s_a]
+        sign = g_a * g_b[s_a]
+        mask = sign != 0.0
+        return sparse.csr_matrix(
+            (sign[mask], (rows[mask], src[mask])), shape=(D, D))
+
+    return _pair(q, p).T @ _pair(r, s)
 
 
 def s_plus_sparse(ncas):

@@ -25,36 +25,45 @@ from . import fermion
 
 
 @lru_cache(maxsize=None)
-def _gather_tables(ncas):
+def _gather_tables(ncas, up_then_down=False):
     # Device arrays, built EAGERLY via warm_tables() before any trace:
     # numpy closures embed multi-MB HLO literals (catastrophic compile
     # times on TPU), while first-touch inside a jit would cache tracers.
-    src, sign = fermion.epq_gather(ncas)
+    src, sign = fermion.epq_gather(ncas, up_then_down)
     D = src.shape[-1]
     return (jnp.asarray(src.reshape(ncas * ncas * 2, D)),
             jnp.asarray(sign.reshape(ncas * ncas * 2, D)))
 
 
-def warm_tables(ncas):
+@lru_cache(maxsize=None)
+def _pair_annihilation_tables(ncas):
+    src, sign = fermion.pair_annihilation_gather(ncas)
+    nm = 2 * ncas
+    D = src.shape[-1]
+    return (jnp.asarray(src.reshape(nm * nm, D)),
+            jnp.asarray(sign.reshape(nm * nm, D)))
+
+
+def warm_tables(ncas, up_then_down=False):
     """Build the gather tables outside any trace (call from module-level
     constructors)."""
-    _gather_tables(ncas)
+    _gather_tables(ncas, up_then_down)
 
 
-def apply_epq_all(psi, ncas):
+def apply_epq_all(psi, ncas, up_then_down=False):
     """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D)."""
-    src, sign = _gather_tables(ncas)
+    src, sign = _gather_tables(ncas, up_then_down)
     gathered = psi[src] * sign.astype(psi.dtype)  # (ncas^2*2, D)
     return gathered.reshape(ncas * ncas, 2, -1).sum(axis=1)
 
 
-def rdms_from_state(psi, ncas):
+def rdms_from_state(psi, ncas, up_then_down=False):
     """Spin-summed restricted (gamma, Gamma), chemist ordering.
 
     Matches reference Parameterized_circuit.get_rdms_from_state
     (pqc.py:192-218) for real statevectors (the ansatz family is real).
     """
-    phi = apply_epq_all(psi, ncas)                       # (ncas^2, D)
+    phi = apply_epq_all(psi, ncas, up_then_down)         # (ncas^2, D)
     gamma = (phi @ psi).reshape(ncas, ncas)
     corr = phi @ phi.T                                   # <E_qp E_rs>-ish
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>
@@ -63,6 +72,48 @@ def rdms_from_state(psi, ncas):
     delta = jnp.eye(ncas, dtype=psi.dtype)
     Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
     return gamma, Gamma
+
+
+def rdms_from_state_unrestricted(psi, ncas):
+    """Spin-resolved (unrestricted) RDMs over 2*ncas spin-orbitals:
+    gamma_pq = <a^dag_p a_q>, Gamma_pqrs = <a^dag_p a^dag_q a_r a_s>
+    (reference pqc.py:192-218 with restricted=False).
+
+    gamma reuses the restricted gather tables' per-spin components is not
+    possible in general orderings, so it uses its own single-mode maps;
+    Gamma is one gram matrix of the pair-annihilation vectors:
+    <a^dag_p a^dag_q a_r a_s> = <W_qp psi | W_rs psi>, W_rs = a_r a_s.
+    """
+    nm = 2 * ncas
+    src, sign = _pair_annihilation_tables(ncas)
+    W = psi[src] * sign.astype(psi.dtype)                # (nm^2, D)
+    corr = W @ W.T                                       # <W_ab psi|W_rs psi>
+    corr = corr.reshape(nm, nm, nm, nm)
+    # corr[(q,p),(r,s)] -> Gamma[p,q,r,s]
+    Gamma = jnp.transpose(corr, (1, 0, 2, 3))
+    # gamma via number/transfer single-mode maps derived from W is not
+    # available (W_rr = 0), so gather directly
+    gsrc, gsign = _single_mode_tables(ncas)
+    gamma = ((psi[gsrc] * gsign.astype(psi.dtype)) @ psi).reshape(nm, nm)
+    return gamma, Gamma
+
+
+@lru_cache(maxsize=None)
+def _single_mode_tables(ncas):
+    """(src, sign) for all unrestricted a^dag_p a_q, shape (nm^2, D)."""
+    import numpy as np
+
+    nm = 2 * ncas
+    D = 1 << nm
+    src = np.zeros((nm, nm, D), dtype=np.int32)
+    sign = np.zeros((nm, nm, D), dtype=np.float64)
+    for p in range(nm):
+        for q in range(nm):
+            s, g = fermion.single_mode_transfer(p, q, nm)
+            src[p, q] = s
+            sign[p, q] = g
+    return (jnp.asarray(src.reshape(nm * nm, D)),
+            jnp.asarray(sign.reshape(nm * nm, D)))
 
 
 @lru_cache(maxsize=None)

@@ -30,14 +30,22 @@ class Parameterized_circuit:
 
     def __init__(self, ncas, nelecas, dev=None, ansatz="ucc", n_layers=3,
                  add_singles=False, interface=None, diff_method=None,
-                 k=None):
+                 k=None, up_then_down=False):
         self.ncas = ncas
         self.nelecas = nelecas
         self.n_qubits = 2 * ncas
         self.dev = dev
         self.add_singles = add_singles
         self.interface = "jax"
-        self.up_then_down = False
+        if up_then_down and ansatz in ("ucc", "np_fabric", "kupccd"):
+            # the built-in ansatz programs lay out qubits interleaved
+            # (like the reference, pqc.py:121,137 hard-code
+            # up_then_down=False); the ordering toggle applies to RDM
+            # extraction for custom states
+            raise ValueError(
+                "built-in ansatze use interleaved ordering; up_then_down "
+                "RDMs are supported for custom states / GatePrograms")
+        self.up_then_down = bool(up_then_down)
         self.ansatz = ansatz
         self._custom_state_fn = None
         self.program = None
@@ -79,9 +87,10 @@ class Parameterized_circuit:
         else:
             raise ValueError(f"unknown ansatz {ansatz!r}")
 
-        _rdms.warm_tables(ncas)  # eager table build (see ops/rdms.py)
+        _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
         self._rdms_jit = jax.jit(self._rdms_impl)
+        self._rdms_u_jit = jax.jit(self._rdms_unrestricted_impl)
 
     # -- state ------------------------------------------------------------
 
@@ -116,26 +125,35 @@ class Parameterized_circuit:
 
     def _rdms_impl(self, theta):
         psi = self._state_impl(theta)
-        return _rdms.rdms_from_state(psi, self.ncas)
+        return _rdms.rdms_from_state(psi, self.ncas, self.up_then_down)
+
+    def _rdms_unrestricted_impl(self, theta):
+        psi = self._state_impl(theta)
+        return _rdms.rdms_from_state_unrestricted(psi, self.ncas)
 
     def get_rdms_from_state(self, state, restricted=True):
         """gamma_pq = <E_pq>, Gamma_pqrs = <e_pqrs> (reference
-        pqc.py:192-218) — computed as one gather + one MXU matmul."""
-        if not restricted:
-            raise NotImplementedError(
-                "unrestricted RDMs not implemented (reference default is "
-                "restricted)")
+        pqc.py:192-218) — computed as one gather + one MXU matmul.
+
+        restricted=False returns spin-resolved RDMs over 2*ncas
+        spin-orbitals: gamma_pq = <a^dag_p a_q>, Gamma_pqrs =
+        <a^dag_p a^dag_q a_r a_s> (reference pqc.py:192-218 with
+        restricted=False)."""
         state = jnp.asarray(state)
+        fn = (lambda s: _rdms.rdms_from_state(s, self.ncas,
+                                              self.up_then_down)) \
+            if restricted else \
+            (lambda s: _rdms.rdms_from_state_unrestricted(s, self.ncas))
         if jnp.iscomplexobj(state):
             re, im = jnp.real(state), jnp.imag(state)
-            g1, G1 = _rdms.rdms_from_state(re, self.ncas)
-            g2, G2 = _rdms.rdms_from_state(im, self.ncas)
+            g1, G1 = fn(re)
+            g2, G2 = fn(im)
             return g1 + g2, G1 + G2
-        return _rdms.rdms_from_state(state, self.ncas)
+        return fn(state)
 
     def get_rdms(self, theta, restricted=True):
         if not restricted:
-            raise NotImplementedError
+            return self._rdms_u_jit(jnp.asarray(theta))
         return self._rdms_jit(jnp.asarray(theta))
 
     # -- misc -------------------------------------------------------------

@@ -1,0 +1,127 @@
+"""Unrestricted (spin-resolved) RDMs and up-then-down JW ordering.
+
+The reference supports restricted=False RDMs (pqc.py:192-218) and both
+JW orderings in its operator algebra (utils/active_space.py:29-57);
+round 1 raised NotImplementedError for both.  Ground truth here is the
+sparse operator algebra (ops/fermion.py), itself pinned by the reference
+golden statevector/RDM fixtures in tests/test_pqc.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from auto_oo_tpu.models import Parameterized_circuit
+from auto_oo_tpu.ops import fermion
+from auto_oo_tpu.ops import rdms as _rdms
+
+
+@pytest.fixture(scope="module")
+def uccd_state_22():
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+    theta = jnp.array([0.4217])
+    return pqc, theta, np.asarray(pqc.state(theta))
+
+
+def test_unrestricted_gamma_matches_sparse(uccd_state_22):
+    pqc, theta, psi = uccd_state_22
+    gamma_u, Gamma_u = pqc.get_rdms(theta, restricted=False)
+    nm = 2 * pqc.ncas
+    assert gamma_u.shape == (nm, nm)
+    for p in range(nm):
+        for q in range(nm):
+            ref = psi @ (fermion.apq_sparse(p, q, pqc.ncas) @ psi)
+            assert abs(float(gamma_u[p, q]) - ref) < 1e-12, (p, q)
+
+
+def test_unrestricted_gamma_two_matches_sparse(uccd_state_22):
+    pqc, theta, psi = uccd_state_22
+    _, Gamma_u = pqc.get_rdms(theta, restricted=False)
+    nm = 2 * pqc.ncas
+    rng = np.random.RandomState(0)
+    # spot-check a random subset plus all diagonal-degenerate patterns
+    quads = {tuple(rng.randint(0, nm, size=4)) for _ in range(40)}
+    quads |= {(0, 0, 1, 2), (0, 1, 1, 0), (0, 1, 2, 2), (1, 0, 0, 1)}
+    for p, q, r, s in quads:
+        ref = psi @ (fermion.apqrs_sparse(p, q, r, s, pqc.ncas) @ psi)
+        assert abs(float(Gamma_u[p, q, r, s]) - ref) < 1e-12, (p, q, r, s)
+
+
+def test_restricted_from_unrestricted_sum_rule(uccd_state_22):
+    """gamma^R_pq = sum_sigma gamma^U_(p sigma)(q sigma); the restricted
+    chemist Gamma contracts the unrestricted one as
+    Gamma^R_pqrs = sum_st Gamma^U_(ps)(rt)(st)(qs) ordering-mapped."""
+    pqc, theta, psi = uccd_state_22
+    g_r, G_r = pqc.get_rdms(theta, restricted=True)
+    g_u, G_u = pqc.get_rdms(theta, restricted=False)
+    n = pqc.ncas
+    for p in range(n):
+        for q in range(n):
+            s = float(g_u[2 * p, 2 * q] + g_u[2 * p + 1, 2 * q + 1])
+            assert abs(float(g_r[p, q]) - s) < 1e-12
+    # restricted e_pqrs = sum_{sigma tau} a+_{p sig} a+_{r tau} a_{s tau}
+    # a_{q sig}  (chemist order, reference active_space.py:57-84)
+    for p in range(n):
+        for q in range(n):
+            for r in range(n):
+                for s in range(n):
+                    acc = 0.0
+                    for sg in range(2):
+                        for tu in range(2):
+                            acc += float(G_u[2 * p + sg, 2 * r + tu,
+                                             2 * s + tu, 2 * q + sg])
+                    assert abs(float(G_r[p, q, r, s]) - acc) < 1e-12
+
+
+def test_up_then_down_hamiltonian_spectrum_invariance():
+    """A CAS Hamiltonian built from up-then-down operators has the same
+    spectrum as the interleaved one — mode relabeling is a (signed)
+    unitary, so physics is ordering-invariant (reference
+    active_space.py:43-50 supports both conventions)."""
+    ncas = 2
+    rng = np.random.RandomState(5)
+    c1 = rng.randn(ncas, ncas)
+    c1 = c1 + c1.T
+    c2 = rng.randn(ncas, ncas, ncas, ncas)
+    c2 = c2 + c2.transpose(1, 0, 3, 2)  # hermiticity of sum c2 E E
+
+    def ham(utd):
+        D = 1 << (2 * ncas)
+        H = np.zeros((D, D))
+        for p in range(ncas):
+            for q in range(ncas):
+                H += c1[p, q] * fermion.epq_sparse(
+                    p, q, ncas, utd).toarray()
+                for r in range(ncas):
+                    for s in range(ncas):
+                        H += c2[p, q, r, s] * fermion.epqrs_sparse(
+                            p, q, r, s, ncas, utd).toarray()
+        return H
+
+    w_int = np.linalg.eigvalsh(ham(False))
+    w_utd = np.linalg.eigvalsh(ham(True))
+    assert np.allclose(w_int, w_utd, atol=1e-10)
+
+
+def test_up_then_down_rdms_kernel():
+    """The device gather-map kernel with up_then_down=True matches the
+    sparse up-then-down operators element-wise."""
+    ncas = 2
+    nm = 2 * ncas
+    D = 1 << nm
+    rng = np.random.RandomState(7)
+    psi = rng.randn(D)
+    psi /= np.linalg.norm(psi)
+    gamma, Gamma = _rdms.rdms_from_state(jnp.asarray(psi), ncas,
+                                         up_then_down=True)
+    for p in range(ncas):
+        for q in range(ncas):
+            ref = psi @ (fermion.epq_sparse(p, q, ncas, True) @ psi)
+            assert abs(float(gamma[p, q]) - ref) < 1e-12
+    for p in range(ncas):
+        for q in range(ncas):
+            for r in range(ncas):
+                for s in range(ncas):
+                    ref = psi @ (fermion.epqrs_sparse(p, q, r, s, ncas,
+                                                      True) @ psi)
+                    assert abs(float(Gamma[p, q, r, s]) - ref) < 1e-12
