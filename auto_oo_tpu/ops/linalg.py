@@ -14,6 +14,32 @@ _TAYLOR_ORDER = 18
 _MAX_SQUARINGS = 30
 
 
+def trig_f64(fn, x):
+    """Apply a transcendental elementwise at full f64 on TPU.
+
+    The TPU backend lowers SINGLE-element f64 transcendentals through a
+    scalar path with only f32 accuracy (measured 2.4e-8 for cos of a
+    1-element array vs 1.2e-15 for >= 2 elements); padding to 2 elements
+    forces the accurate vector path.  No-op for larger arrays.
+    """
+    flat = jnp.ravel(x)
+    if flat.size >= 2:
+        return fn(x)
+    padded = jnp.concatenate([flat, jnp.zeros(1, dtype=flat.dtype)])
+    return fn(padded)[:flat.size].reshape(jnp.shape(x))
+
+
+def atan2_f64(y, x):
+    """arctan2 with the same single-element f64 accuracy guard as
+    :func:`trig_f64`."""
+    flat_y = jnp.ravel(y)
+    if flat_y.size >= 2:
+        return jnp.arctan2(y, x)
+    yp = jnp.concatenate([flat_y, jnp.zeros(1, dtype=flat_y.dtype)])
+    xp = jnp.concatenate([jnp.ravel(x), jnp.ones(1, dtype=flat_y.dtype)])
+    return jnp.arctan2(yp, xp)[:flat_y.size].reshape(jnp.shape(y))
+
+
 def expm(A):
     """Matrix exponential via scaling-and-squaring with a Taylor/Horner
     core.  Differentiable; supports any square dtype on TPU (matmuls only,
@@ -127,12 +153,14 @@ def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
         apq = Ac[p, q] * mask
         # Jacobi rotation zeroing A[p,q], via atan2 (overflow-free: the
         # classic tau = (aqq-app)/2apq form overflows tau^2 on the TPU
-        # f64 emulation, whose exponent range is float32's)
-        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        # f64 emulation, whose exponent range is float32's).  The _f64
+        # trig wrappers guard the single-pair (2x2/3x3 matrix) case,
+        # where the TPU scalar path would round the rotation to f32.
+        theta = 0.5 * atan2_f64(2.0 * apq, aqq - app)
         scale = jnp.abs(app) + jnp.abs(aqq) + 1e-30
         theta = jnp.where(jnp.abs(apq) > 1e-18 * scale, theta, 0.0)
-        c = jnp.cos(theta)
-        s = jnp.sin(theta)
+        c = trig_f64(jnp.cos, theta)
+        s = trig_f64(jnp.sin, theta)
         # masked/self pairs -> identity rotation; build R with additive
         # deltas so padded (0,0) self-pairs are harmless no-ops
         c = jnp.where(mask > 0, c, 1.0)
@@ -143,11 +171,25 @@ def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
         Vn = Vc @ R
         return (An, Vn), None
 
-    def sweep(carry, _):
-        carry, _ = jax.lax.scan(apply_round, carry, (pair_arr, mask_arr))
-        return carry, None
+    # converge on the off-diagonal Frobenius norm instead of running a
+    # fixed sweep count: typical Hessians finish in 6-9 sweeps, and each
+    # saved sweep is 2(n-1) dense matmuls of TPU f64-emulated work
+    off_scale = jnp.sqrt(jnp.sum(A * A)) + 1e-30
 
-    (Af, Vf), _ = jax.lax.scan(sweep, (A, eye), None, length=sweeps)
+    def off_norm(M):
+        return jnp.sqrt(jnp.sum(M * M) - jnp.sum(jnp.diagonal(M) ** 2))
+
+    def cond(state):
+        (Ac, _), k = state
+        return jnp.logical_and(k < sweeps,
+                               off_norm(Ac) > 1e-15 * off_scale)
+
+    def body(state):
+        carry, k = state
+        carry, _ = jax.lax.scan(apply_round, carry, (pair_arr, mask_arr))
+        return carry, k + 1
+
+    (Af, Vf), _ = jax.lax.while_loop(cond, body, ((A, eye), 0))
     w = jnp.diagonal(Af)
     order = jnp.argsort(w)
     return w[order], Vf[:, order]

@@ -95,11 +95,19 @@ class GateProgram:
             return psi
         ia, ib, sign, mask, half, param = self.device_arrays()
         angles = half * theta[param]  # (n_gates,)
+        # trig OUTSIDE the scan, batched over all gates: the TPU backend
+        # computes single-element f64 transcendentals (as the per-gate
+        # scan body would) at f32 accuracy only, which de-normalized the
+        # statevector by ~1e-8 per gate; batched >= 2 elements they take
+        # the accurate vector path (and are computed once)
+        from ..ops.linalg import trig_f64
+
+        a = mask * angles[:, None]  # padding rotates by 0 -> identity
+        cos_t = trig_f64(jnp.cos, a)
+        sin_t = trig_f64(jnp.sin, a)
 
         def step(psi, gate):
-            g_ia, g_ib, g_sign, g_mask, ang = gate
-            a = g_mask * ang  # padding rotates by 0 -> identity
-            c, s = jnp.cos(a), jnp.sin(a)
+            g_ia, g_ib, g_sign, c, s = gate
             va = psi[g_ia]
             vb = psi[g_ib]
             new_a = c * va - g_sign * s * vb
@@ -108,5 +116,5 @@ class GateProgram:
             psi = psi.at[g_ib].set(new_b)
             return psi, None
 
-        psi, _ = jax.lax.scan(step, psi, (ia, ib, sign, mask, angles))
+        psi, _ = jax.lax.scan(step, psi, (ia, ib, sign, cos_t, sin_t))
         return psi

@@ -31,12 +31,17 @@ def log(msg):
 
 
 def time_nr_iters(ncas, nelecas, n_layers, n_iters=6):
+    import jax
     import jax.numpy as jnp
 
     from auto_oo_tpu import Moldata, get_formal_geo
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
 
     t0 = time.time()
+    # one trivial executable first: the first compile+load on a fresh
+    # device session carries tens of seconds of one-time warmup that is
+    # not this program's compile time
+    jax.jit(lambda x: x + 1.0)(jnp.zeros(8)).block_until_ready()
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
                                 n_layers=n_layers)
