@@ -34,6 +34,7 @@ __all__ = [
     "non_redundant_indices",
     "int1e_transform", "int2e_transform",
     "molecular_hamiltonian_coefficients", "expm",
+    "uccd_circuit", "gatefabric_circuit",
 ]
 
 
@@ -44,4 +45,7 @@ def __getattr__(name):
                 "fermionic_cas_hamiltonian", "BerryPhaseLoop"):
         from . import models
         return getattr(models, name)
+    if name in ("uccd_circuit", "gatefabric_circuit"):
+        from .simulator import ansatze
+        return getattr(ansatze, name)
     raise AttributeError(name)

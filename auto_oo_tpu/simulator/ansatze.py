@@ -160,3 +160,30 @@ def kupccd_program(ncas, nelecas, k=1):
                 p, q, r, s, nm, param=layer * len(d_wires) + i,
                 half=0.5, sign_flip=FD_SIGN))
     return GateProgram(gate_list, k * len(d_wires), init_idx, 1 << nm)
+
+
+def uccd_circuit(theta, ncas, nelecas, add_singles=False):
+    """UCC(S)D ansatz statevector — flat-API equivalent of the reference's
+    ``uccd_circuit`` (reference __init__.py:4, pqc.py:69-76).
+
+    The reference signature took PennyLane wire lists and an HF bitstring;
+    here everything derives from (ncas, nelecas) since the compiled-gate
+    simulator owns the layout.  Returns the real float64 statevector of
+    dimension 4^ncas (interleaved JW ordering, matching the reference
+    golden states)."""
+    import jax.numpy as jnp
+
+    program = uccd_program(ncas, nelecas, add_singles=add_singles)
+    return program.apply(jnp.ravel(jnp.asarray(theta)))
+
+
+def gatefabric_circuit(theta, ncas, nelecas, n_layers=1):
+    """GateFabric (NP-fabric) ansatz statevector — flat-API equivalent of
+    the reference's ``gatefabric_circuit`` (pqc.py:79-84).  ``theta`` is
+    the FULL parameter tensor of shape gatefabric_full_shape(n_layers,
+    2*ncas) (no redundant-parameter elimination at this level, matching
+    the reference free function)."""
+    import jax.numpy as jnp
+
+    program = gatefabric_program(ncas, nelecas, n_layers)
+    return program.apply(jnp.ravel(jnp.asarray(theta)))

@@ -85,6 +85,15 @@ def main():
         extra["nr_iter_wall_s_4e3o"] = round(v43, 6)
     except Exception as exc:
         log(f"(4e,3o) tier skipped: {exc}")
+    # PyTorch-CPU reference-pattern baseline, measured on this host with
+    # scripts/bench_torch_cpu.py (the reference's own deps are not
+    # installable here; that script reimplements its default hot path —
+    # complex128 backprop sim, ncas^4 sparse-matvec RDM loops, AD circuit
+    # blocks + analytic orbital blocks, Armijo NR step — in torch):
+    #   torch_cpu_nr_iter_s_6e6o = 35.823   torch_cpu_nr_iter_s_4e3o = 0.927
+    torch_cpu_6e6o = 35.823
+    extra["torch_cpu_ref_nr_iter_s_6e6o"] = torch_cpu_6e6o
+    extra["speedup_vs_torch_cpu_6e6o"] = round(torch_cpu_6e6o / value, 1)
     target_s = 1.0
     print(json.dumps({
         "metric": "nr_iter_wall_s_formaldimine_6e6o_sto3g",

@@ -131,3 +131,27 @@ def test_custom_callable_ansatz():
     pqc = Parameterized_circuit(2, 2, ansatz=my_state)
     g1, G2 = pqc.get_rdms_from_state(pqc.state(jnp.array([0.3])))
     assert abs(float(jnp.trace(g1)) - 2.0) < 1e-10
+
+
+def test_uccd_circuit_flat_api():
+    """auto_oo_tpu.uccd_circuit (flat export, reference __init__.py:4)
+    equals the Parameterized_circuit 'ucc' state."""
+    import auto_oo_tpu
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+    theta = jnp.array([0.4217])
+    direct = auto_oo_tpu.uccd_circuit(theta, 2, 2)
+    assert np.allclose(np.asarray(direct), np.asarray(pqc.state(theta)),
+                       atol=1e-14)
+
+
+def test_gatefabric_circuit_flat_api():
+    import auto_oo_tpu
+    from auto_oo_tpu.simulator import ansatze as A
+
+    full_shape = A.gatefabric_full_shape(1, 4)
+    theta = jnp.asarray(0.1 * np.arange(int(np.prod(full_shape))))
+    state = np.asarray(auto_oo_tpu.gatefabric_circuit(theta, 2, 2,
+                                                      n_layers=1))
+    assert abs(np.linalg.norm(state) - 1.0) < 1e-12
