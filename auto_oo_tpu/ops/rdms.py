@@ -29,10 +29,15 @@ def _gather_tables(ncas, up_then_down=False):
     # Device arrays, built EAGERLY via warm_tables() before any trace:
     # numpy closures embed multi-MB HLO literals (catastrophic compile
     # times on TPU), while first-touch inside a jit would cache tracers.
+    # Layout (2, ncas^2, D) with SPIN OUTERMOST: a trailing/interior
+    # size-2 axis gets padded to the (8, 128) TPU tile (6.25x memory),
+    # which blew the (8e,8o) Hessian past HBM; two flat slices summed
+    # avoid the padded dimension entirely.
     src, sign = fermion.epq_gather(ncas, up_then_down)
     D = src.shape[-1]
-    return (jnp.asarray(src.reshape(ncas * ncas * 2, D)),
-            jnp.asarray(sign.reshape(ncas * ncas * 2, D)))
+    src = np.transpose(src, (2, 0, 1, 3)).reshape(2, ncas * ncas, D)
+    sign = np.transpose(sign, (2, 0, 1, 3)).reshape(2, ncas * ncas, D)
+    return jnp.asarray(src), jnp.asarray(sign)
 
 
 @lru_cache(maxsize=None)
@@ -53,8 +58,8 @@ def warm_tables(ncas, up_then_down=False):
 def apply_epq_all(psi, ncas, up_then_down=False):
     """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D)."""
     src, sign = _gather_tables(ncas, up_then_down)
-    gathered = psi[src] * sign.astype(psi.dtype)  # (ncas^2*2, D)
-    return gathered.reshape(ncas * ncas, 2, -1).sum(axis=1)
+    return (psi[src[0]] * sign[0].astype(psi.dtype)
+            + psi[src[1]] * sign[1].astype(psi.dtype))
 
 
 def rdms_from_state(psi, ncas, up_then_down=False):
