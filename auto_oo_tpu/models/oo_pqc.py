@@ -43,6 +43,12 @@ from ..utils.newton_raphson import damped_newton_step_pure
 from .oo_energy import OO_energy
 
 
+# statevector dimension above which the theta-Hessian blocks are built by
+# sequential HVPs (lax.map) instead of batched jacfwd — see comment at the
+# use site; tests lower this to exercise the mapped path on small systems
+_MAPPED_HESSIAN_MIN_DIM = 1 << 14
+
+
 def _build_nr_core(pqc, nao, occ, act, params_idx):
     """Geometry-independent functional core for one problem spec.
 
@@ -104,8 +110,22 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         e0 = e_th(theta)
         grad_c = jax.grad(e_th)(theta)
         grad_o = og_th(theta)
-        hess_cc = jax.jacfwd(jax.grad(e_th))(theta)
-        hess_oc = jax.jacfwd(og_th)(theta)
+        if pqc.program is not None and pqc.program.dim >= _MAPPED_HESSIAN_MIN_DIM:
+            # Large statevectors: batched-tangent jacfwd materializes
+            # (pairs*D, n_theta) gather buffers whose minor tangent dim
+            # is tile-padded to 128 lanes (6.4x memory — OOM at (8e,8o));
+            # sequential HVPs via lax.map keep every buffer unpadded and
+            # compile the jvp body once.
+            basis = jnp.eye(nt, dtype=theta.dtype)
+            hess_cc = jax.lax.map(
+                lambda v: jax.jvp(jax.grad(e_th), (theta,), (v,))[1],
+                basis)
+            hess_oc = jax.lax.map(
+                lambda v: jax.jvp(og_th, (theta,), (v,))[1],
+                basis).T.reshape(n_kappa, nt)
+        else:
+            hess_cc = jax.jacfwd(jax.grad(e_th))(theta)
+            hess_oc = jax.jacfwd(og_th)(theta)
         one_rdm, two_rdm = pqc._rdms_impl(theta)
         hess4 = _fock.analytic_hessian_from_integrals(
             h1, g2, one_rdm, two_rdm, occ, act)

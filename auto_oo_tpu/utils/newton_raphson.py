@@ -59,11 +59,13 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
         e0 = objective_flat(params_flat)
     gdp = jnp.dot(gradient, dp)
 
-    e1 = objective_flat(params_flat + dp)
-
+    # the t=1 trial happens INSIDE the while loop (first iteration halves
+    # the sentinel t=1/beta back to 1), so the objective is traced once
+    # for the whole search instead of once outside + once in the body —
+    # the line-search energy region dominates this program's compile time
     def cond(state):
         t, e_t, num = state
-        return jnp.logical_and(e_t > e0 + alpha * t * gdp, num <= lmax)
+        return jnp.logical_and(e_t > e0 + alpha * t * gdp, num < lmax)
 
     def body(state):
         t, _, num = state
@@ -71,9 +73,12 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
         e_new = objective_flat(params_flat + t_new * dp)
         return (t_new, e_new, num + 1)
 
-    t, e_t, num = jax.lax.while_loop(cond, body, (1.0, e1, 0))
-    t = jnp.where(num > lmax, 0.0, t)
-    e_t = jnp.where(num > lmax, e0, e_t)
+    t, e_t, num = jax.lax.while_loop(
+        cond, body, (1.0 / beta, jnp.asarray(jnp.inf, dtype=e0.dtype), 0))
+    # exhausted without an Armijo-satisfying trial -> return the origin
+    failed = e_t > e0 + alpha * t * gdp
+    t = jnp.where(failed, 0.0, t)
+    e_t = jnp.where(failed, e0, e_t)
     return params_flat + t * dp, t, e_t
 
 

@@ -85,3 +85,24 @@ def test_full_optimization_ucc_matches_casci_limit():
     oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
     energy_l, *_ = oo.full_optimization(pqc.init_zeros())
     assert abs(energy_l[-1] - mol.fci.e_tot) < 1e-8
+
+
+def test_mapped_hessian_path_equals_batched(setup_22):
+    """The lax.map HVP Hessian path (used for large statevectors to avoid
+    tile-padded tangent buffers) equals the batched jacfwd path."""
+    import auto_oo_tpu.models.oo_pqc as M
+    mol, pqc, oo = setup_22
+    theta = jnp.array([0.31, -0.17])
+    h_batched = np.asarray(oo.full_hessian(theta))
+    old = M._MAPPED_HESSIAN_MIN_DIM
+    try:
+        M._MAPPED_HESSIAN_MIN_DIM = 1
+        pqc2 = type(pqc)(2, 2, ansatz="np_fabric", n_layers=1)
+        oo2 = type(oo)(pqc2, mol, 2, 2, freeze_active=True)
+        # earlier tests may have folded optimized orbitals into the
+        # module-scoped oo; compare at the same point
+        oo2.oao_mo_coeff = oo.oao_mo_coeff
+        h_mapped = np.asarray(oo2.full_hessian(theta))
+    finally:
+        M._MAPPED_HESSIAN_MIN_DIM = old
+    assert np.allclose(h_mapped, h_batched, atol=1e-11)
