@@ -38,15 +38,11 @@ import jax.numpy as jnp
 from ..ops import kappa as _kappa
 from ..ops import fock as _fock
 from ..ops import transforms as _tr
+from ..ops import rdms as _rdms
+from ..ops import hamiltonian as _ham
 from ..ops.linalg import expm
 from ..utils.newton_raphson import damped_newton_step_pure
 from .oo_energy import OO_energy
-
-
-# statevector dimension above which the theta-Hessian blocks are built by
-# sequential HVPs (lax.map) instead of batched jacfwd — see comment at the
-# use site; tests lower this to exercise the mapped path on small systems
-_MAPPED_HESSIAN_MIN_DIM = 1 << 14
 
 
 def _build_nr_core(pqc, nao, occ, act, params_idx):
@@ -88,47 +84,105 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
             h1, g2, one_rdm, two_rdm, occ, act)
         return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
 
+    ncas = pqc.ncas
+    utd = pqc.up_then_down
+
     def grad_hess(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc):
         """Energy, full gradient, full (theta+kappa) Hessian.
 
-        The AO->MO transform runs ONCE; every theta-derivative trace
-        (grad, forward-over-reverse Hessian, mixed block) sees only the
-        simulator plus small fixed-size contractions."""
+        Quadratic-form formulation: E(theta) = c0 + <psi|H|psi> with H
+        the fixed active-space Hamiltonian, so with J = d psi/d theta
+        (ONE forward pass through the simulator, (nt, D)):
+
+          grad_c   = 2 J (H psi)
+          hess_cc  = 2 J (H J^T) + hess_theta <w, psi(theta)>,  w = 2 H psi
+          hess_oc  = analytic-gradient linear map applied to the
+                     transition RDMs d(gamma, Gamma)/d theta_i built from
+                     J and Phi (product rule on the Phi gram)
+
+        No RDM extraction is ever differentiated: the batched gathers all
+        keep the state dimension minor (the jacfwd-of-RDM route
+        materialized (pairs*D, nt) buffers whose minor tangent axis was
+        tile-padded 128x -> OOM at (8e,8o), and sequential HVPs were 20x
+        slower).  The AO->MO transform runs once per call."""
         mo = oao_coeff @ oao
         h1, g2, c0, c1, c2 = active_coeffs(int1e_ao, int2e_ao, nuc, mo)
+        c1eff = _ham.c1_effective(c1, c2)
 
-        def e_th(th):
-            one_rdm, two_rdm = pqc._rdms_impl(th)
-            return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
+        def state_fn(th):
+            return pqc._state_impl(th)
 
-        def og_th(th):
-            one_rdm, two_rdm = pqc._rdms_impl(th)
+        psi = state_fn(theta)
+        J = jax.jacfwd(state_fn)(theta).T          # (nt, D)
+        Hpsi = _ham.ham_apply(c1eff, c2, psi, ncas, utd)
+        e0 = c0 + psi @ Hpsi
+        w = 2.0 * Hpsi
+        grad_c = J @ w
+        # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
+        # intermediates must stay ~O(100 MB) under f64 emulation (the
+        # full 20-tangent batch allocated 3x 5G buffers at (8e,8o))
+        D = psi.shape[0]
+        n2 = ncas * ncas
+        chunk = max(1, min(nt, (1 << 25) // max(1, n2 * D)))
+
+        def map_chunked(f, X):
+            B = X.shape[0]
+            pad = (-B) % chunk
+            Xp = (jnp.concatenate(
+                [X, jnp.zeros((pad,) + X.shape[1:], X.dtype)])
+                if pad else X)
+            n_chunks = (B + pad) // chunk
+            out = jax.lax.map(
+                f, Xp.reshape(n_chunks, chunk, *X.shape[1:]))
+            return out.reshape(n_chunks * chunk, *out.shape[2:])[:B]
+
+        HJ = map_chunked(
+            lambda Jc: _ham.ham_apply(c1eff, c2, Jc, ncas, utd), J)
+        term2 = jax.jacfwd(jax.grad(lambda th: state_fn(th) @ w))(theta)
+        hess_cc = 2.0 * (J @ HJ.T) + term2
+
+        # RDMs and their theta-tangents from the Phi gram (product rule)
+        phi = _rdms.apply_epq_all(psi, ncas, utd)       # (n^2, D)
+        gamma = (phi @ psi).reshape(ncas, ncas)
+        corr = (phi @ phi.T).reshape(ncas, ncas, ncas, ncas)
+        delta = jnp.eye(ncas, dtype=psi.dtype)
+        Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
+                 - jnp.einsum("qr,ps->pqrs", delta, gamma))
+
+        def transition_rdms(Jc):
+            phiJ = jax.vmap(
+                lambda v: _rdms.apply_epq_all(v, ncas, utd))(Jc)
+            dgram = (jnp.einsum("iad,bd->iab", phiJ, phi)
+                     + jnp.einsum("ad,ibd->iab", phi, phiJ))
+            dgamma = ((phiJ @ psi)
+                      + jnp.einsum("ad,id->ia", phi, Jc)).reshape(
+                -1, ncas, ncas)
+            dcorr = dgram.reshape(-1, ncas, ncas, ncas, ncas)
+            dGamma = (jnp.transpose(dcorr, (0, 2, 1, 3, 4))
+                      - jnp.einsum("qr,ips->ipqrs", delta, dgamma))
+            return dgamma, dGamma
+
+        def pack_grad(g1, G2):
             grad4 = _fock.analytic_gradient_from_integrals(
-                h1, g2, one_rdm, two_rdm, occ, act)
+                h1, g2, g1, G2, occ, act)
             return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
 
-        e0 = e_th(theta)
-        grad_c = jax.grad(e_th)(theta)
-        grad_o = og_th(theta)
-        if pqc.program is not None and pqc.program.dim >= _MAPPED_HESSIAN_MIN_DIM:
-            # Large statevectors: batched-tangent jacfwd materializes
-            # (pairs*D, n_theta) gather buffers whose minor tangent dim
-            # is tile-padded to 128 lanes (6.4x memory — OOM at (8e,8o));
-            # sequential HVPs via lax.map keep every buffer unpadded and
-            # compile the jvp body once.
-            basis = jnp.eye(nt, dtype=theta.dtype)
-            hess_cc = jax.lax.map(
-                lambda v: jax.jvp(jax.grad(e_th), (theta,), (v,))[1],
-                basis)
-            hess_oc = jax.lax.map(
-                lambda v: jax.jvp(og_th, (theta,), (v,))[1],
-                basis).T.reshape(n_kappa, nt)
-        else:
-            hess_cc = jax.jacfwd(jax.grad(e_th))(theta)
-            hess_oc = jax.jacfwd(og_th)(theta)
-        one_rdm, two_rdm = pqc._rdms_impl(theta)
+        grad_o = pack_grad(gamma, Gamma)
+        # the analytic gradient is affine in the RDMs: subtract its value
+        # at zero RDMs to get the linear part applied to each tangent
+        G0 = pack_grad(jnp.zeros_like(gamma), jnp.zeros_like(Gamma))
+
+        def oc_rows(Jc):
+            dgamma, dGamma = transition_rdms(Jc)
+            return jax.vmap(pack_grad)(dgamma, dGamma) - G0[None, :]
+
+        if n_kappa:
+            hess_oc = map_chunked(oc_rows, J).T.reshape(n_kappa, nt)
+        else:  # full-space active problems have no orbital parameters
+            hess_oc = jnp.zeros((0, nt), dtype=theta.dtype)
+
         hess4 = _fock.analytic_hessian_from_integrals(
-            h1, g2, one_rdm, two_rdm, occ, act)
+            h1, g2, gamma, Gamma, occ, act)
         hess_oo = _fock.full_hessian_to_matrix(hess4, params_idx, nao)
         grad = jnp.concatenate([grad_c, grad_o])
         hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],

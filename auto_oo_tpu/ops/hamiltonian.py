@@ -1,0 +1,64 @@
+"""Active-space Hamiltonian apply: |chi> -> H|chi> as gathers + one matmul.
+
+The OO-PQC energy is the quadratic form E = c0 + <psi|H|psi> with
+H = sum_pq c1_pq E_pq + sum_pqrs c2_pqrs e_pqrs (chemist order).  This
+kernel applies H to a (batch of) statevector(s) with
+
+    H chi = sum_pq E_pq [ sum_rs c2'_{(pq),(rs)} (E_rs chi) + c1'' ... ]
+
+concretely:
+    Phi[rs]   = E_rs chi                       (2 gathers, ops/rdms tables)
+    Y[pq]     = sum_rs C2[(pq),(rs)] Phi[rs]   (one (n^2, n^2) MXU matmul)
+    Y[pq]    += c1eff[pq] * chi                (rank-1 broadcast)
+    H chi     = sum_pq E_pq Y[pq]              (2 batched-source gathers)
+
+where c1eff = c1 - sum_t c2[p,t,t,s] absorbs the -delta_qr E_ps term of
+e_pqrs = E_pq E_rs - delta_qr E_ps.  Everything is fixed-shape, layouts
+keep the state dimension minor (no TPU tile padding of small axes), and
+the kernel vmaps cleanly over a batch of states — this is what makes the
+theta-Hessian a batched quadratic-form contraction instead of
+autodiff-through-RDM-extraction (see models/oo_pqc.py).
+
+Replaces the capability of reference pqc.py:22-66 + fermionic Hamiltonian
+assembly (utils/active_space.py:215-240) on the device side.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import rdms as _rdms
+
+
+def c1_effective(c1, c2):
+    """Absorb the -delta_qr E_ps contraction of chemist e_pqrs into an
+    effective one-body coefficient (reference active_space.py:57-84)."""
+    return c1 - jnp.einsum("ptts->ps", c2)
+
+
+def ham_apply(c1eff, c2, chi, ncas, up_then_down=False):
+    """H|chi> (without the c0 constant).  chi: (D,) or (B, D)."""
+    src, sign = _rdms._gather_tables(ncas, up_then_down)
+    n2 = ncas * ncas
+    batched = chi.ndim == 2
+    x = chi if batched else chi[None, :]
+    B, D = x.shape
+    sgn = sign.astype(x.dtype)
+    # Phi[b, rs, :] = E_rs x_b
+    phi = (x[:, src[0]] * sgn[0] + x[:, src[1]] * sgn[1])  # (B, n2, D)
+    C2 = c2.reshape(n2, n2).astype(x.dtype)
+    Y = jnp.einsum("pr,brd->bpd", C2, phi)                 # (B, n2, D)
+    Y = Y + c1eff.reshape(n2)[None, :, None] * x[:, None, :]
+    # out = sum_pq E_pq Y[pq]:  E_pq acts row-wise with row-specific
+    # sources: out[i] += sign[s,pq,i] * Y[pq, src[s,pq,i]]
+    out = (jnp.take_along_axis(Y, jnp.broadcast_to(src[0], (B, n2, D)),
+                               axis=2) * sgn[0]
+           + jnp.take_along_axis(Y, jnp.broadcast_to(src[1], (B, n2, D)),
+                                 axis=2) * sgn[1]).sum(axis=1)
+    return out if batched else out[0]
+
+
+def energy_quadratic(c0, c1, c2, psi, ncas, up_then_down=False):
+    """E = c0 + <psi|H|psi> via the apply kernel (equals
+    transforms.energy_from_rdms on the RDMs of psi)."""
+    c1eff = c1_effective(c1, c2)
+    return c0 + psi @ ham_apply(c1eff, c2, psi, ncas, up_then_down)

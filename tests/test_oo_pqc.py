@@ -87,22 +87,28 @@ def test_full_optimization_ucc_matches_casci_limit():
     assert abs(energy_l[-1] - mol.fci.e_tot) < 1e-8
 
 
-def test_mapped_hessian_path_equals_batched(setup_22):
-    """The lax.map HVP Hessian path (used for large statevectors to avoid
-    tile-padded tangent buffers) equals the batched jacfwd path."""
-    import auto_oo_tpu.models.oo_pqc as M
+def test_quadratic_form_hessian_vs_pure_ad(setup_22):
+    """The quadratic-form Hessian blocks (2 J H J^T + second-order term,
+    transition-RDM mixed block) equal brute-force jax AD of the energy —
+    an independent check of the grad_hess formulation beyond the block
+    methods (which are views into grad_hess itself)."""
     mol, pqc, oo = setup_22
     theta = jnp.array([0.31, -0.17])
-    h_batched = np.asarray(oo.full_hessian(theta))
-    old = M._MAPPED_HESSIAN_MIN_DIM
-    try:
-        M._MAPPED_HESSIAN_MIN_DIM = 1
-        pqc2 = type(pqc)(2, 2, ansatz="np_fabric", n_layers=1)
-        oo2 = type(oo)(pqc2, mol, 2, 2, freeze_active=True)
-        # earlier tests may have folded optimized orbitals into the
-        # module-scoped oo; compare at the same point
-        oo2.oao_mo_coeff = oo.oao_mo_coeff
-        h_mapped = np.asarray(oo2.full_hessian(theta))
-    finally:
-        M._MAPPED_HESSIAN_MIN_DIM = old
-    assert np.allclose(h_mapped, h_batched, atol=1e-11)
+    oao = oo.oao_mo_coeff
+    nt = pqc.theta_shape
+
+    def energy_flat(flat):
+        return oo._energy_pure(flat[:nt], flat[nt:], oao)
+
+    flat0 = jnp.concatenate([theta, jnp.zeros(oo.n_kappa)])
+    h_ad = np.asarray(jax.jit(jax.hessian(energy_flat))(flat0))
+    g_ad = np.asarray(jax.jit(jax.grad(energy_flat))(flat0))
+    e0, grad, hess = oo._grad_hess_jit(theta, oao)
+    assert abs(float(e0) - float(energy_flat(flat0))) < 1e-12
+    assert np.allclose(np.asarray(grad), g_ad, atol=1e-10)
+    # theta-theta and mixed blocks must match AD; kappa-kappa is the
+    # analytic expression (equals AD per test_full_derivatives)
+    assert np.allclose(np.asarray(hess)[:nt, :nt], h_ad[:nt, :nt],
+                       atol=1e-9)
+    assert np.allclose(np.asarray(hess)[nt:, :nt], h_ad[nt:, :nt],
+                       atol=1e-9)
