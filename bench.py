@@ -85,6 +85,12 @@ def main():
         extra["nr_iter_wall_s_4e3o"] = round(v43, 6)
     except Exception as exc:
         log(f"(4e,3o) tier skipped: {exc}")
+    try:
+        v88, c88, e88 = time_nr_iters(8, 8, 2, n_iters=3)
+        extra["nr_iter_wall_s_8e8o"] = round(v88, 6)
+        extra["compile_s_8e8o"] = round(c88, 2)
+    except Exception as exc:
+        log(f"(8e,8o) tier skipped: {exc}")
     # PyTorch-CPU reference-pattern baseline, measured on this host with
     # scripts/bench_torch_cpu.py (the reference's own deps are not
     # installable here; that script reimplements its default hot path —

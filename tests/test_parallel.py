@@ -118,3 +118,14 @@ def test_sharded_energy_full_forward(setup):
                                              oo.oao_mo_coeff))
     e_ref = float(oo.energy_from_parameters(theta, kappa))
     assert abs(e_sh - e_ref) < 1e-11
+
+
+def test_initialize_distributed_single_process_noop():
+    """Single-process: initialize_distributed is a no-op returning False;
+    global_mesh still builds over all local (virtual) devices."""
+    from auto_oo_tpu.parallel import initialize_distributed, global_mesh
+    assert initialize_distributed() is False
+    mesh = global_mesh(names=("dp", "tp"))
+    assert mesh.shape["tp"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        initialize_distributed(num_processes=4)
