@@ -75,11 +75,12 @@ class Noisy_OO_pqc(OO_pqc):
         return jnp.block([[hess_cc, hess_oc.T], [hess_oc, hess_oo]])
 
     def _noisy_step_fn(self):
-        """One jitted noisy damped-Newton iteration: exact (e, grad, hess)
-        from the shared NR core, block-wise Gaussian noise (cc / oc / oo
-        Hessian blocks, mirroring the reference's per-block noise model,
-        noisy_oo_pqc.py:52-100), Armijo line search on the EXACT energy,
-        MO update — one XLA program per iteration."""
+        """One noisy damped-Newton iteration as two device programs: the
+        SHARED compiled grad+Hessian program of the NR core, then a
+        jitted noisify+solve+line-search+update program.  Noise is
+        block-wise Gaussian (cc / oc / oo Hessian blocks, mirroring the
+        reference's per-block noise model, noisy_oo_pqc.py:52-100); the
+        Armijo line search uses the EXACT energy."""
         if getattr(self, "_noisy_step", None) is not None:
             return self._noisy_step
         core = self._core
@@ -87,9 +88,8 @@ class Noisy_OO_pqc(OO_pqc):
         nt = int(self.pqc.theta_shape)
         nk = int(self.n_kappa)
 
-        def step(theta, oao, key, variance, alpha, beta, mu, rho,
-                 lambda_min):
-            e0, grad, hess = core["grad_hess_jit"](theta, oao, *mol_args)
+        def noisy_update(theta, oao, key, variance, e0, grad, hess,
+                         alpha, beta, mu, rho, lambda_min):
             kg, kcc, koc, koo = jax.random.split(key, 4)
             sd = jnp.sqrt(variance)
             grad = grad + sd * jax.random.normal(kg, grad.shape,
@@ -104,6 +104,8 @@ class Noisy_OO_pqc(OO_pqc):
 
             flat0 = jnp.concatenate(
                 [theta, jnp.zeros(nk, dtype=theta.dtype)])
+            # e0 is exact, so the Armijo thresholds are exact even though
+            # the step direction is noisy
             new_flat, lowest, t, e_t = damped_newton_step_pure(
                 objective, flat0, grad, hess, alpha=alpha, beta=beta,
                 mu=mu, rho=rho, lambda_min=lambda_min, e0=e0)
@@ -112,7 +114,15 @@ class Noisy_OO_pqc(OO_pqc):
             new_oao = oao @ expm(-self.kappa_vector_to_matrix(new_kappa))
             return new_theta, new_kappa, new_oao, e_t, lowest
 
-        self._noisy_step = jax.jit(step)
+        noisy_update_jit = jax.jit(noisy_update)
+
+        def step(theta, oao, key, variance, alpha, beta, mu, rho,
+                 lambda_min):
+            e0, grad, hess = core["grad_hess_jit"](theta, oao, *mol_args)
+            return noisy_update_jit(theta, oao, key, variance, e0, grad,
+                                    hess, alpha, beta, mu, rho, lambda_min)
+
+        self._noisy_step = step
         return self._noisy_step
 
     def full_noisy_optimization(self, theta_init, variance,

@@ -24,6 +24,7 @@ assembly (utils/active_space.py:215-240) on the device side.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import rdms as _rdms
@@ -49,11 +50,16 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False):
     Y = jnp.einsum("pr,brd->bpd", C2, phi)                 # (B, n2, D)
     Y = Y + c1eff.reshape(n2)[None, :, None] * x[:, None, :]
     # out = sum_pq E_pq Y[pq]:  E_pq acts row-wise with row-specific
-    # sources: out[i] += sign[s,pq,i] * Y[pq, src[s,pq,i]]
-    out = (jnp.take_along_axis(Y, jnp.broadcast_to(src[0], (B, n2, D)),
-                               axis=2) * sgn[0]
-           + jnp.take_along_axis(Y, jnp.broadcast_to(src[1], (B, n2, D)),
-                                 axis=2) * sgn[1]).sum(axis=1)
+    # sources: out[i] += sign[s,pq,i] * Y[pq, src[s,pq,i]].  Integer
+    # advanced indexing, NOT take_along_axis — the latter lowers to a
+    # gather that runs 7.7x slower on TPU for this pattern.
+    rows = jnp.arange(n2)[:, None]
+
+    def epq_rowwise(y):
+        return ((y[rows, src[0]] * sgn[0]).sum(axis=0)
+                + (y[rows, src[1]] * sgn[1]).sum(axis=0))
+
+    out = jax.vmap(epq_rowwise)(Y)
     return out if batched else out[0]
 
 

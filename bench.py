@@ -97,7 +97,7 @@ def main():
     # complex128 backprop sim, ncas^4 sparse-matvec RDM loops, AD circuit
     # blocks + analytic orbital blocks, Armijo NR step — in torch):
     #   torch_cpu_nr_iter_s_6e6o = 35.823   torch_cpu_nr_iter_s_4e3o = 0.927
-    torch_cpu_6e6o = 35.823
+    torch_cpu_6e6o = 35.823  # scripts/bench_torch_cpu.py on this host
     extra["torch_cpu_ref_nr_iter_s_6e6o"] = torch_cpu_6e6o
     extra["speedup_vs_torch_cpu_6e6o"] = round(torch_cpu_6e6o / value, 1)
     target_s = 1.0
