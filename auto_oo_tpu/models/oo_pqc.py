@@ -69,17 +69,19 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
             nuc, h1, g2, occ, act)
         return h1, g2, c0, c1, c2
 
-    def energy(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc):
+    def energy(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+               tables):
         mo = oao_coeff @ oao @ expm(-k2m(kappa))
         _, _, c0, c1, c2 = active_coeffs(int1e_ao, int2e_ao, nuc, mo)
-        one_rdm, two_rdm = pqc._rdms_impl(theta)
+        one_rdm, two_rdm = pqc._rdms_impl(theta, tables)
         return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
 
-    def orbital_gradient(theta, oao, int1e_ao, int2e_ao, oao_coeff):
+    def orbital_gradient(theta, oao, int1e_ao, int2e_ao, oao_coeff,
+                         tables):
         mo = oao_coeff @ oao
         h1 = _tr.int1e_transform(int1e_ao, mo)
         g2 = _tr.int2e_transform(int2e_ao, mo)
-        one_rdm, two_rdm = pqc._rdms_impl(theta)
+        one_rdm, two_rdm = pqc._rdms_impl(theta, tables)
         grad4 = _fock.analytic_gradient_from_integrals(
             h1, g2, one_rdm, two_rdm, occ, act)
         return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
@@ -87,7 +89,8 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
     ncas = pqc.ncas
     utd = pqc.up_then_down
 
-    def grad_hess(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc):
+    def grad_hess(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                  tables):
         """Energy, full gradient, full (theta+kappa) Hessian.
 
         Quadratic-form formulation: E(theta) = c0 + <psi|H|psi> with H
@@ -110,7 +113,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         c1eff = _ham.c1_effective(c1, c2)
 
         def state_fn(th):
-            return pqc._state_impl(th)
+            return pqc._state_impl(th, tables)
 
         psi = state_fn(theta)
         J = jax.jacfwd(state_fn)(theta).T          # (nt, D)
@@ -190,13 +193,14 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         return e0, grad, hess
 
     def newton_update(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
-                      e0, grad, hess, alpha, beta, mu, rho, lambda_min):
+                      tables, e0, grad, hess, alpha, beta, mu, rho,
+                      lambda_min):
         """Augmented-Newton solve + Armijo line search + MO update, given
         precomputed (e0, grad, hess)."""
 
         def objective(flat):
             return energy(flat[:nt], flat[nt:], oao, int1e_ao, int2e_ao,
-                          oao_coeff, nuc)
+                          oao_coeff, nuc, tables)
 
         flat0 = jnp.concatenate(
             [theta, jnp.zeros(n_kappa, dtype=theta.dtype)])
@@ -215,16 +219,16 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
     newton_update_jit = jax.jit(newton_update)
 
     def nr_iteration(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
-                     alpha, beta, mu, rho, lambda_min):
+                     tables, alpha, beta, mu, rho, lambda_min):
         """One NR iteration as TWO back-to-back device programs (grad+hess,
         then solve+line-search+update).  Splitting compiles ~25% faster
         than the fused program (XLA whole-module passes scale superlinearly
         in program size) and all intermediates stay on device."""
         e0, grad, hess = grad_hess_jit(theta, oao, int1e_ao, int2e_ao,
-                                       oao_coeff, nuc)
+                                       oao_coeff, nuc, tables)
         return newton_update_jit(theta, oao, int1e_ao, int2e_ao, oao_coeff,
-                                 nuc, e0, grad, hess, alpha, beta, mu, rho,
-                                 lambda_min)
+                                 nuc, tables, e0, grad, hess, alpha, beta,
+                                 mu, rho, lambda_min)
 
     return {
         "energy": energy,
@@ -263,8 +267,12 @@ class OO_pqc(OO_energy):
         core = _nr_core_for(self.pqc, self.nao, self._occ, self._act,
                             self.params_idx)
         self._core = core
+        # molecule arrays AND gate tables travel as runtime arguments:
+        # closure capture would embed them as program constants (multi-GB
+        # at 20 qubits, over the compile service's request limit)
+        tables = self.pqc._tables()
         mol_args = (self.int1e_ao, self.int2e_ao, self.oao_coeff,
-                    jnp.asarray(self.nuc))
+                    jnp.asarray(self.nuc), tables)
         self._mol_args = mol_args
 
         def energy_pure(theta, kappa, oao_mo_coeff):
@@ -272,7 +280,7 @@ class OO_pqc(OO_energy):
 
         def orbital_gradient_pure(theta, oao_mo_coeff):
             return core["orbital_gradient"](theta, oao_mo_coeff,
-                                            *mol_args[:3])
+                                            *mol_args[:3], tables)
 
         self._energy_pure = energy_pure
         self._orbital_gradient_pure = orbital_gradient_pure

@@ -38,14 +38,14 @@ def c1_effective(c1, c2):
 
 def ham_apply(c1eff, c2, chi, ncas, up_then_down=False):
     """H|chi> (without the c0 constant).  chi: (D,) or (B, D)."""
-    src, sign = _rdms._gather_tables(ncas, up_then_down)
     n2 = ncas * ncas
     batched = chi.ndim == 2
     x = chi if batched else chi[None, :]
     B, D = x.shape
-    sgn = sign.astype(x.dtype)
+    maps = [_rdms._epq_maps_spin(ncas, up_then_down, s, D, x.dtype)
+            for s in range(2)]
     # Phi[b, rs, :] = E_rs x_b
-    phi = (x[:, src[0]] * sgn[0] + x[:, src[1]] * sgn[1])  # (B, n2, D)
+    phi = sum(x[:, src] * sign for src, sign in maps)      # (B, n2, D)
     C2 = c2.reshape(n2, n2).astype(x.dtype)
     Y = jnp.einsum("pr,brd->bpd", C2, phi)                 # (B, n2, D)
     Y = Y + c1eff.reshape(n2)[None, :, None] * x[:, None, :]
@@ -56,8 +56,7 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False):
     rows = jnp.arange(n2)[:, None]
 
     def epq_rowwise(y):
-        return ((y[rows, src[0]] * sgn[0]).sum(axis=0)
-                + (y[rows, src[1]] * sgn[1]).sum(axis=0))
+        return sum((y[rows, src] * sign).sum(axis=0) for src, sign in maps)
 
     out = jax.vmap(epq_rowwise)(Y)
     return out if batched else out[0]

@@ -19,25 +19,106 @@ differentiate to scatters so jax.grad / jax.hessian flow through.
 from functools import lru_cache
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import fermion
 
 
+# ---------------------------------------------------------------------------
+# On-the-fly E_pq gather maps (table-free).
+#
+# The precomputed (2, ncas^2, D) src/sign tables cost
+# 12 * ncas^2 * 4^ncas bytes — 2.4 GB at (10e,10o) — and get captured
+# as program constants.  The maps are pure bit arithmetic on the basis
+# index, so they are recomputed inside the trace instead: a few integer
+# ops + population_count per element, fused by XLA into the consuming
+# gather/multiply.  Only tiny per-pair bit constants are cached.
+# ---------------------------------------------------------------------------
+
+
 @lru_cache(maxsize=None)
-def _gather_tables(ncas, up_then_down=False):
-    # Device arrays, built EAGERLY via warm_tables() before any trace:
-    # numpy closures embed multi-MB HLO literals (catastrophic compile
-    # times on TPU), while first-touch inside a jit would cache tracers.
-    # Layout (2, ncas^2, D) with SPIN OUTERMOST: a trailing/interior
-    # size-2 axis gets padded to the (8, 128) TPU tile (6.25x memory),
-    # which blew the (8e,8o) Hessian past HBM; two flat slices summed
-    # avoid the padded dimension entirely.
+def _epq_bit_consts(ncas, up_then_down=False):
+    nm = 2 * ncas
+    n2 = ncas * ncas
+    bitP = np.zeros((2, n2), dtype=np.int32)
+    bitQ = np.zeros((2, n2), dtype=np.int32)
+    shP = np.zeros((2, n2), dtype=np.int32)
+    shQ = np.zeros((2, n2), dtype=np.int32)
+    for s in range(2):
+        for p in range(ncas):
+            for q in range(ncas):
+                P = fermion.mode_of(p, s, ncas, up_then_down)
+                Q = fermion.mode_of(q, s, ncas, up_then_down)
+                k = p * ncas + q
+                bitP[s, k] = 1 << (nm - 1 - P)
+                bitQ[s, k] = 1 << (nm - 1 - Q)
+                shP[s, k] = nm - P
+                shQ[s, k] = nm - Q
+    return (jnp.asarray(bitP), jnp.asarray(bitQ),
+            jnp.asarray(shP), jnp.asarray(shQ))
+
+
+# below this statevector size the per-spin maps are precomputed host-side
+# and embedded (small constants, zero per-call arithmetic); above it they
+# are recomputed from bit ops inside the trace (O(1) memory at any ncas)
+_ONTHEFLY_MIN_DIM = 1 << 16
+
+
+_EPQ_TABLE_CACHE = {}
+
+
+def _epq_tables_spin(ncas, up_then_down, spin, dtype_str):
+    """Cached device-array maps.  The cache is only FILLED outside traces
+    (jnp.asarray under jit returns a tracer; caching that poisons every
+    later call — warm_tables in the circuit constructor does the eager
+    fill).  Returns None when uncached inside a trace."""
+    key = (ncas, up_then_down, spin, dtype_str)
+    hit = _EPQ_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     src, sign = fermion.epq_gather(ncas, up_then_down)
     D = src.shape[-1]
-    src = np.transpose(src, (2, 0, 1, 3)).reshape(2, ncas * ncas, D)
-    sign = np.transpose(sign, (2, 0, 1, 3)).reshape(2, ncas * ncas, D)
-    return jnp.asarray(src), jnp.asarray(sign)
+    entry = (jnp.asarray(src[:, :, spin].reshape(ncas * ncas, D)),
+             jnp.asarray(sign[:, :, spin].reshape(ncas * ncas, D),
+                         dtype=jnp.dtype(dtype_str)))
+    if isinstance(entry[0], jax.core.Tracer):
+        return None  # mid-trace: caller computes on the fly instead
+    _EPQ_TABLE_CACHE[key] = entry
+    return entry
+
+
+def _epq_maps_spin(ncas, up_then_down, spin, D, dtype):
+    """(src, sign) for a^dag_{P} a_{Q} over all spatial pairs at one spin,
+    shapes (ncas^2, D): precomputed tables for small statevectors,
+    bit-arithmetic on the fly for large ones (matches
+    fermion.single_mode_transfer element-for-element)."""
+    if D < _ONTHEFLY_MIN_DIM:
+        entry = _epq_tables_spin(ncas, up_then_down, spin,
+                                 jnp.dtype(dtype).name)
+        if entry is not None:
+            return entry
+    bitP, bitQ, shP, shQ = _epq_bit_consts(ncas, up_then_down)
+    bP = bitP[spin][:, None]
+    bQ = bitQ[spin][:, None]
+    idx = jax.lax.iota(jnp.int32, D)[None, :]
+    diag = bP == bQ
+    hasP = (idx & bP) != 0
+    empQ = (idx & bQ) == 0
+    valid = hasP & (empQ | diag)
+    src = jnp.where(diag, idx, idx ^ bP ^ bQ)
+    # parity of occupied modes below Q in src, then below P after
+    # removing Q (exactly fermion.single_mode_transfer)
+    pcq = jax.lax.population_count(
+        jnp.right_shift(src, shQ[spin][:, None]))
+    sq = 1 - 2 * (pcq & 1)
+    mid = jnp.where(diag, src, src ^ bQ)
+    pcp = jax.lax.population_count(
+        jnp.right_shift(mid, shP[spin][:, None]))
+    sp = 1 - 2 * (pcp & 1)
+    sign = jnp.where(diag, 1, sq * sp).astype(dtype)
+    sign = jnp.where(valid, sign, jnp.zeros((), dtype))
+    return src, sign
 
 
 @lru_cache(maxsize=None)
@@ -50,16 +131,23 @@ def _pair_annihilation_tables(ncas):
 
 
 def warm_tables(ncas, up_then_down=False):
-    """Build the gather tables outside any trace (call from module-level
-    constructors)."""
-    _gather_tables(ncas, up_then_down)
+    """Eagerly build the small-D gather tables and per-pair bit constants
+    outside any trace (call from constructors; see _epq_tables_spin)."""
+    _epq_bit_consts(ncas, up_then_down)
+    if (1 << (2 * ncas)) < _ONTHEFLY_MIN_DIM:
+        for s in range(2):
+            _epq_tables_spin(ncas, up_then_down, s, "float64")
 
 
 def apply_epq_all(psi, ncas, up_then_down=False):
     """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D)."""
-    src, sign = _gather_tables(ncas, up_then_down)
-    return (psi[src[0]] * sign[0].astype(psi.dtype)
-            + psi[src[1]] * sign[1].astype(psi.dtype))
+    D = psi.shape[0]
+    out = None
+    for s in range(2):
+        src, sign = _epq_maps_spin(ncas, up_then_down, s, D, psi.dtype)
+        term = psi[src] * sign
+        out = term if out is None else out + term
+    return out
 
 
 def rdms_from_state(psi, ncas, up_then_down=False):

@@ -101,14 +101,19 @@ class Parameterized_circuit:
             return full.at[jnp.asarray(self.params_idx)].set(theta)
         return theta
 
-    def _state_impl(self, theta):
+    def _state_impl(self, theta, tables=None):
         if self._custom_state_fn is not None:
             return self._custom_state_fn(theta)
-        return self.program.apply(self._expand_theta(jnp.ravel(theta)))
+        return self.program.apply(self._expand_theta(jnp.ravel(theta)),
+                                  tables=tables)
+
+    def _tables(self):
+        return (self.program.device_arrays()
+                if self.program is not None else None)
 
     def state(self, theta):
         """|psi(theta)> as a real float64 vector of dim 4^ncas."""
-        return self._state_jit(jnp.asarray(theta))
+        return self._state_jit(jnp.asarray(theta), self._tables())
 
     def state_complex(self, theta):
         return self.state(theta).astype(jnp.complex128)
@@ -123,12 +128,12 @@ class Parameterized_circuit:
 
     # -- RDMs -------------------------------------------------------------
 
-    def _rdms_impl(self, theta):
-        psi = self._state_impl(theta)
+    def _rdms_impl(self, theta, tables=None):
+        psi = self._state_impl(theta, tables)
         return _rdms.rdms_from_state(psi, self.ncas, self.up_then_down)
 
-    def _rdms_unrestricted_impl(self, theta):
-        psi = self._state_impl(theta)
+    def _rdms_unrestricted_impl(self, theta, tables=None):
+        psi = self._state_impl(theta, tables)
         return _rdms.rdms_from_state_unrestricted(psi, self.ncas)
 
     def get_rdms_from_state(self, state, restricted=True):
@@ -153,8 +158,8 @@ class Parameterized_circuit:
 
     def get_rdms(self, theta, restricted=True):
         if not restricted:
-            return self._rdms_u_jit(jnp.asarray(theta))
-        return self._rdms_jit(jnp.asarray(theta))
+            return self._rdms_u_jit(jnp.asarray(theta), self._tables())
+        return self._rdms_jit(jnp.asarray(theta), self._tables())
 
     # -- misc -------------------------------------------------------------
 

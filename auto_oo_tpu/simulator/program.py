@@ -85,15 +85,23 @@ class GateProgram:
         psi = jnp.zeros(self.dim, dtype=dtype)
         return psi.at[self.init_idx].set(1.0)
 
-    def apply(self, theta, psi=None):
-        """|psi(theta)> for a flat parameter vector theta."""
+    def apply(self, theta, psi=None, tables=None):
+        """|psi(theta)> for a flat parameter vector theta.
+
+        `tables` optionally supplies the gate tables as traced ARGUMENTS
+        (the 6-tuple of device_arrays()).  Closure capture embeds them as
+        program constants, which at large qubit counts exceeds what the
+        compile service accepts (~1 GB of pair tables at 20 qubits) —
+        callers that jit should thread device_arrays() through their own
+        argument lists."""
         if psi is None:
             psi = self.initial_state(
                 theta.dtype if jnp.issubdtype(theta.dtype, jnp.floating)
                 else jnp.float64)
         if self.half.shape[0] == 0:
             return psi
-        ia, ib, sign, mask, half, param = self.device_arrays()
+        ia, ib, sign, mask, half, param = (
+            tables if tables is not None else self.device_arrays())
         angles = half * theta[param]  # (n_gates,)
         # trig OUTSIDE the scan, batched over all gates: the TPU backend
         # computes single-element f64 transcendentals (as the per-gate
