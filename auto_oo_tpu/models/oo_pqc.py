@@ -2,30 +2,35 @@
 
 API mirror of reference oo_pqc.py:30-207 on a fully jitted JAX core.  The
 cost is E(theta, kappa) = c0 + sum h~ gamma(theta) + sum g Gamma(theta)
-with MOs rotated by expm(-kappa).  Derivative blocks:
+with MOs rotated by expm(-kappa).  Derivative blocks (all views into one
+compiled grad+Hessian program):
 
-* circuit gradient / circuit-circuit Hessian: jax.grad / jax.hessian
-  through the in-house statevector simulator (replacing PennyLane
-  backprop, reference oo_pqc.py:86-111);
+* circuit gradient / circuit-circuit Hessian: quadratic-form contraction
+  2 J (H psi) / 2 J H J^T + d2<w, psi(theta)> with J = jacfwd of the
+  simulator state and a batched Hamiltonian-apply kernel
+  (ops/hamiltonian.py) — replacing both PennyLane backprop (reference
+  oo_pqc.py:86-111) and naive AD-through-RDM-extraction;
 * orbital gradient / orbital-orbital Hessian: closed-form generalized-Fock
   expressions (reference oo_pqc.py:97-101,127-130);
-* mixed block: jax.jacobian of the (AD-traceable) analytic orbital
-  gradient w.r.t. theta (reference oo_pqc.py:113-125).
+* mixed block: the affine analytic-gradient map applied to transition
+  RDMs built from J and the Phi gram (reference oo_pqc.py:113-125 used
+  jacobian-of-analytic-gradient).
 
-``full_optimization`` compiles one damped-Newton iteration — energy,
-all five blocks, augmented-Hessian step, line search, MO update — into a
-single XLA program; the Python loop only records trajectories and checks
-convergence (one device roundtrip per iteration).
+``full_optimization`` runs one damped-Newton iteration as TWO
+back-to-back XLA programs (grad+Hessian, then augmented solve + Armijo
+line search + MO update — splitting compiles faster than one fused
+program); the Python loop only records trajectories and checks
+convergence.
 
-Compile-time design: the NR program takes the molecule-dependent arrays
-(AO integrals, OAO coefficients, nuclear repulsion) as ARGUMENTS and is
-cached on the pqc keyed by the static problem spec, so all geometries of
-the same active-space problem share ONE compiled program (Berry-phase
-loops / PES scans compile once).  Inside the program the AO->MO transform
-is hoisted out of every differentiated sub-function: the theta-derivative
-traces contain only the simulator and the small RDM contraction, and the
-line-search energy arrives precomputed from the Armijo loop instead of
-being re-evaluated at the end.
+Compile/memory design: the NR programs take ALL problem arrays — AO
+integrals, OAO coefficients, nuclear repulsion AND the compiled gate
+tables — as runtime ARGUMENTS (closure capture would embed them as
+program constants: GBs at 20 qubits), and are cached on the pqc keyed by
+the static problem spec, so all geometries of the same active-space
+problem share one compiled program (Berry-phase loops / PES scans
+compile once).  The AO->MO transform is hoisted out of every
+differentiated sub-function, tangent batches stream in ~256 MB chunks,
+and the line-search energy is reused instead of re-evaluated.
 
 Known reference bugs fixed here (SURVEY.md):
 * kappa trajectory records kappa, not theta (reference oo_pqc.py:189);

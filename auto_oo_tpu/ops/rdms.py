@@ -55,8 +55,10 @@ def _epq_bit_consts(ncas, up_then_down=False):
                 bitQ[s, k] = 1 << (nm - 1 - Q)
                 shP[s, k] = nm - P
                 shQ[s, k] = nm - Q
-    return (jnp.asarray(bitP), jnp.asarray(bitQ),
-            jnp.asarray(shP), jnp.asarray(shQ))
+    # numpy on purpose: this cache may be first-touched inside a trace,
+    # and caching jnp arrays there would cache tracers; the arrays are
+    # tiny (a few KB) so per-trace constant embedding is free
+    return bitP, bitQ, shP, shQ
 
 
 # below this statevector size the per-spin maps are precomputed host-side

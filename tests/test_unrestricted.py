@@ -125,3 +125,49 @@ def test_up_then_down_rdms_kernel():
                     ref = psi @ (fermion.epqrs_sparse(p, q, r, s, ncas,
                                                       True) @ psi)
                     assert abs(float(Gamma[p, q, r, s]) - ref) < 1e-12
+
+
+def test_onthefly_epq_maps_equal_tables():
+    """The bit-arithmetic E_pq gather maps (used for large statevectors,
+    O(1) memory) are semantically identical to the host-built tables:
+    same sign everywhere, same source index wherever sign != 0."""
+    import jax
+    import auto_oo_tpu.ops.rdms as R
+
+    for ncas in (2, 3):
+        D = 1 << (2 * ncas)
+        for utd in (False, True):
+            for s in (0, 1):
+                t_src, t_sign = R._epq_tables_spin(ncas, utd, s,
+                                                   "float64")
+                old = R._ONTHEFLY_MIN_DIM
+                try:
+                    R._ONTHEFLY_MIN_DIM = 1
+                    f_src, f_sign = jax.jit(
+                        lambda: R._epq_maps_spin(ncas, utd, s, D,
+                                                 jnp.float64))()
+                finally:
+                    R._ONTHEFLY_MIN_DIM = old
+                t_src, t_sign, f_src, f_sign = map(
+                    np.asarray, (t_src, t_sign, f_src, f_sign))
+                assert np.array_equal(t_sign, f_sign), (ncas, utd, s)
+                live = t_sign != 0.0
+                assert np.array_equal(t_src[live], f_src[live]), \
+                    (ncas, utd, s)
+
+
+def test_onthefly_rdms_match_table_rdms():
+    """Full RDM extraction through the on-the-fly path equals the table
+    path on a real ansatz state."""
+    import auto_oo_tpu.ops.rdms as R
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+    psi = pqc.state(jnp.array([0.4217]))
+    g_t, G_t = R.rdms_from_state(psi, 2)
+    old = R._ONTHEFLY_MIN_DIM
+    try:
+        R._ONTHEFLY_MIN_DIM = 1
+        g_f, G_f = R.rdms_from_state(psi, 2)
+    finally:
+        R._ONTHEFLY_MIN_DIM = old
+    assert np.allclose(np.asarray(g_t), np.asarray(g_f), atol=1e-14)
+    assert np.allclose(np.asarray(G_t), np.asarray(G_f), atol=1e-14)
