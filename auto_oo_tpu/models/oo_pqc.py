@@ -74,10 +74,21 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
             nuc, h1, g2, occ, act)
         return h1, g2, c0, c1, c2
 
+    # the energy needs integrals with ALL indices in occ+act, so the
+    # 4-index transform runs with the (nao, ns) sub-coefficients —
+    # O(nao^4 ns) instead of O(nao^5); this is the line-search hot path
+    sub = np.asarray(tuple(occ) + tuple(act), dtype=int)
+    occ_rel = tuple(range(len(occ)))
+    act_rel = tuple(range(len(occ), len(sub)))
+
     def energy(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                tables):
         mo = oao_coeff @ oao @ expm(-k2m(kappa))
-        _, _, c0, c1, c2 = active_coeffs(int1e_ao, int2e_ao, nuc, mo)
+        mo_sub = mo[:, sub]
+        h1 = _tr.int1e_transform(int1e_ao, mo_sub)
+        g2 = _tr.int2e_transform(int2e_ao, mo_sub)
+        c0, c1, c2 = _tr.molecular_hamiltonian_coefficients(
+            nuc, h1, g2, occ_rel, act_rel)
         one_rdm, two_rdm = pqc._rdms_impl(theta, tables)
         return _tr.energy_from_rdms(c0, c1, c2, one_rdm, two_rdm)
 
