@@ -60,10 +60,15 @@ print(f"difference     = {energy_l[-1] - mol.casscf.e_tot:.2e} Ha")
 print(f"lowest Hessian eigenvalue at minimum: {hess_eig_l[-1]:.3e}")
 
 # 5. circuit-only (CASCI-style) optimization --------------------------------
+# Hamiltonian at the (un-relaxed) RHF orbitals, so the comparison point
+# is the plain CASCI oracle.  The GateFabric circuit conserves N and S_z
+# but not S^2, so its variational floor is the lowest Sz=0 state of ANY
+# spin — compare against the spin-unprojected CASCI root.
 import optax
 
+mol.run_rhf()
 c0, c1, c2 = (np.asarray(x) for x in oo_pqc.get_active_integrals(
-    oo_pqc.mo_coeff))
+    jnp.asarray(mol.hf.mo_coeff)))
 H = fermionic_cas_hamiltonian(c0, c1, c2).toarray()
 H = jnp.asarray(H)
 
@@ -81,6 +86,6 @@ for i in range(300):
     e, g = val_grad(th)
     updates, state = opt.update(g, state)
     th = optax.apply_updates(th, updates)
-mol.run_casci(ncas, nelecas)
-print(f"\ncircuit-only (Adam) energy = {float(e):.10f}")
-print(f"CASCI reference            = {mol.casci.e_tot:.10f}")
+mol.run_casci(ncas, nelecas, fix_singlet=0)
+print(f"\ncircuit-only (Adam) energy  = {float(e):.10f}")
+print(f"CASCI (any spin) reference  = {mol.casci.e_tot:.10f}")
