@@ -154,6 +154,8 @@ class CASSCF:
         e_old = np.inf
         n_roots = 1 if self.weights is None else len(self.weights)
 
+        C_prev = C.copy()
+        max_step = 0.5
         for it in range(self.max_cycle):
             h1, g2 = transform_integrals(h1_ao, g2_ao, C)
             core, h_eff, g_act = _fci.active_space_integrals_np(
@@ -174,6 +176,15 @@ class CASSCF:
                     Gamma += w * g2r
             self._last_fci = res
 
+            # trust-region backoff: a step that RAISED the (FCI-resolved)
+            # energy is rejected — retry from the previous orbitals with a
+            # halved step cap; a successful step slowly re-expands it
+            if e_tot > e_old + 1e-12 and max_step > 1e-4:
+                C = C_prev.copy()
+                max_step *= 0.5
+                continue
+            max_step = min(0.5, max_step * 1.5)
+
             grad4, hess4 = orbital_gradient_hessian(
                 h1, g2, gamma, Gamma, occ, act)
             pi, pj = pairs[:, 0], pairs[:, 1]
@@ -189,8 +200,7 @@ class CASSCF:
                 H_mat = H_mat + (1e-6 + 1.1 * abs(w[0])) * np.eye(len(pairs))
                 w, V = np.linalg.eigh(H_mat)
             step = -V @ ((V.T @ g_vec) / w)
-            # simple step-size damping
-            max_step = 0.5
+            # step-size damping (cap adapted by the trust region above)
             nrm = np.max(np.abs(step))
             if nrm > max_step:
                 step = step * (max_step / nrm)
@@ -198,6 +208,7 @@ class CASSCF:
             for (i, j), s in zip(pairs, step):
                 kappa[i, j] = s
                 kappa[j, i] = -s
+            C_prev = C.copy()
             C = C @ expm(-kappa)
             e_old = e_tot
         self.e_tot = float(e_old)
