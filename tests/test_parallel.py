@@ -129,3 +129,20 @@ def test_initialize_distributed_single_process_noop():
     assert mesh.shape["tp"] == len(jax.devices())
     with pytest.raises(ValueError):
         initialize_distributed(num_processes=4)
+
+
+def test_sharded_state_large_dim_onthefly_maps():
+    """Statevector sharding combined with the on-the-fly (bit-arithmetic)
+    E_pq maps — the large-D path (D = 4^8 = 65536 crosses the
+    _ONTHEFLY_MIN_DIM threshold) partitioned over the virtual mesh must
+    equal the single-device result."""
+    from auto_oo_tpu.parallel import sharded_rdms_fn
+    from auto_oo_tpu import Moldata, get_formal_geo
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(8, 8, ansatz="np_fabric", n_layers=1)
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    theta = 0.01 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    g_sh, G_sh = sharded_rdms_fn(pqc, mesh, axis="tp")(theta)
+    g_ref, G_ref = pqc.get_rdms(theta)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-12)
+    assert np.allclose(np.asarray(G_sh), np.asarray(G_ref), atol=1e-12)
