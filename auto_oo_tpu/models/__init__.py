@@ -3,7 +3,6 @@ from .oo_energy import OO_energy, mo_ao_to_mo_oao
 from .oo_pqc import OO_pqc
 from .noisy_oo_pqc import Noisy_OO_pqc
 from ..ops import rdms as _rdms
-from ..ops import fermion as _fermion
 
 
 def s2(ncas, nelecas=None):

@@ -18,7 +18,6 @@ Everything uses jax.sharding.Mesh + NamedSharding (GSPMD); collectives
 are inserted by XLA and ride ICI on real hardware.
 """
 
-from functools import partial
 
 import numpy as np
 import jax

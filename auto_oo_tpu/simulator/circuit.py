@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import fermion, rdms as _rdms
+from ..ops import rdms as _rdms
 from . import ansatze as A
 from .program import GateProgram
 
