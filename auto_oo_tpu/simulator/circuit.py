@@ -176,7 +176,8 @@ class Parameterized_circuit:
         full = np.asarray(self._expand_theta(jnp.asarray(theta)))
         for i in range(n):
             ang = self.program.half[i] * full[self.program.param[i]]
-            npairs = int(self.program.mask[i].sum())
+            npairs = int(getattr(self.program, "n_real_pairs",
+                                 self.program.mask.sum(axis=1))[i])
             lines.append(f"  gate {i:3d}: param {self.program.param[i]:3d} "
                          f"angle {ang:+.4f} pairs {npairs}")
         return "\n".join(lines)

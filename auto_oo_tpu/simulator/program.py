@@ -32,7 +32,7 @@ class GateProgram:
         self.init_idx = int(init_idx)
         self.dim = int(dim)
         if gates:
-            mp = max(g.ia.size for g in gates)
+            mp = max(max(g.ia.size for g in gates), 1)
             n = len(gates)
             ia = np.zeros((n, mp), dtype=np.int32)
             ib = np.zeros((n, mp), dtype=np.int32)
@@ -46,10 +46,23 @@ class GateProgram:
                 ib[i, :k] = g.ib
                 sign[i, :k] = g.sign
                 mask[i, :k] = 1.0
+                if k:
+                    # pad by REPLICATING the first real pair (mask stays 1:
+                    # every copy computes the identical rotated values, so
+                    # the duplicate-index scatter is deterministic).  A
+                    # (0, 0) pad would race a real pair at index 0 — index
+                    # 0 is the vacuum in the full space but a REAL
+                    # determinant in sector-projected programs.
+                    ia[i, k:] = g.ia[0]
+                    ib[i, k:] = g.ib[0]
+                    sign[i, k:] = g.sign[0]
+                    mask[i, k:] = 1.0
                 half[i] = g.half
                 param[i] = g.param
             self.ia, self.ib, self.sign = ia, ib, sign
             self.mask, self.half, self.param = mask, half, param
+            self.n_real_pairs = np.array([g.ia.size for g in gates],
+                                         dtype=np.int32)
         else:
             z = np.zeros((0, 1))
             self.ia = z.astype(np.int32)

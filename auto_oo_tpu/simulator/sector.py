@@ -1,0 +1,113 @@
+"""Particle-sector simulation: run the circuit in the (n_alpha, n_beta)
+determinant basis instead of the full 2^(2 ncas) space.
+
+Every supported ansatz conserves (N_alpha, N_beta), so amplitudes outside
+the Hartree-Fock sector are exactly zero: at (10e,10o) only
+C(10,5)^2 = 63,504 of the 2^20 amplitudes are physical (16x smaller, and
+combinatorially better with size).  Because the whole stack is built on
+index maps, sector projection is a HOST-SIDE reindexing:
+
+* gate pair tables keep only pairs with both endpoints in the sector and
+  remap them to sector ranks -> the SAME GateProgram.apply runs on the
+  small vector;
+* E_pq gather maps restrict/remap the same way (E_pq conserves the
+  sector), so the RDM gram and the Hamiltonian-apply kernel work
+  unchanged on sector vectors.
+
+This module is the capability demonstration + kernel layer; wiring it
+into the OO_pqc Newton core is the designed round-3 step (README
+"Scaling roadmap").
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import fermion
+from .program import GateProgram
+
+
+def sector_basis_and_rank(ncas, nelecas):
+    """(basis, rank): determinant indices of the (n_alpha, n_beta) sector
+    (ascending) and the full-space -> sector-rank inverse map (-1 outside
+    the sector)."""
+    basis = fermion.sector_basis(ncas, nelecas)
+    D = 1 << (2 * ncas)
+    rank = np.full(D, -1, dtype=np.int64)
+    rank[basis] = np.arange(len(basis))
+    return basis, rank
+
+
+def project_program(program, ncas, nelecas):
+    """GateProgram over the sector basis: pair tables restricted to pairs
+    with both endpoints in the sector (gates conserve the sector, so a
+    pair is either fully inside or fully outside) and remapped to ranks.
+
+    Returns (sector_program, basis)."""
+    basis, rank = sector_basis_and_rank(ncas, nelecas)
+    Ds = len(basis)
+    n = program.half.shape[0]
+    new_rows = []
+    max_pairs = 1
+    for g in range(n):
+        ia, ib = program.ia[g], program.ib[g]
+        mask = program.mask[g] > 0
+        inside = mask & (rank[ia] >= 0)
+        # conservation sanity: an in-sector source implies in-sector dest
+        assert np.all(rank[ib[inside]] >= 0), \
+            "gate pair crosses the particle sector"
+        row = (rank[ia[inside]], rank[ib[inside]],
+               program.sign[g][inside], program.half[g],
+               program.param[g])
+        max_pairs = max(max_pairs, row[0].size)
+        new_rows.append(row)
+
+    class _G:
+        pass
+
+    gates = []
+    for ia, ib, sign, half, param in new_rows:
+        g = _G()
+        g.ia = ia.astype(np.int32)
+        g.ib = ib.astype(np.int32)
+        g.sign = sign
+        g.half = float(half)
+        g.param = int(param)
+        gates.append(g)
+    init_idx = int(rank[program.init_idx])
+    assert init_idx >= 0, "initial state outside the sector"
+    return GateProgram(gates, program.n_params, init_idx, Ds), basis
+
+
+def sector_epq_maps(ncas, nelecas, up_then_down=False):
+    """(src, sign) E_pq gather maps over the sector basis, shapes
+    (2, ncas^2, D_sector): the same maps ops/rdms.py uses, restricted and
+    rank-remapped (E_pq conserves the sector)."""
+    basis, rank = sector_basis_and_rank(ncas, nelecas)
+    src_f, sign_f = fermion.epq_gather(ncas, up_then_down)
+    # (ncas, ncas, 2, D) -> spin-outermost (2, n^2, D_s)
+    n2 = ncas * ncas
+    src_f = np.transpose(src_f, (2, 0, 1, 3)).reshape(2, n2, -1)
+    sign_f = np.transpose(sign_f, (2, 0, 1, 3)).reshape(2, n2, -1)
+    src_s = src_f[:, :, basis]
+    sign_s = sign_f[:, :, basis]
+    live = sign_s != 0.0
+    remapped = rank[src_s]
+    assert np.all(remapped[live] >= 0), "E_pq left the sector"
+    src_out = np.where(live, remapped, 0).astype(np.int32)
+    return jnp.asarray(src_out), jnp.asarray(sign_s)
+
+
+def rdms_from_sector_state(psi_s, maps):
+    """Spin-summed restricted (gamma, Gamma) from a sector-basis
+    statevector, via the same Phi-gram pipeline as ops/rdms.py."""
+    src, sign = maps
+    n2 = src.shape[1]
+    ncas = int(round(n2 ** 0.5))
+    sgn = sign.astype(psi_s.dtype)
+    phi = psi_s[src[0]] * sgn[0] + psi_s[src[1]] * sgn[1]
+    gamma = (phi @ psi_s).reshape(ncas, ncas)
+    corr = (phi @ phi.T).reshape(ncas, ncas, ncas, ncas)
+    epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
+    delta = jnp.eye(ncas, dtype=psi_s.dtype)
+    Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
+    return gamma, Gamma
