@@ -131,9 +131,10 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         def state_fn(th):
             return pqc._state_impl(th, tables)
 
+        maps = pqc._maps_from(tables)
         psi = state_fn(theta)
         J = jax.jacfwd(state_fn)(theta).T          # (nt, D)
-        Hpsi = _ham.ham_apply(c1eff, c2, psi, ncas, utd)
+        Hpsi = _ham.ham_apply(c1eff, c2, psi, ncas, utd, maps)
         e0 = c0 + psi @ Hpsi
         w = 2.0 * Hpsi
         grad_c = J @ w
@@ -156,12 +157,13 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
             return out.reshape(n_chunks * chunk, *out.shape[2:])[:B]
 
         HJ = map_chunked(
-            lambda Jc: _ham.ham_apply(c1eff, c2, Jc, ncas, utd), J)
+            lambda Jc: _ham.ham_apply(c1eff, c2, Jc, ncas, utd, maps),
+            J)
         term2 = jax.jacfwd(jax.grad(lambda th: state_fn(th) @ w))(theta)
         hess_cc = 2.0 * (J @ HJ.T) + term2
 
         # RDMs and their theta-tangents from the Phi gram (product rule)
-        phi = _rdms.apply_epq_all(psi, ncas, utd)       # (n^2, D)
+        phi = _rdms.apply_epq_all(psi, ncas, utd, maps)  # (n^2, D)
         gamma = (phi @ psi).reshape(ncas, ncas)
         corr = (phi @ phi.T).reshape(ncas, ncas, ncas, ncas)
         delta = jnp.eye(ncas, dtype=psi.dtype)
@@ -170,7 +172,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
 
         def transition_rdms(Jc):
             phiJ = jax.vmap(
-                lambda v: _rdms.apply_epq_all(v, ncas, utd))(Jc)
+                lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
             dgram = (jnp.einsum("iad,bd->iab", phiJ, phi)
                      + jnp.einsum("ad,ibd->iab", phi, phiJ))
             dgamma = ((phiJ @ psi)

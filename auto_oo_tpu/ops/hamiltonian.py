@@ -36,14 +36,19 @@ def c1_effective(c1, c2):
     return c1 - jnp.einsum("ptts->ps", c2)
 
 
-def ham_apply(c1eff, c2, chi, ncas, up_then_down=False):
-    """H|chi> (without the c0 constant).  chi: (D,) or (B, D)."""
+def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None):
+    """H|chi> (without the c0 constant).  chi: (D,) or (B, D).
+
+    `maps` optionally overrides the E_pq gather maps (sector basis)."""
     n2 = ncas * ncas
     batched = chi.ndim == 2
     x = chi if batched else chi[None, :]
     B, D = x.shape
-    maps = [_rdms._epq_maps_spin(ncas, up_then_down, s, D, x.dtype)
-            for s in range(2)]
+    if maps is not None:
+        maps = [(maps[0][s], maps[1][s].astype(x.dtype)) for s in range(2)]
+    else:
+        maps = [_rdms._epq_maps_spin(ncas, up_then_down, s, D, x.dtype)
+                for s in range(2)]
     # Phi[b, rs, :] = E_rs x_b
     phi = sum(x[:, src] * sign for src, sign in maps)      # (B, n2, D)
     C2 = c2.reshape(n2, n2).astype(x.dtype)

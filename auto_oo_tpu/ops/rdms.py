@@ -141,24 +141,31 @@ def warm_tables(ncas, up_then_down=False):
             _epq_tables_spin(ncas, up_then_down, s, "float64")
 
 
-def apply_epq_all(psi, ncas, up_then_down=False):
-    """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D)."""
+def apply_epq_all(psi, ncas, up_then_down=False, maps=None):
+    """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D).
+
+    `maps` optionally overrides the gather maps (e.g. sector-basis maps
+    from simulator/sector.py, shapes (2, ncas^2, D))."""
     D = psi.shape[0]
     out = None
     for s in range(2):
-        src, sign = _epq_maps_spin(ncas, up_then_down, s, D, psi.dtype)
+        if maps is not None:
+            src, sign = maps[0][s], maps[1][s].astype(psi.dtype)
+        else:
+            src, sign = _epq_maps_spin(ncas, up_then_down, s, D, psi.dtype)
         term = psi[src] * sign
         out = term if out is None else out + term
     return out
 
 
-def rdms_from_state(psi, ncas, up_then_down=False):
+def rdms_from_state(psi, ncas, up_then_down=False, maps=None):
     """Spin-summed restricted (gamma, Gamma), chemist ordering.
 
     Matches reference Parameterized_circuit.get_rdms_from_state
     (pqc.py:192-218) for real statevectors (the ansatz family is real).
+    `maps` overrides the gather maps (sector basis).
     """
-    phi = apply_epq_all(psi, ncas, up_then_down)         # (ncas^2, D)
+    phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
     gamma = (phi @ psi).reshape(ncas, ncas)
     corr = phi @ phi.T                                   # <E_qp E_rs>-ish
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>

@@ -30,7 +30,7 @@ class Parameterized_circuit:
 
     def __init__(self, ncas, nelecas, dev=None, ansatz="ucc", n_layers=3,
                  add_singles=False, interface=None, diff_method=None,
-                 k=None, up_then_down=False):
+                 k=None, up_then_down=False, sector=False):
         self.ncas = ncas
         self.nelecas = nelecas
         self.n_qubits = 2 * ncas
@@ -87,6 +87,20 @@ class Parameterized_circuit:
         else:
             raise ValueError(f"unknown ansatz {ansatz!r}")
 
+        self.sector = bool(sector)
+        self.sector_maps = None
+        if self.sector:
+            # run in the conserved (n_alpha, n_beta) determinant basis:
+            # C(n,na)*C(n,nb) amplitudes instead of 4^ncas (16x at
+            # (10e,10o); see simulator/sector.py and README roadmap)
+            if self.program is None:
+                raise ValueError("sector=True needs a compiled GateProgram")
+            from . import sector as _sector
+            self.program, self.sector_basis = _sector.project_program(
+                self.program, ncas, nelecas)
+            self.sector_maps = _sector.sector_epq_maps(
+                ncas, nelecas, self.up_then_down)
+
         _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
         self._rdms_jit = jax.jit(self._rdms_impl)
@@ -104,12 +118,19 @@ class Parameterized_circuit:
     def _state_impl(self, theta, tables=None):
         if self._custom_state_fn is not None:
             return self._custom_state_fn(theta)
+        gates = tables["gates"] if isinstance(tables, dict) else tables
         return self.program.apply(self._expand_theta(jnp.ravel(theta)),
-                                  tables=tables)
+                                  tables=gates)
 
     def _tables(self):
-        return (self.program.device_arrays()
-                if self.program is not None else None)
+        """Runtime-argument bundle: gate tables + (sector) E_pq maps —
+        passed through jit boundaries instead of closure-captured (large
+        arrays embedded as constants overflow the compile service)."""
+        return {
+            "gates": (self.program.device_arrays()
+                      if self.program is not None else None),
+            "maps": self.sector_maps,
+        }
 
     def state(self, theta):
         """|psi(theta)> as a real float64 vector of dim 4^ncas."""
@@ -128,11 +149,21 @@ class Parameterized_circuit:
 
     # -- RDMs -------------------------------------------------------------
 
+    def _maps_from(self, tables):
+        if isinstance(tables, dict) and tables.get("maps") is not None:
+            return tables["maps"]
+        return self.sector_maps
+
     def _rdms_impl(self, theta, tables=None):
         psi = self._state_impl(theta, tables)
-        return _rdms.rdms_from_state(psi, self.ncas, self.up_then_down)
+        return _rdms.rdms_from_state(psi, self.ncas, self.up_then_down,
+                                     maps=self._maps_from(tables))
 
     def _rdms_unrestricted_impl(self, theta, tables=None):
+        if self.sector:
+            raise NotImplementedError(
+                "unrestricted RDMs need pair-annihilation operators, "
+                "which leave the particle sector; use sector=False")
         psi = self._state_impl(theta, tables)
         return _rdms.rdms_from_state_unrestricted(psi, self.ncas)
 
@@ -145,8 +176,13 @@ class Parameterized_circuit:
         <a^dag_p a^dag_q a_r a_s> (reference pqc.py:192-218 with
         restricted=False)."""
         state = jnp.asarray(state)
+        if not restricted and self.sector:
+            raise NotImplementedError(
+                "unrestricted RDMs need pair-annihilation operators, "
+                "which leave the particle sector; use sector=False")
         fn = (lambda s: _rdms.rdms_from_state(s, self.ncas,
-                                              self.up_then_down)) \
+                                              self.up_then_down,
+                                              maps=self.sector_maps)) \
             if restricted else \
             (lambda s: _rdms.rdms_from_state_unrestricted(s, self.ncas))
         if jnp.iscomplexobj(state):

@@ -30,7 +30,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_nr_iters(ncas, nelecas, n_layers, n_iters=6):
+def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False):
     import jax
     import jax.numpy as jnp
 
@@ -44,11 +44,13 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6):
     jax.jit(lambda x: x + 1.0)(jnp.zeros(8)).block_until_ready()
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
-                                n_layers=n_layers)
+                                n_layers=n_layers, sector=sector)
     oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True)
     theta = pqc.init_zeros()
-    log(f"setup ({nelecas}e,{ncas}o): {time.time() - t0:.1f}s "
-        f"(n_theta={pqc.theta_shape}, n_kappa={oo.n_kappa})")
+    log(f"setup ({nelecas}e,{ncas}o){' sector' if sector else ''}: "
+        f"{time.time() - t0:.1f}s "
+        f"(n_theta={pqc.theta_shape}, n_kappa={oo.n_kappa}, "
+        f"D={pqc.program.dim})")
 
     t0 = time.time()
     out = oo._nr_iteration_jit(theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6,
@@ -91,6 +93,15 @@ def main():
         extra["compile_s_8e8o"] = round(c88, 2)
     except Exception as exc:
         log(f"(8e,8o) tier skipped: {exc}")
+    try:
+        # (10e,10o) runs in the conserved-particle sector basis
+        # (D = C(10,5)^2 = 63,504 instead of 4^10; the full space needs
+        # ~32G HBM and does not fit one chip)
+        v10, c10, e10 = time_nr_iters(10, 10, 2, n_iters=3, sector=True)
+        extra["nr_iter_wall_s_10e10o_sector"] = round(v10, 6)
+        extra["compile_s_10e10o_sector"] = round(c10, 2)
+    except Exception as exc:
+        log(f"(10e,10o) sector tier skipped: {exc}")
     # PyTorch-CPU reference-pattern baseline, measured on this host with
     # scripts/bench_torch_cpu.py (the reference's own deps are not
     # installable here; that script reimplements its default hot path —

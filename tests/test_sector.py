@@ -53,3 +53,33 @@ def test_sector_dimension_scaling():
     basis, rank = S.sector_basis_and_rank(10, 10)
     assert len(basis) == comb(10, 5) ** 2 == 63504
     assert (1 << 20) / len(basis) > 16
+
+
+def test_sector_oo_vqe_matches_full_and_casscf():
+    """End-to-end: OO-VQE with sector=True (the C(n,na)^2-dim simulator)
+    reproduces the full-space optimization and the CASSCF oracle."""
+    from auto_oo_tpu import Moldata, get_formal_geo
+    from auto_oo_tpu.models import OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol.run_casscf(2, 2)
+    pqc_s = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1,
+                                  sector=True)
+    assert pqc_s.program.dim == 4  # C(2,1)^2 vs 4^2 = 16
+    oo_s = OO_pqc(pqc_s, mol, 2, 2, freeze_active=True)
+    el_s, *_ = oo_s.full_optimization(pqc_s.init_zeros())
+    assert abs(el_s[-1] - mol.casscf.e_tot) < 1e-8
+
+
+def test_sector_oo_vqe_34():
+    from auto_oo_tpu import Moldata, get_formal_geo
+    from auto_oo_tpu.models import OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol.run_casscf(3, 4)
+    pqc_s = Parameterized_circuit(3, 4, ansatz="np_fabric", n_layers=2,
+                                  sector=True)
+    assert pqc_s.program.dim == 9  # C(3,2)^2 vs 4^3 = 64
+    oo_s = OO_pqc(pqc_s, mol, 3, 4, freeze_active=True)
+    el_s, *_ = oo_s.full_optimization(pqc_s.init_zeros())
+    assert abs(el_s[-1] - mol.casscf.e_tot) < 1e-8
