@@ -81,20 +81,42 @@ def project_program(program, ncas, nelecas):
 def sector_epq_maps(ncas, nelecas, up_then_down=False):
     """(src, sign) E_pq gather maps over the sector basis, shapes
     (2, ncas^2, D_sector): the same maps ops/rdms.py uses, restricted and
-    rank-remapped (E_pq conserves the sector)."""
-    basis, rank = sector_basis_and_rank(ncas, nelecas)
-    src_f, sign_f = fermion.epq_gather(ncas, up_then_down)
-    # (ncas, ncas, 2, D) -> spin-outermost (2, n^2, D_s)
+    rank-remapped (E_pq conserves the sector).
+
+    Computed DIRECTLY on the basis determinants (O(ncas^2 D_sector) work
+    and memory; building the full 4^ncas tables first took ~100 s at
+    (10e,10o)).  Ranks come from searchsorted on the sorted basis, so no
+    4^ncas-sized array exists anywhere."""
+    basis = fermion.sector_basis(ncas, nelecas)
+    nm = 2 * ncas
     n2 = ncas * ncas
-    src_f = np.transpose(src_f, (2, 0, 1, 3)).reshape(2, n2, -1)
-    sign_f = np.transpose(sign_f, (2, 0, 1, 3)).reshape(2, n2, -1)
-    src_s = src_f[:, :, basis]
-    sign_s = sign_f[:, :, basis]
-    live = sign_s != 0.0
-    remapped = rank[src_s]
-    assert np.all(remapped[live] >= 0), "E_pq left the sector"
-    src_out = np.where(live, remapped, 0).astype(np.int32)
-    return jnp.asarray(src_out), jnp.asarray(sign_s)
+    Ds = len(basis)
+    src = np.zeros((2, n2, Ds), dtype=np.int32)
+    sign = np.zeros((2, n2, Ds), dtype=np.float64)
+    idx = np.arange(Ds, dtype=np.int64)
+    for s in range(2):
+        for p in range(ncas):
+            for q in range(ncas):
+                P = fermion.mode_of(p, s, ncas, up_then_down)
+                Q = fermion.mode_of(q, s, ncas, up_then_down)
+                k = p * ncas + q
+                if P == Q:
+                    src[s, k] = idx
+                    sign[s, k] = fermion.occ_bit(basis, P, nm)
+                    continue
+                bitP = 1 << (nm - 1 - P)
+                bitQ = 1 << (nm - 1 - Q)
+                valid = ((basis & bitP) != 0) & ((basis & bitQ) == 0)
+                source = np.where(valid, basis ^ bitP ^ bitQ, basis[0])
+                sq = fermion._parity_below(source, Q, nm)
+                mid = source ^ bitQ
+                sp = fermion._parity_below(mid, P, nm)
+                pos = np.searchsorted(basis, source)
+                assert np.all(basis[pos[valid]] == source[valid]), \
+                    "E_pq left the sector"
+                src[s, k] = np.where(valid, pos, 0)
+                sign[s, k] = np.where(valid, (sq * sp).astype(float), 0.0)
+    return jnp.asarray(src), jnp.asarray(sign)
 
 
 def rdms_from_sector_state(psi_s, maps):
