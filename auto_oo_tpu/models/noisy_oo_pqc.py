@@ -87,8 +87,13 @@ class Noisy_OO_pqc(OO_pqc):
         mol_args = self._mol_args
         nt = int(self.pqc.theta_shape)
         nk = int(self.n_kappa)
+        kappa_vector_to_matrix = self.kappa_vector_to_matrix
 
-        def noisy_update(theta, oao, key, variance, e0, grad, hess,
+        # molecule arrays travel as runtime ARGUMENTS (same discipline as
+        # _build_nr_core: closure capture would re-embed the AO integrals
+        # and gate tables as program constants)
+        def noisy_update(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                         tables, key, variance, e0, grad, hess,
                          alpha, beta, mu, rho, lambda_min):
             kg, kcc, koc, koo = jax.random.split(key, 4)
             sd = jnp.sqrt(variance)
@@ -100,7 +105,8 @@ class Noisy_OO_pqc(OO_pqc):
             hess = hess + jnp.block([[ncc, noc.T], [noc, noo]])
 
             def objective(flat):
-                return core["energy"](flat[:nt], flat[nt:], oao, *mol_args)
+                return core["energy"](flat[:nt], flat[nt:], oao, int1e_ao,
+                                      int2e_ao, oao_coeff, nuc, tables)
 
             flat0 = jnp.concatenate(
                 [theta, jnp.zeros(nk, dtype=theta.dtype)])
@@ -111,7 +117,7 @@ class Noisy_OO_pqc(OO_pqc):
                 mu=mu, rho=rho, lambda_min=lambda_min, e0=e0)
             new_theta = new_flat[:nt]
             new_kappa = new_flat[nt:]
-            new_oao = oao @ expm(-self.kappa_vector_to_matrix(new_kappa))
+            new_oao = oao @ expm(-kappa_vector_to_matrix(new_kappa))
             return new_theta, new_kappa, new_oao, e_t, lowest
 
         noisy_update_jit = jax.jit(noisy_update)
@@ -119,8 +125,9 @@ class Noisy_OO_pqc(OO_pqc):
         def step(theta, oao, key, variance, alpha, beta, mu, rho,
                  lambda_min):
             e0, grad, hess = core["grad_hess_jit"](theta, oao, *mol_args)
-            return noisy_update_jit(theta, oao, key, variance, e0, grad,
-                                    hess, alpha, beta, mu, rho, lambda_min)
+            return noisy_update_jit(theta, oao, *mol_args, key, variance,
+                                    e0, grad, hess, alpha, beta, mu, rho,
+                                    lambda_min)
 
         self._noisy_step = step
         return self._noisy_step

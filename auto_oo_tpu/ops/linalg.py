@@ -99,7 +99,7 @@ def _round_robin_orderings(n):
 _EIGH_SWEEPS = 16
 
 
-def eigh(A, sweeps=_EIGH_SWEEPS):
+def eigh(A, sweeps=_EIGH_SWEEPS, backend=None):
     """Symmetric eigendecomposition, TPU-safe.
 
     ``jnp.linalg.eigh`` silently returns NaN for general float64 matrices
@@ -108,10 +108,20 @@ def eigh(A, sweeps=_EIGH_SWEEPS):
     any backend with a real LAPACK path) it dispatches to
     ``jnp.linalg.eigh`` — the Jacobi form is O(sweeps n^3) in dense
     matmuls and needlessly slow for large Hessians there.
+
+    Dispatch happens at TRACE time on ``jax.default_backend()``; when
+    jitting for a backend that is not the process default, pass
+    ``backend='cpu'`` / ``backend='tpu'`` explicitly.
+
+    NOT differentiable on the TPU path: :func:`jacobi_eigh` converges via
+    ``lax.while_loop``, which has no JVP/VJP rule.  Every consumer in
+    this package (the Newton solve) only needs the forward value — wrap
+    with ``jax.lax.stop_gradient`` or use a fixed-sweep scan if a future
+    caller must differentiate through the decomposition.
     """
     import jax as _jax
 
-    if _jax.default_backend() == "cpu":
+    if (backend or _jax.default_backend()) == "cpu":
         return jnp.linalg.eigh(jnp.asarray(A))
     return jacobi_eigh(A, sweeps=sweeps)
 

@@ -35,7 +35,12 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     JAX_PROCESS_ID).  Single-process (no coordinator info anywhere) is a
     no-op so laptops/tests need no special casing.
     """
-    if jax._src.distributed.global_state.client is not None:  # idempotent
+    # idempotent: public API where available, private fallback for old jax
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        if is_init():
+            return False
+    elif jax._src.distributed.global_state.client is not None:
         return False
     coordinator_address = (coordinator_address
                            or os.environ.get("JAX_COORDINATOR_ADDRESS"))

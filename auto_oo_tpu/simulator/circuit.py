@@ -133,7 +133,9 @@ class Parameterized_circuit:
         }
 
     def state(self, theta):
-        """|psi(theta)> as a real float64 vector of dim 4^ncas."""
+        """|psi(theta)> as a real float64 vector — dim 4^ncas in the full
+        space, or C(ncas,na)*C(ncas,nb) over ``self.sector_basis`` when
+        sector=True."""
         return self._state_jit(jnp.asarray(theta), self._tables())
 
     def state_complex(self, theta):
@@ -176,6 +178,16 @@ class Parameterized_circuit:
         <a^dag_p a^dag_q a_r a_s> (reference pqc.py:192-218 with
         restricted=False)."""
         state = jnp.asarray(state)
+        expected = (len(self.sector_basis) if self.sector
+                    else 1 << self.n_qubits)
+        if state.shape[-1] != expected:
+            where = ("the (n_alpha, n_beta) sector basis" if self.sector
+                     else f"the full 4^{self.ncas} space")
+            hint = (" — project a full-space vector with "
+                    "state[self.sector_basis]" if self.sector else "")
+            raise ValueError(
+                f"state has dim {state.shape[-1]}, but this circuit works "
+                f"over {where} (dim {expected}){hint}")
         if not restricted and self.sector:
             raise NotImplementedError(
                 "unrestricted RDMs need pair-annihilation operators, "

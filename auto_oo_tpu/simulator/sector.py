@@ -14,9 +14,10 @@ index maps, sector projection is a HOST-SIDE reindexing:
   sector), so the RDM gram and the Hamiltonian-apply kernel work
   unchanged on sector vectors.
 
-This module is the capability demonstration + kernel layer; wiring it
-into the OO_pqc Newton core is the designed round-3 step (README
-"Scaling roadmap").
+Sector mode is fully wired into the stack: ``Parameterized_circuit(...,
+sector=True)`` runs the OO_pqc Newton core, the sharded parallel paths
+and the Berry-phase workflow on the sector vector (see
+simulator/circuit.py:90-102 and tests/test_sector.py).
 """
 
 import numpy as np

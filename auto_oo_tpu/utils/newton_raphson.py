@@ -69,7 +69,10 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
 
     def body(state):
         t, _, num = state
-        t_new = beta * t
+        # first trial is forced to EXACTLY 1.0 (beta * (1/beta) need not
+        # round-trip for general beta, and the canonical full Newton step
+        # should not be perturbed in the last ulp)
+        t_new = jnp.where(num == 0, 1.0, beta * t)
         e_new = objective_flat(params_flat + t_new * dp)
         return (t_new, e_new, num + 1)
 
