@@ -131,13 +131,17 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         def state_fn(th):
             return pqc._state_impl(th, tables)
 
+        # all inner products conjugate the bra side and take the real
+        # part, so COMPLEX custom-ansatz states are handled exactly
+        # (grad = 2 Re<d_i psi|H|psi>, etc.); conj/real are XLA no-ops
+        # for the real-valued built-in ansatze.
         maps = pqc._maps_from(tables)
         psi = state_fn(theta)
         J = jax.jacfwd(state_fn)(theta).T          # (nt, D)
         Hpsi = _ham.ham_apply(c1eff, c2, psi, ncas, utd, maps)
-        e0 = c0 + psi @ Hpsi
+        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
-        grad_c = J @ w
+        grad_c = jnp.real(jnp.conj(J) @ w)
         # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
         # intermediates must stay ~O(100 MB) under f64 emulation (the
         # full 20-tangent batch allocated 3x 5G buffers at (8e,8o))
@@ -159,24 +163,29 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         HJ = map_chunked(
             lambda Jc: _ham.ham_apply(c1eff, c2, Jc, ncas, utd, maps),
             J)
-        term2 = jax.jacfwd(jax.grad(lambda th: state_fn(th) @ w))(theta)
-        hess_cc = 2.0 * (J @ HJ.T) + term2
+        term2 = jax.jacfwd(jax.grad(
+            lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(theta)
+        hess_cc = 2.0 * jnp.real(jnp.conj(J) @ HJ.T) + term2
 
         # RDMs and their theta-tangents from the Phi gram (product rule)
         phi = _rdms.apply_epq_all(psi, ncas, utd, maps)  # (n^2, D)
-        gamma = (phi @ psi).reshape(ncas, ncas)
-        corr = (phi @ phi.T).reshape(ncas, ncas, ncas, ncas)
-        delta = jnp.eye(ncas, dtype=psi.dtype)
+        gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
+        corr = jnp.real(jnp.conj(phi) @ phi.T).reshape(
+            ncas, ncas, ncas, ncas)
+        delta = jnp.eye(ncas, dtype=gamma.dtype)
         Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
                  - jnp.einsum("qr,ps->pqrs", delta, gamma))
 
         def transition_rdms(Jc):
             phiJ = jax.vmap(
                 lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
-            dgram = (jnp.einsum("iad,bd->iab", phiJ, phi)
-                     + jnp.einsum("ad,ibd->iab", phi, phiJ))
-            dgamma = ((phiJ @ psi)
-                      + jnp.einsum("ad,id->ia", phi, Jc)).reshape(
+            # d corr[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b>, real part
+            dgram = jnp.real(
+                jnp.einsum("iad,bd->iab", jnp.conj(phiJ), phi)
+                + jnp.einsum("ad,ibd->iab", jnp.conj(phi), phiJ))
+            dgamma = jnp.real(
+                (phiJ @ jnp.conj(psi))
+                + jnp.einsum("ad,id->ia", phi, jnp.conj(Jc))).reshape(
                 -1, ncas, ncas)
             dcorr = dgram.reshape(-1, ncas, ncas, ncas, ncas)
             dGamma = (jnp.transpose(dcorr, (0, 2, 1, 3, 4))

@@ -68,7 +68,9 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None):
 
 
 def energy_quadratic(c0, c1, c2, psi, ncas, up_then_down=False):
-    """E = c0 + <psi|H|psi> via the apply kernel (equals
-    transforms.energy_from_rdms on the RDMs of psi)."""
+    """E = c0 + Re<psi|H|psi> via the apply kernel (equals
+    transforms.energy_from_rdms on the RDMs of psi; conj/real are no-ops
+    for real states)."""
     c1eff = c1_effective(c1, c2)
-    return c0 + psi @ ham_apply(c1eff, c2, psi, ncas, up_then_down)
+    return c0 + jnp.real(
+        jnp.conj(psi) @ ham_apply(c1eff, c2, psi, ncas, up_then_down))

@@ -162,16 +162,19 @@ def rdms_from_state(psi, ncas, up_then_down=False, maps=None):
     """Spin-summed restricted (gamma, Gamma), chemist ordering.
 
     Matches reference Parameterized_circuit.get_rdms_from_state
-    (pqc.py:192-218) for real statevectors (the ansatz family is real).
+    (pqc.py:192-218): gamma_pq = Re<psi|E_pq|psi>, Gamma via the Phi gram.
+    Complex statevectors are handled natively — the bra side is
+    conjugated and the real part taken (conj/real are no-ops in XLA for
+    the real-valued built-in ansatze, so the hot path is unchanged).
     `maps` overrides the gather maps (sector basis).
     """
     phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
-    gamma = (phi @ psi).reshape(ncas, ncas)
-    corr = phi @ phi.T                                   # <E_qp E_rs>-ish
+    gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>
+    corr = jnp.real(jnp.conj(phi) @ phi.T)
     corr = corr.reshape(ncas, ncas, ncas, ncas)
     epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
-    delta = jnp.eye(ncas, dtype=psi.dtype)
+    delta = jnp.eye(ncas, dtype=gamma.dtype)
     Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
     return gamma, Gamma
 
@@ -189,14 +192,15 @@ def rdms_from_state_unrestricted(psi, ncas):
     nm = 2 * ncas
     src, sign = _pair_annihilation_tables(ncas)
     W = psi[src] * sign.astype(psi.dtype)                # (nm^2, D)
-    corr = W @ W.T                                       # <W_ab psi|W_rs psi>
+    corr = jnp.real(jnp.conj(W) @ W.T)                   # <W_ab psi|W_rs psi>
     corr = corr.reshape(nm, nm, nm, nm)
     # corr[(q,p),(r,s)] -> Gamma[p,q,r,s]
     Gamma = jnp.transpose(corr, (1, 0, 2, 3))
     # gamma via number/transfer single-mode maps derived from W is not
     # available (W_rr = 0), so gather directly
     gsrc, gsign = _single_mode_tables(ncas)
-    gamma = ((psi[gsrc] * gsign.astype(psi.dtype)) @ psi).reshape(nm, nm)
+    gamma = jnp.real((psi[gsrc] * gsign.astype(psi.dtype))
+                     @ jnp.conj(psi)).reshape(nm, nm)
     return gamma, Gamma
 
 

@@ -6,9 +6,13 @@ reference's PennyLane device argument is accepted and ignored (we own the
 simulator); `interface`/`diff_method` likewise (there is only JAX, and
 gradients flow through the simulator natively).
 
-The statevector is REAL float64: every supported ansatz (UCC(S)D,
-GateFabric, k-UpCCD) is an orthogonal circuit acting on a real initial
-state — this halves memory/compute vs the reference's complex128 states.
+The statevector is REAL float64 for the built-in ansatze: every supported
+ansatz (UCC(S)D, GateFabric, k-UpCCD) is an orthogonal circuit acting on
+a real initial state — this halves memory/compute vs the reference's
+complex128 states.  Custom callable ansatze (any theta -> statevector
+function, the reference's "any QNode" capability, pqc.py:163) may return
+COMPLEX states: the RDM kernels and the OO_pqc Newton core conjugate the
+bra side natively, so complex custom circuits optimize end-to-end.
 `state_complex` is provided for workflows that need a complex dtype.
 """
 
@@ -30,7 +34,8 @@ class Parameterized_circuit:
 
     def __init__(self, ncas, nelecas, dev=None, ansatz="ucc", n_layers=3,
                  add_singles=False, interface=None, diff_method=None,
-                 k=None, up_then_down=False, sector=False):
+                 k=None, up_then_down=False, sector=False,
+                 theta_shape=None):
         self.ncas = ncas
         self.nelecas = nelecas
         self.n_qubits = 2 * ncas
@@ -81,8 +86,20 @@ class Parameterized_circuit:
             self.theta_shape = ansatz.n_params
             self.hfstate = None
         elif callable(ansatz):
+            # any theta -> statevector callable (real OR complex), the
+            # reference's arbitrary-QNode capability (pqc.py:163).  The
+            # parameter count cannot be introspected from a black box, so
+            # it is passed explicitly (or probed from a `theta_shape`
+            # attribute on the callable); init_zeros and the OO_pqc
+            # Newton core need it.
             self._custom_state_fn = ansatz
-            self.theta_shape = None
+            if theta_shape is None:
+                theta_shape = getattr(ansatz, "theta_shape", None)
+            if theta_shape is None:
+                raise ValueError(
+                    "a callable ansatz needs theta_shape=<n_params> "
+                    "(or a .theta_shape attribute on the callable)")
+            self.theta_shape = int(np.prod(theta_shape))
             self.hfstate = None
         else:
             raise ValueError(f"unknown ansatz {ansatz!r}")
@@ -192,17 +209,13 @@ class Parameterized_circuit:
             raise NotImplementedError(
                 "unrestricted RDMs need pair-annihilation operators, "
                 "which leave the particle sector; use sector=False")
-        fn = (lambda s: _rdms.rdms_from_state(s, self.ncas,
-                                              self.up_then_down,
-                                              maps=self.sector_maps)) \
-            if restricted else \
-            (lambda s: _rdms.rdms_from_state_unrestricted(s, self.ncas))
-        if jnp.iscomplexobj(state):
-            re, im = jnp.real(state), jnp.imag(state)
-            g1, G1 = fn(re)
-            g2, G2 = fn(im)
-            return g1 + g2, G1 + G2
-        return fn(state)
+        # complex states are handled natively inside the kernels (the bra
+        # side is conjugated, real part taken — reference pqc.py:214-216)
+        if restricted:
+            return _rdms.rdms_from_state(state, self.ncas,
+                                         self.up_then_down,
+                                         maps=self.sector_maps)
+        return _rdms.rdms_from_state_unrestricted(state, self.ncas)
 
     def get_rdms(self, theta, restricted=True):
         if not restricted:

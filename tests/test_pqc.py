@@ -128,7 +128,8 @@ def test_custom_callable_ansatz():
         return (psi.at[12].set(jnp.cos(theta[0]))
                 .at[3].set(jnp.sin(theta[0])))
 
-    pqc = Parameterized_circuit(2, 2, ansatz=my_state)
+    pqc = Parameterized_circuit(2, 2, ansatz=my_state, theta_shape=1)
+    assert int(pqc.theta_shape) == 1
     g1, G2 = pqc.get_rdms_from_state(pqc.state(jnp.array([0.3])))
     assert abs(float(jnp.trace(g1)) - 2.0) < 1e-10
 
