@@ -50,17 +50,51 @@ from ..utils.newton_raphson import damped_newton_step_pure
 from .oo_energy import OO_energy
 
 
-def _build_nr_core(pqc, nao, occ, act, params_idx):
+def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
+                   tangent_axis="tp", state_axis=None):
     """Geometry-independent functional core for one problem spec.
 
     All molecule data (int1e_ao, int2e_ao, oao_coeff, nuc) are runtime
     arguments; only index maps / shapes are baked in, so one compiled
-    program serves every geometry of the same problem."""
+    program serves every geometry of the same problem.
+
+    With ``mesh`` given, the SAME quadratic-form formulation is
+    GSPMD-partitioned: the tangent batch J (nt, D) — and everything
+    batched over it (H J, Phi_J, the transition-RDM rows) — is sharded
+    over ``tangent_axis``, and the statevector dimension is additionally
+    sharded over ``state_axis`` if given.  Molecule arrays and gate
+    tables stay runtime ARGUMENTS (never closure-captured constants), so
+    the multi-chip path obeys the same compile-service discipline as the
+    single-device one."""
     params_idx = tuple(int(i) for i in params_idx)
     params_idx_dev = jnp.asarray(np.asarray(params_idx, dtype=np.int32))
     n_kappa = len(params_idx)
     tril_size = nao * (nao - 1) // 2
     nt = int(pqc.theta_shape)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def shard(x, *spec):
+            # a mesh axis may appear at most once per spec: when tangent
+            # and state share an axis (e.g. both "tp"), the earlier
+            # (tangent) dimension keeps it — sharding the independent
+            # tangent rows is communication-free, sharding the state
+            # dimension costs collectives
+            seen, clean = set(), []
+            for s in spec:
+                if s is not None and s in seen:
+                    clean.append(None)
+                else:
+                    clean.append(s)
+                    if s is not None:
+                        seen.add(s)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec(*clean)))
+    else:
+        def shard(x, *spec):
+            return x
+    t_ax, s_ax = tangent_axis, state_axis
 
     def k2m(kappa):
         total = jnp.zeros(tril_size, dtype=kappa.dtype)
@@ -136,20 +170,27 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         # (grad = 2 Re<d_i psi|H|psi>, etc.); conj/real are XLA no-ops
         # for the real-valued built-in ansatze.
         maps = pqc._maps_from(tables)
-        psi = state_fn(theta)
-        J = jax.jacfwd(state_fn)(theta).T          # (nt, D)
-        Hpsi = _ham.ham_apply(c1eff, c2, psi, ncas, utd, maps)
+        psi = shard(state_fn(theta), s_ax)
+        J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
+        Hpsi = shard(_ham.ham_apply(c1eff, c2, psi, ncas, utd, maps),
+                     s_ax)
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
         grad_c = jnp.real(jnp.conj(J) @ w)
         # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
         # intermediates must stay ~O(100 MB) under f64 emulation (the
-        # full 20-tangent batch allocated 3x 5G buffers at (8e,8o))
+        # full 20-tangent batch allocated 3x 5G buffers at (8e,8o)).
+        # Under a mesh the tangent axis is partitioned instead: each
+        # device holds nt/n_dev tangent rows, so the per-device
+        # intermediates shrink by the mesh size and no host-level
+        # chunk loop is needed.
         D = psi.shape[0]
         n2 = ncas * ncas
         chunk = max(1, min(nt, (1 << 25) // max(1, n2 * D)))
 
         def map_chunked(f, X):
+            if mesh is not None:
+                return f(X)
             B = X.shape[0]
             pad = (-B) % chunk
             Xp = (jnp.concatenate(
@@ -161,14 +202,17 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
             return out.reshape(n_chunks * chunk, *out.shape[2:])[:B]
 
         HJ = map_chunked(
-            lambda Jc: _ham.ham_apply(c1eff, c2, Jc, ncas, utd, maps),
+            lambda Jc: shard(
+                _ham.ham_apply(c1eff, c2, Jc, ncas, utd, maps),
+                t_ax, s_ax),
             J)
         term2 = jax.jacfwd(jax.grad(
             lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(theta)
         hess_cc = 2.0 * jnp.real(jnp.conj(J) @ HJ.T) + term2
 
         # RDMs and their theta-tangents from the Phi gram (product rule)
-        phi = _rdms.apply_epq_all(psi, ncas, utd, maps)  # (n^2, D)
+        phi = shard(_rdms.apply_epq_all(psi, ncas, utd, maps),
+                    None, s_ax)                          # (n^2, D)
         gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
         corr = jnp.real(jnp.conj(phi) @ phi.T).reshape(
             ncas, ncas, ncas, ncas)
@@ -179,6 +223,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
         def transition_rdms(Jc):
             phiJ = jax.vmap(
                 lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
+            phiJ = shard(phiJ, t_ax, None, s_ax)
             # d corr[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b>, real part
             dgram = jnp.real(
                 jnp.einsum("iad,bd->iab", jnp.conj(phiJ), phi)
@@ -267,14 +312,18 @@ def _build_nr_core(pqc, nao, occ, act, params_idx):
     }
 
 
-def _nr_core_for(pqc, nao, occ, act, params_idx):
+def _nr_core_for(pqc, nao, occ, act, params_idx, mesh=None,
+                 tangent_axis="tp", state_axis=None):
     """Spec-keyed cache of compiled cores, stored on the (shared) pqc."""
-    key = (nao, tuple(occ), tuple(act), tuple(int(i) for i in params_idx))
+    key = (nao, tuple(occ), tuple(act), tuple(int(i) for i in params_idx),
+           mesh, tangent_axis, state_axis)
     cache = getattr(pqc, "_nr_core_cache", None)
     if cache is None:
         cache = pqc._nr_core_cache = {}
     if key not in cache:
-        cache[key] = _build_nr_core(pqc, nao, occ, act, params_idx)
+        cache[key] = _build_nr_core(pqc, nao, occ, act, params_idx,
+                                    mesh=mesh, tangent_axis=tangent_axis,
+                                    state_axis=state_axis)
     return cache[key]
 
 

@@ -1,10 +1,11 @@
 from .sharding import (make_mesh, sharded_full_hessian_fn,
-                       sharded_nr_step_fn, GeometryBatch)
+                       sharded_grad_hess_fn, sharded_nr_step_fn,
+                       GeometryBatch)
 from .statevector import (sharded_state_fn, sharded_rdms_fn,
                           sharded_int2e_transform_fn, sharded_energy_fn)
 from .distributed import initialize_distributed, global_mesh
 
-__all__ = ["make_mesh", "sharded_full_hessian_fn", "sharded_nr_step_fn",
-           "GeometryBatch", "sharded_state_fn", "sharded_rdms_fn",
-           "sharded_int2e_transform_fn", "sharded_energy_fn",
-           "initialize_distributed", "global_mesh"]
+__all__ = ["make_mesh", "sharded_full_hessian_fn", "sharded_grad_hess_fn",
+           "sharded_nr_step_fn", "GeometryBatch", "sharded_state_fn",
+           "sharded_rdms_fn", "sharded_int2e_transform_fn",
+           "sharded_energy_fn", "initialize_distributed", "global_mesh"]

@@ -40,98 +40,104 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _replicated_mol_args(oo, mesh):
+    """The molecule runtime-argument bundle (AO integrals, OAO coeffs,
+    nuclear repulsion, gate tables) replicated over the mesh.  These
+    always travel as ARGUMENTS of the sharded programs — closure capture
+    would re-embed them as program constants, the compile-service failure
+    mode the single-device core was redesigned to avoid
+    (models/oo_pqc.py:25-30)."""
+    repl = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), oo._mol_args)
+
+
 def sharded_full_hessian_fn(oo, mesh, axis="tp"):
     """Build a jitted function (theta, oao_mo_coeff) -> full AD Hessian of
     the hybrid energy, with HVP columns sharded over `axis` of `mesh`.
 
-    Rows are padded to a multiple of the axis size; the returned function
-    slices the padding off again."""
+    This is the INDEPENDENT cross-check formulation (pure AD through the
+    energy); the production multi-chip path is sharded_nr_step_fn's
+    quadratic-form core.  Rows are padded to a multiple of the axis size;
+    the returned function slices the padding off again.  Molecule arrays
+    travel as runtime arguments."""
     nt = int(oo.pqc.theta_shape)
     nk = int(oo.n_kappa)
     n = nt + nk
     n_dev = mesh.shape[axis]
     n_pad = _round_up(n, n_dev)
+    core_energy = oo._core["energy"]
+    mol_args = _replicated_mol_args(oo, mesh)
 
-    def energy_flat(flat, oao):
-        return oo._energy_pure(flat[:nt], flat[nt:], oao)
+    def hess_rows(basis, flat0, oao, *margs):
+        # margs (incl. integer gate tables) are runtime args of the JIT
+        # but non-differentiated: the closure below captures their
+        # TRACERS, so nothing is baked into the program as a constant
+        def energy_flat(flat):
+            return core_energy(flat[:nt], flat[nt:], oao, *margs)
 
-    def hess_rows(basis, flat0, oao):
         def hvp(v):
-            return jax.jvp(jax.grad(energy_flat), (flat0, oao),
-                           (v, jnp.zeros_like(oao)))[1]
+            return jax.jvp(jax.grad(energy_flat), (flat0,), (v,))[1]
         return jax.vmap(hvp)(basis)
 
     basis = jnp.eye(n_pad, n, dtype=jnp.float64)
     basis_sharding = NamedSharding(mesh, P(axis, None))
-    out_sharding = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
 
     hess_rows_jit = jax.jit(
         hess_rows,
-        in_shardings=(basis_sharding, NamedSharding(mesh, P()),
-                      NamedSharding(mesh, P())),
-        out_shardings=out_sharding)
+        in_shardings=(basis_sharding, repl, repl) + (repl,) * 5,
+        out_shardings=NamedSharding(mesh, P(axis, None)))
 
     def full_hessian(theta, oao_mo_coeff):
         flat0 = jnp.concatenate(
             [jnp.ravel(theta), jnp.zeros(nk, dtype=jnp.float64)])
         b = jax.device_put(basis, basis_sharding)
-        rows = hess_rows_jit(b, flat0, oao_mo_coeff)
+        rows = hess_rows_jit(b, flat0, oao_mo_coeff, *mol_args)
         return rows[:n]
 
     return full_hessian
 
 
-def sharded_nr_step_fn(oo, mesh, axis="tp", alpha=1e-4, beta=0.5, mu=1e-6,
-                       rho=1.1, lambda_min=1e-6):
-    """Jitted multi-device Newton-Raphson step: sharded-HVP Hessian +
-    replicated gradient/line search.  Returns
-    (theta, oao) -> (new_theta, new_kappa, new_oao, energy, lowest_eig)."""
-    from ..utils.newton_raphson import damped_newton_step_pure
-    from ..ops.linalg import expm
+def sharded_grad_hess_fn(oo, mesh, axis="tp", state_axis=None):
+    """(theta, oao) -> (energy, gradient, Hessian) — THE fast
+    quadratic-form formulation (models/oo_pqc.py grad_hess: batched
+    Hamiltonian-apply + transition RDMs, the 167x-vs-torch path) with the
+    tangent batch sharded over `axis` and the statevector dimension
+    optionally sharded over `state_axis`.  Molecule arrays and gate
+    tables are runtime arguments replicated over the mesh."""
+    from ..models.oo_pqc import _nr_core_for
 
-    nt = int(oo.pqc.theta_shape)
-    nk = int(oo.n_kappa)
-    n = nt + nk
-    n_dev = mesh.shape[axis]
-    n_pad = _round_up(n, n_dev)
-    basis = jnp.eye(n_pad, n, dtype=jnp.float64)
-    basis_sharding = NamedSharding(mesh, P(axis, None))
-    repl = NamedSharding(mesh, P())
-
-    def energy_flat(flat, oao):
-        return oo._energy_pure(flat[:nt], flat[nt:], oao)
-
-    def step(basis_sharded, theta, oao):
-        flat0 = jnp.concatenate([theta, jnp.zeros(nk, dtype=theta.dtype)])
-        grad = jax.grad(energy_flat)(flat0, oao)
-
-        def hvp(v):
-            return jax.jvp(jax.grad(energy_flat), (flat0, oao),
-                           (v, jnp.zeros_like(oao)))[1]
-
-        hess = jax.vmap(hvp)(basis_sharded)[:n]
-
-        def objective(flat):
-            return energy_flat(flat, oao)
-
-        new_flat, lowest, t, _ = damped_newton_step_pure(
-            objective, flat0, grad, hess, alpha=alpha, beta=beta, mu=mu,
-            rho=rho, lambda_min=lambda_min)
-        new_theta = new_flat[:nt]
-        new_kappa = new_flat[nt:]
-        new_oao = oao @ expm(-oo.kappa_vector_to_matrix(new_kappa))
-        e_new = energy_flat(
-            jnp.concatenate([new_theta,
-                             jnp.zeros(nk, dtype=theta.dtype)]), new_oao)
-        return new_theta, new_kappa, new_oao, e_new, lowest
-
-    step_jit = jax.jit(step,
-                       in_shardings=(basis_sharding, repl, repl),
-                       out_shardings=(repl, repl, repl, repl, repl))
+    core = _nr_core_for(oo.pqc, oo.nao, oo._occ, oo._act, oo.params_idx,
+                        mesh=mesh, tangent_axis=axis,
+                        state_axis=state_axis)
+    mol_args = _replicated_mol_args(oo, mesh)
 
     def run(theta, oao):
-        b = jax.device_put(basis, basis_sharding)
-        return step_jit(b, jnp.ravel(theta), oao)
+        return core["grad_hess_jit"](jnp.ravel(theta), oao, *mol_args)
+
+    return run
+
+
+def sharded_nr_step_fn(oo, mesh, axis="tp", state_axis=None, alpha=1e-4,
+                       beta=0.5, mu=1e-6, rho=1.1, lambda_min=1e-6):
+    """Jitted multi-device Newton-Raphson step running the FAST
+    quadratic-form core (not the pure-AD HVP formulation): sharded
+    grad+Hessian, then the replicated augmented solve + Armijo line
+    search + MO update.  Returns
+    (theta, oao) -> (new_theta, new_kappa, new_oao, energy, lowest_eig),
+    bit-matching the single-device OO_pqc._nr_iteration_jit."""
+    from ..models.oo_pqc import _nr_core_for
+
+    core = _nr_core_for(oo.pqc, oo.nao, oo._occ, oo._act, oo.params_idx,
+                        mesh=mesh, tangent_axis=axis,
+                        state_axis=state_axis)
+    mol_args = _replicated_mol_args(oo, mesh)
+
+    def run(theta, oao):
+        return core["nr_iteration_jit"](
+            jnp.ravel(theta), oao, *mol_args, alpha, beta, mu, rho,
+            lambda_min)
 
     return run
 
