@@ -33,18 +33,26 @@ def occ_bit(idx, mode, nm):
     return (idx >> (nm - 1 - mode)) & 1
 
 
+def popcount(x):
+    """Vectorized population count (uint64 path: np.bitwise_count on
+    int64 falls back to a scalar loop ~100x slower on this numpy)."""
+    x = np.asarray(x)
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x.astype(np.uint64)).astype(np.int64)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    m = x.astype(np.int64).copy()
+    while np.any(m):
+        cnt += m & 1
+        m >>= 1
+    return cnt
+
+
 def _parity_below(idx, mode, nm):
     """(-1)^{number of occupied modes k < mode} as +-1."""
     if mode == 0:
         return np.ones_like(idx)
     shift = nm - mode
-    masked = (idx >> shift)
-    cnt = np.zeros_like(idx)
-    m = masked.copy()
-    while np.any(m):
-        cnt += m & 1
-        m >>= 1
-    return 1 - 2 * (cnt & 1)
+    return 1 - 2 * (popcount(np.asarray(idx) >> shift) & 1)
 
 
 def single_mode_transfer(P, Q, nm):
@@ -242,13 +250,21 @@ def sector_basis(ncas, nelec):
         nb = nelec // 2
         na = nelec - nb
     nm = n_modes(ncas)
-    idx = np.arange(1 << nm, dtype=np.int64)
-    cnt_a = np.zeros(idx.shape, dtype=np.int64)
-    cnt_b = np.zeros(idx.shape, dtype=np.int64)
-    for p in range(ncas):
-        cnt_a += occ_bit(idx, 2 * p, nm)
-        cnt_b += occ_bit(idx, 2 * p + 1, nm)
-    return idx[(cnt_a == na) & (cnt_b == nb)]
+    # O(D_sector): enumerate alpha / beta occupation strings and combine —
+    # never materializes the 4^ncas space, so (14e,14o) (C(14,7)^2 = 11.8M
+    # determinants vs 2^28 = 268M full) stays host-feasible
+    from itertools import combinations
+
+    def strings(n_occ, spin):
+        out = np.fromiter(
+            (sum(1 << (nm - 1 - (2 * p + spin)) for p in occ)
+             for occ in combinations(range(ncas), n_occ)),
+            dtype=np.int64)
+        return out if out.size else np.zeros(1, dtype=np.int64)
+
+    A = strings(na, 0)
+    B = strings(nb, 1)
+    return np.sort((A[:, None] | B[None, :]).ravel())
 
 
 def project_sector(op, basis):

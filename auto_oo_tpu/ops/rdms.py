@@ -124,12 +124,30 @@ def _epq_maps_spin(ncas, up_then_down, spin, D, dtype):
 
 
 @lru_cache(maxsize=None)
-def _pair_annihilation_tables(ncas):
+def _pair_annihilation_np(ncas):
     src, sign = fermion.pair_annihilation_gather(ncas)
     nm = 2 * ncas
     D = src.shape[-1]
-    return (jnp.asarray(src.reshape(nm * nm, D)),
-            jnp.asarray(sign.reshape(nm * nm, D)))
+    return src.reshape(nm * nm, D), sign.reshape(nm * nm, D)
+
+
+_PAIR_DEV_CACHE = {}
+
+
+def _pair_annihilation_tables(ncas):
+    """Device-array maps, cached only when built OUTSIDE a trace
+    (jnp.asarray under jit returns a tracer; caching that poisons every
+    later call — same discipline as _epq_tables_spin).  Mid-trace,
+    uncached, the numpy tables are returned and embed as constants."""
+    hit = _PAIR_DEV_CACHE.get(ncas)
+    if hit is not None:
+        return hit
+    src, sign = _pair_annihilation_np(ncas)
+    entry = (jnp.asarray(src), jnp.asarray(sign))
+    if isinstance(entry[0], jax.core.Tracer):
+        return src, sign
+    _PAIR_DEV_CACHE[ncas] = entry
+    return entry
 
 
 def warm_tables(ncas, up_then_down=False):
@@ -205,10 +223,7 @@ def rdms_from_state_unrestricted(psi, ncas):
 
 
 @lru_cache(maxsize=None)
-def _single_mode_tables(ncas):
-    """(src, sign) for all unrestricted a^dag_p a_q, shape (nm^2, D)."""
-    import numpy as np
-
+def _single_mode_np(ncas):
     nm = 2 * ncas
     D = 1 << nm
     src = np.zeros((nm, nm, D), dtype=np.int32)
@@ -218,8 +233,24 @@ def _single_mode_tables(ncas):
             s, g = fermion.single_mode_transfer(p, q, nm)
             src[p, q] = s
             sign[p, q] = g
-    return (jnp.asarray(src.reshape(nm * nm, D)),
-            jnp.asarray(sign.reshape(nm * nm, D)))
+    return src.reshape(nm * nm, D), sign.reshape(nm * nm, D)
+
+
+_SINGLE_DEV_CACHE = {}
+
+
+def _single_mode_tables(ncas):
+    """(src, sign) for all unrestricted a^dag_p a_q, shape (nm^2, D);
+    tracer-safe caching as in _pair_annihilation_tables."""
+    hit = _SINGLE_DEV_CACHE.get(ncas)
+    if hit is not None:
+        return hit
+    src, sign = _single_mode_np(ncas)
+    entry = (jnp.asarray(src), jnp.asarray(sign))
+    if isinstance(entry[0], jax.core.Tracer):
+        return src, sign
+    _SINGLE_DEV_CACHE[ncas] = entry
+    return entry
 
 
 @lru_cache(maxsize=None)

@@ -53,7 +53,30 @@ def hf_state(electrons, orbitals):
     return vec
 
 
-def uccd_program(ncas, nelecas, add_singles=False):
+def _finalize_program(gate_list, n_params, init_det, nm, dets=None):
+    """Assemble a GateProgram.  With `dets` (a sorted determinant subset,
+    e.g. a particle-sector basis) the gate (ia, ib) determinant values are
+    rank-remapped into the subset and the program runs on the small
+    vector — sector programs are built DIRECTLY this way in O(D_sector),
+    never materializing 4^ncas tables."""
+    if dets is None:
+        return GateProgram(gate_list, n_params, init_det, 1 << nm)
+    dets = np.asarray(dets, dtype=np.int64)
+    for g in gate_list:
+        ia = np.searchsorted(dets, g.ia)
+        ib = np.searchsorted(dets, g.ib)
+        ok = ((ia < len(dets)) & (ib < len(dets)))
+        assert np.all(ok) and np.all(dets[ia] == g.ia) \
+            and np.all(dets[ib] == g.ib), "gate pair leaves the subset"
+        g.ia = ia.astype(np.int32)
+        g.ib = ib.astype(np.int32)
+    init = int(np.searchsorted(dets, init_det))
+    assert init < len(dets) and dets[init] == init_det, \
+        "initial determinant outside the subset"
+    return GateProgram(gate_list, n_params, init, len(dets))
+
+
+def uccd_program(ncas, nelecas, add_singles=False, dets=None):
     """UCC doubles (optionally + singles) ansatz.
 
     Parameter layout matches qml.UCCSD (used by the reference via
@@ -69,12 +92,15 @@ def uccd_program(ncas, nelecas, add_singles=False):
     gate_list = []
     for i, (s, r, q, p) in enumerate(doubles):
         gate_list.append(G.fermionic_double_pairs(
-            p, q, r, s, nm, param=ns + i, half=0.5, sign_flip=FD_SIGN))
+            p, q, r, s, nm, param=ns + i, half=0.5, sign_flip=FD_SIGN,
+            dets=dets))
     if add_singles:
         for j, (r, p) in enumerate(singles):
             gate_list.append(G.fermionic_single_pairs(
-                p, r, nm, param=j, half=0.5, sign_flip=FS_SIGN))
-    return GateProgram(gate_list, ns + len(doubles), init_idx, 1 << nm)
+                p, r, nm, param=j, half=0.5, sign_flip=FS_SIGN,
+                dets=dets))
+    return _finalize_program(gate_list, ns + len(doubles), init_idx, nm,
+                             dets)
 
 
 def gatefabric_layout(n_qubits):
@@ -103,7 +129,8 @@ def gatefabric_redundant_idx(ncas, nelecas):
     return redundant
 
 
-def gatefabric_program(ncas, nelecas, n_layers, include_pi=False):
+def gatefabric_program(ncas, nelecas, n_layers, include_pi=False,
+                       dets=None):
     """GateFabric over the FULL theta of shape (L, n_blocks, 2); parameter
     slot = flat index.  Block gate Q(theta, phi) = DoubleExcitation(theta)
     then OrbitalRotation(phi) (order calibrated against goldens)."""
@@ -119,10 +146,11 @@ def gatefabric_program(ncas, nelecas, n_layers, include_pi=False):
             p_theta = (layer * n_blocks + b) * 2
             p_phi = p_theta + 1
             de = G.double_excitation_pairs(wires, nm, p_theta,
-                                           sign_flip=DE_SIGN)
+                                           sign_flip=DE_SIGN, dets=dets)
             orot = G.orbital_rotation_pairs(wires, nm, p_phi,
                                             sign_flip=OR_SIGN,
-                                            with_string=OR_STRING)
+                                            with_string=OR_STRING,
+                                            dets=dets)
             if FABRIC_ORBROT_FIRST:
                 gate_list.extend(orot)
                 gate_list.append(de)
@@ -130,7 +158,7 @@ def gatefabric_program(ncas, nelecas, n_layers, include_pi=False):
                 gate_list.append(de)
                 gate_list.extend(orot)
     n_params = n_layers * n_blocks * 2
-    return GateProgram(gate_list, n_params, init_idx, 1 << nm)
+    return _finalize_program(gate_list, n_params, init_idx, nm, dets)
 
 
 def generalized_pair_doubles(wires):
@@ -142,7 +170,7 @@ def generalized_pair_doubles(wires):
             if p != r]
 
 
-def kupccd_program(ncas, nelecas, k=1):
+def kupccd_program(ncas, nelecas, k=1, dets=None):
     """k-Unitary Pair CC Generalized Doubles: k repetitions of all pair
     doubles (reference ansatze/kUpCCD.py:94-130).  theta shape (k, n_pd),
     flattened row-major into parameter slots."""
@@ -158,8 +186,9 @@ def kupccd_program(ncas, nelecas, k=1):
             q, p = w2[0], w2[-1]
             gate_list.append(G.fermionic_double_pairs(
                 p, q, r, s, nm, param=layer * len(d_wires) + i,
-                half=0.5, sign_flip=FD_SIGN))
-    return GateProgram(gate_list, k * len(d_wires), init_idx, 1 << nm)
+                half=0.5, sign_flip=FD_SIGN, dets=dets))
+    return _finalize_program(gate_list, k * len(d_wires), init_idx, nm,
+                             dets)
 
 
 def uccd_circuit(theta, ncas, nelecas, add_singles=False):

@@ -55,6 +55,16 @@ class Parameterized_circuit:
         self._custom_state_fn = None
         self.program = None
 
+        # sector mode: built-in ansatz programs are constructed DIRECTLY
+        # on the (n_alpha, n_beta) determinant basis — O(D_sector) host
+        # work, no 4^ncas table ever materialized (the projection route
+        # stays for prebuilt full-space GatePrograms)
+        self.sector = bool(sector)
+        sector_dets = None
+        if self.sector:
+            from ..ops import fermion as _fermion
+            sector_dets = _fermion.sector_basis(ncas, nelecas)
+
         if ansatz == "ucc":
             self.singles, self.doubles = A.excitations(nelecas,
                                                        self.n_qubits)
@@ -62,7 +72,8 @@ class Parameterized_circuit:
                                 + (len(self.singles) if add_singles else 0))
             self.hfstate = A.hf_state(nelecas, self.n_qubits)
             self.program = A.uccd_program(ncas, nelecas,
-                                          add_singles=add_singles)
+                                          add_singles=add_singles,
+                                          dets=sector_dets)
         elif ansatz == "np_fabric":
             self.n_layers = n_layers
             self.hfstate = A.hf_state(nelecas, self.n_qubits)
@@ -73,14 +84,16 @@ class Parameterized_circuit:
             self.params_idx = np.array(
                 [x for x in range(nfull) if x not in self.redundant_idx])
             self.theta_shape = len(self.params_idx)
-            self.program = A.gatefabric_program(ncas, nelecas, n_layers)
+            self.program = A.gatefabric_program(ncas, nelecas, n_layers,
+                                                dets=sector_dets)
         elif ansatz == "kupccd":
             self.k = k if k is not None else n_layers
             self.hfstate = A.hf_state(nelecas, self.n_qubits)
             self.d_wires = A.generalized_pair_doubles(
                 list(range(self.n_qubits)))
             self.theta_shape = self.k * len(self.d_wires)
-            self.program = A.kupccd_program(ncas, nelecas, k=self.k)
+            self.program = A.kupccd_program(ncas, nelecas, k=self.k,
+                                            dets=sector_dets)
         elif isinstance(ansatz, GateProgram):
             self.program = ansatz
             self.theta_shape = ansatz.n_params
@@ -104,17 +117,20 @@ class Parameterized_circuit:
         else:
             raise ValueError(f"unknown ansatz {ansatz!r}")
 
-        self.sector = bool(sector)
         self.sector_maps = None
         if self.sector:
             # run in the conserved (n_alpha, n_beta) determinant basis:
             # C(n,na)*C(n,nb) amplitudes instead of 4^ncas (16x at
-            # (10e,10o); see simulator/sector.py and README roadmap)
+            # (10e,10o), 20x at (12e,12o); see simulator/sector.py)
             if self.program is None:
                 raise ValueError("sector=True needs a compiled GateProgram")
             from . import sector as _sector
-            self.program, self.sector_basis = _sector.project_program(
-                self.program, ncas, nelecas)
+            if self.program.dim == (1 << self.n_qubits):
+                # prebuilt full-space GateProgram: project it
+                self.program, self.sector_basis = _sector.project_program(
+                    self.program, ncas, nelecas)
+            else:
+                self.sector_basis = sector_dets
             self.sector_maps = _sector.sector_epq_maps(
                 ncas, nelecas, self.up_then_down)
 
@@ -178,12 +194,30 @@ class Parameterized_circuit:
         return _rdms.rdms_from_state(psi, self.ncas, self.up_then_down,
                                      maps=self._maps_from(tables))
 
-    def _rdms_unrestricted_impl(self, theta, tables=None):
-        if self.sector:
-            raise NotImplementedError(
-                "unrestricted RDMs need pair-annihilation operators, "
-                "which leave the particle sector; use sector=False")
+    def _umaps(self):
+        """Cross-sector pair-annihilation maps for unrestricted RDMs,
+        built lazily (they cost as much as the E_pq maps and most sector
+        workflows never need them)."""
+        if not self.sector:
+            return None
+        if getattr(self, "_sector_umaps", None) is None:
+            from . import sector as _sector
+            if self.up_then_down:
+                raise NotImplementedError(
+                    "sector unrestricted RDMs assume interleaved mode "
+                    "ordering (the sector basis convention)")
+            self._sector_umaps = _sector.sector_pair_annihilation_maps(
+                self.ncas, self.nelecas)
+        return self._sector_umaps
+
+    def _rdms_unrestricted_impl(self, theta, tables=None, umaps=None):
         psi = self._state_impl(theta, tables)
+        if self.sector:
+            from . import sector as _sector
+            maps = self._maps_from(tables)
+            return _sector.rdms_from_sector_state_unrestricted(
+                psi, maps, umaps if umaps is not None else self._umaps(),
+                self.ncas)
         return _rdms.rdms_from_state_unrestricted(psi, self.ncas)
 
     def get_rdms_from_state(self, state, restricted=True):
@@ -205,40 +239,78 @@ class Parameterized_circuit:
             raise ValueError(
                 f"state has dim {state.shape[-1]}, but this circuit works "
                 f"over {where} (dim {expected}){hint}")
-        if not restricted and self.sector:
-            raise NotImplementedError(
-                "unrestricted RDMs need pair-annihilation operators, "
-                "which leave the particle sector; use sector=False")
         # complex states are handled natively inside the kernels (the bra
         # side is conjugated, real part taken — reference pqc.py:214-216)
         if restricted:
             return _rdms.rdms_from_state(state, self.ncas,
                                          self.up_then_down,
                                          maps=self.sector_maps)
+        if self.sector:
+            from . import sector as _sector
+            return _sector.rdms_from_sector_state_unrestricted(
+                state, self.sector_maps, self._umaps(), self.ncas)
         return _rdms.rdms_from_state_unrestricted(state, self.ncas)
 
     def get_rdms(self, theta, restricted=True):
         if not restricted:
-            return self._rdms_u_jit(jnp.asarray(theta), self._tables())
+            return self._rdms_u_jit(jnp.asarray(theta), self._tables(),
+                                    self._umaps())
         return self._rdms_jit(jnp.asarray(theta), self._tables())
 
     # -- misc -------------------------------------------------------------
 
     def draw_circuit(self, theta):
-        """Text rendering of the compiled program (reference pqc.py:223)."""
-        lines = []
+        """Wire-diagram rendering of the compiled program, in the style of
+        qml.draw (reference pqc.py:223): one row per qubit, one column per
+        gate, multi-wire gates joined by box connectors.  Falls back to a
+        flat gate table when the program carries no display metadata."""
         if self.program is None:
             return "<custom state function>"
-        n = self.program.half.shape[0]
-        lines.append(f"GateProgram: {n} pair-rotation gates, "
-                     f"{self.program.n_params} parameters, "
-                     f"dim {self.program.dim}")
         theta = np.ravel(np.asarray(theta))
         full = np.asarray(self._expand_theta(jnp.asarray(theta)))
-        for i in range(n):
-            ang = self.program.half[i] * full[self.program.param[i]]
-            npairs = int(getattr(self.program, "n_real_pairs",
-                                 self.program.mask.sum(axis=1))[i])
-            lines.append(f"  gate {i:3d}: param {self.program.param[i]:3d} "
-                         f"angle {ang:+.4f} pairs {npairs}")
-        return "\n".join(lines)
+        meta = getattr(self.program, "gate_meta", None)
+        header = (f"GateProgram: {self.program.half.shape[0]} "
+                  f"pair-rotation gates, {self.program.n_params} "
+                  f"parameters, dim {self.program.dim}")
+        if not meta or any(m[0] is None for m in meta):
+            lines = [header]
+            for i in range(self.program.half.shape[0]):
+                ang = self.program.half[i] * full[self.program.param[i]]
+                npairs = int(getattr(self.program, "n_real_pairs",
+                                     self.program.mask.sum(axis=1))[i])
+                lines.append(
+                    f"  gate {i:3d}: param {self.program.param[i]:3d} "
+                    f"angle {ang:+.4f} pairs {npairs}")
+            return "\n".join(lines)
+
+        abbrev = {"FermionicDouble": "G2", "FermionicSingle": "G1",
+                  "DoubleExcitation": "G2", "SingleExcitation": "G",
+                  "OrbitalRotation": "OR"}
+        # merge consecutive PairGates sharing (name, wires, param) — e.g.
+        # OrbitalRotation compiles to two pair gates with one parameter
+        merged = []
+        for name, wires, param in meta:
+            if merged and merged[-1] == (name, wires, param):
+                continue
+            merged.append((name, wires, param))
+        nq = self.n_qubits
+        rows = [[] for _ in range(nq)]
+        for name, wires, param in merged:
+            label = f"{abbrev.get(name, name)}({full[param]:+.2f})"
+            lo, hi = min(wires), max(wires)
+            width = len(label) + 1
+            for q in range(nq):
+                if q in wires:
+                    conn = ("╭" if q == lo else
+                            "╰" if q == hi else "├")
+                    cell = conn + label
+                elif lo < q < hi:
+                    cell = "│"
+                else:
+                    cell = ""
+                rows[q].append(cell.ljust(width, "─"))
+        out = [header]
+        for q in range(nq):
+            out.append(f"q{q:02d}: ─" + "─".join(rows[q])
+                       + "─")
+        return "\n".join(out)

@@ -31,6 +31,11 @@ class GateProgram:
         self.n_params = int(n_params)
         self.init_idx = int(init_idx)
         self.dim = int(dim)
+        # display metadata (name, wires, param) per gate, used by
+        # Parameterized_circuit.draw_circuit's wire diagram
+        self.gate_meta = [(getattr(g, "name", None),
+                           getattr(g, "wires", None), int(g.param))
+                          for g in gates]
         if gates:
             mp = max(max(g.ia.size for g in gates), 1)
             n = len(gates)

@@ -106,6 +106,38 @@ def test_sharded_quadratic_form_2d_mesh():
     assert np.allclose(np.asarray(h_s), np.asarray(h_r), atol=1e-11)
 
 
+def test_sector_sharded_composition():
+    """Sector mode composes with GSPMD sharding (VERDICT r2 item 2):
+    sector-basis sharded RDMs equal the FULL-SPACE result, and the sector
+    sharded quadratic-form grad+Hessian equals the sector single-device
+    core."""
+    from auto_oo_tpu.parallel import (sharded_rdms_fn, sharded_energy_fn,
+                                      sharded_grad_hess_fn)
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    pqc_s = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                  sector=True)
+    pqc_f = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2)
+    theta = 0.05 * jnp.arange(pqc_s.theta_shape, dtype=jnp.float64)
+    g_sh, G_sh = sharded_rdms_fn(pqc_s, mesh, axis="tp")(theta)
+    g_f, G_f = pqc_f.get_rdms(theta)
+    assert np.allclose(np.asarray(g_sh), np.asarray(g_f), atol=1e-12)
+    assert np.allclose(np.asarray(G_sh), np.asarray(G_f), atol=1e-12)
+
+    oo_s = OO_pqc(pqc_s, mol, 4, 4, freeze_active=True)
+    e_s, gr_s, h_s = sharded_grad_hess_fn(oo_s, mesh, axis="tp",
+                                          state_axis="tp")(
+        theta, oo_s.oao_mo_coeff)
+    e_r, gr_r, h_r = oo_s._grad_hess_jit(theta, oo_s.oao_mo_coeff)
+    assert abs(float(e_s) - float(e_r)) < 1e-11
+    assert np.allclose(np.asarray(gr_s), np.asarray(gr_r), atol=1e-11)
+    assert np.allclose(np.asarray(h_s), np.asarray(h_r), atol=1e-11)
+
+    e_fwd = float(sharded_energy_fn(oo_s, mesh)(
+        theta, jnp.zeros(oo_s.n_kappa), oo_s.oao_mo_coeff))
+    assert abs(e_fwd - float(oo_s.energy_from_parameters(theta))) < 1e-11
+
+
 def test_sharded_statevector_equals_single_device(setup):
     """Statevector sharded over the 8-device mesh equals the single-device
     state bit-for-bit (GSPMD preserves semantics)."""

@@ -171,3 +171,32 @@ def test_onthefly_rdms_match_table_rdms():
         R._ONTHEFLY_MIN_DIM = old
     assert np.allclose(np.asarray(g_t), np.asarray(g_f), atol=1e-14)
     assert np.allclose(np.asarray(G_t), np.asarray(G_f), atol=1e-14)
+
+
+@pytest.mark.parametrize("ncas,nelecas", [(4, 3), (4, 4)])
+def test_sector_unrestricted_rdms_match_full_space(ncas, nelecas):
+    """Unrestricted RDMs computed in the sector basis (cross-sector
+    pair-annihilation maps, VERDICT r2 item 5) equal the full-space
+    kernel on the same physical state."""
+    pqc_s = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+                                  n_layers=1, sector=True)
+    pqc_f = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+                                  n_layers=1)
+    theta = 0.07 * jnp.arange(pqc_s.theta_shape, dtype=jnp.float64) + 0.1
+    g_s, G_s = pqc_s.get_rdms(theta, restricted=False)
+    g_f, G_f = pqc_f.get_rdms(theta, restricted=False)
+    assert np.allclose(np.asarray(g_s), np.asarray(g_f), atol=1e-12)
+    assert np.allclose(np.asarray(G_s), np.asarray(G_f), atol=1e-12)
+
+
+def test_sector_unrestricted_from_state_api():
+    """get_rdms_from_state(..., restricted=False) accepts sector vectors."""
+    pqc_s = Parameterized_circuit(3, 2, ansatz="ucc", sector=True)
+    pqc_f = Parameterized_circuit(3, 2, ansatz="ucc")
+    theta = 0.3 * jnp.ones(pqc_s.theta_shape, dtype=jnp.float64)
+    g_s, G_s = pqc_s.get_rdms_from_state(pqc_s.state(theta),
+                                         restricted=False)
+    g_f, G_f = pqc_f.get_rdms_from_state(pqc_f.state(theta),
+                                         restricted=False)
+    assert np.allclose(np.asarray(g_s), np.asarray(g_f), atol=1e-12)
+    assert np.allclose(np.asarray(G_s), np.asarray(G_f), atol=1e-12)
