@@ -10,10 +10,18 @@ transfer via the number-conserving Thouless/Bogoliubov rotation
 G = exp{sum [log M]_pq sum_sigma a^dag_{p sigma} a_{q sigma}}, (4) Berry
 phase = arg of the product of successive overlaps <psi_{i+1}|G|psi_i>.
 
-Here it is a first-class API.  The state transfer is computed directly as
-an expm-multiply of the one-body generator on the statevector (replacing
-the reference's openfermion.bogoliubov_transform + cirq circuit unitary;
-our construction needs no gauge fixing because <0|G|0> = 1 exactly).
+Here it is a first-class API.  The state transfer G = Gamma(M) (the
+second-quantized representation of the active-block MO overlap M) runs ON
+DEVICE through the compiled-gate simulator: M is polar-decomposed
+M = W V diag(sigma) V^T, the two orthogonal factors are Givens-decomposed
+into the same fermionic single-excitation pair gates the ansatze use, and
+diag(sigma) acts as an occupation-weighted diagonal — replacing both the
+reference's openfermion.bogoliubov_transform + cirq unitary (notebook
+cell 28) and round 2's host-side scipy expm_multiply over the 4^ncas
+space.  Because it is built from sector-conserving pair gates, the
+transfer composes with sector mode for free; no gauge fixing is needed
+because <0|G|0> = 1 exactly.  The scipy route is kept as
+`transfer_state_host` for cross-validation.
 """
 
 import numpy as np
@@ -43,17 +51,156 @@ def orbital_rotation_generator(M_act, ncas):
     return gen
 
 
-def transfer_state(state, mo_atob, act_idx, ncas):
-    """Transfer a statevector between active-orbital bases.
-
-    mo_atob: OAO-MO overlap C_a^T C_b between consecutive geometries;
-    its (transposed) active block defines the Thouless rotation
-    (notebook cell 28: `bogoliubov_atob_cas`)."""
+def transfer_state_host(state, mo_atob, act_idx, ncas):
+    """Host/scipy reference path: expm-multiply of the sparse one-body
+    generator over the full 4^ncas space (round-2 implementation, kept as
+    the cross-validation oracle for the device path)."""
     act = np.asarray(act_idx, dtype=int)
     M = np.asarray(mo_atob).T[np.ix_(act, act)]
     gen = orbital_rotation_generator(M, ncas)
     out = expm_multiply(gen, np.asarray(state, dtype=complex))
     return out
+
+
+def givens_angles(R, tol=1e-12):
+    """Decompose R in SO(n) into plane rotations: R = rot(i1,j1,t1) @ ...
+    @ rot(ik,jk,tk), where rot(i,j,t) is the matrix with [i,i]=[j,j]=cos t,
+    [i,j]=sin t, [j,i]=-sin t (the one-body matrix of
+    exp(t (a^dag_i a_j - a^dag_j a_i))).  Host-side, O(n^3)."""
+    R = np.asarray(R, dtype=float)
+    n = R.shape[0]
+    A = R.copy()
+    left = []  # rotations L_k with L_m ... L_1 A = I
+    for j in range(n - 1):
+        for i in range(n - 1, j, -1):
+            b = A[i, j]
+            a = A[i - 1, j]
+            # rotate when there is a sub-entry to zero OR the upper
+            # entry is negative (a pi rotation repairs -1 diagonal pairs
+            # left by reflections)
+            if abs(b) < tol and a >= -tol:
+                continue
+            t = np.arctan2(b, a)
+            c, s = np.cos(t), np.sin(t)
+            G = np.eye(n)
+            # G = rot(i-1, i, t) zeroes A[i, j]
+            G[i - 1, i - 1] = c
+            G[i, i] = c
+            G[i - 1, i] = s
+            G[i, i - 1] = -s
+            A = G @ A
+            left.append((i - 1, i, t))
+    assert np.allclose(A, np.eye(n), atol=1e-9), \
+        "givens_angles expects a special-orthogonal matrix"
+    # A = L_m ... L_1 R = I  =>  R = L_1^{-1} ... L_m^{-1}, and
+    # L_k = rot(i,j,t) so L_k^{-1} = rot(i,j,-t)
+    return [(i, j, -t) for (i, j, t) in left]
+
+
+def _rot(n, i, j, t):
+    G = np.eye(n)
+    c, s = np.cos(t), np.sin(t)
+    G[i, i] = c
+    G[j, j] = c
+    G[i, j] = s
+    G[j, i] = -s
+    return G
+
+
+def transfer_factors(M):
+    """Host factorization of Gamma(M) for arbitrary invertible real M:
+    M = W' Dw V' diag(sigma) V'^T with W', V' special-orthogonal,
+    Dw = diag(1..1, det-sign).  Returns (rots_W, flip_W, rots_V, sigma)
+    where rots_* are givens_angles lists."""
+    M = np.asarray(M, dtype=float)
+    U, sigma, Vt = np.linalg.svd(M)
+    W = U @ Vt
+    V = Vt.T
+    flip_W = bool(np.linalg.det(W) < 0)
+    if flip_W:
+        W = W.copy()
+        W[:, -1] *= -1.0
+    if np.linalg.det(V) < 0:
+        # flipping the sign of one column of V leaves V diag(s) V^T
+        # invariant, so the flip is absorbed exactly
+        V = V.copy()
+        V[:, -1] *= -1.0
+    return givens_angles(W), flip_W, givens_angles(V), sigma
+
+
+def _rotation_program(rots, ncas, dets=None, reverse=False,
+                      transpose=False):
+    """GateProgram applying Gamma(prod_k rot(i_k, j_k, t_k)): one
+    fermionic single-excitation pair gate per spin per rotation, rightmost
+    factor first.  Returns (program, angles)."""
+    from ..simulator import gates as G
+    from ..simulator.ansatze import _finalize_program
+
+    nm = 2 * ncas
+    seq = list(rots)
+    if transpose:  # Gamma(R^T): reversed factors, negated angles
+        seq = [(i, j, -t) for (i, j, t) in reversed(seq)]
+    # Gamma(G1 G2 ...)|psi> applies the RIGHTMOST factor first; the gate
+    # program applies list order first -> reverse the factor list
+    seq = list(reversed(seq))
+    gate_list = []
+    angles = []
+    for k, (i, j, t) in enumerate(seq):
+        for s in (0, 1):
+            gate_list.append(G.fermionic_single_pairs(
+                2 * i + s, 2 * j + s, nm, param=k, half=1.0, dets=dets))
+        angles.append(t)
+    prog = _finalize_program(gate_list, max(len(seq), 1),
+                             fermion.hf_bitstring(ncas, 0)[0]
+                             if dets is None else int(np.asarray(dets)[0]),
+                             nm, dets)
+    return prog, jnp.asarray(np.asarray(angles, dtype=float)
+                             if angles else np.zeros(1))
+
+
+def _occupation_matrix(ncas, dets=None):
+    """occ[d, p] = occupation (0/1/2) of spatial orbital p in basis
+    determinant d (interleaved ordering)."""
+    nm = 2 * ncas
+    dets = (np.arange(1 << nm, dtype=np.int64) if dets is None
+            else np.asarray(dets, dtype=np.int64))
+    occ = np.zeros((len(dets), ncas), dtype=np.int8)
+    for p in range(ncas):
+        occ[:, p] = (fermion.occ_bit(dets, 2 * p, nm)
+                     + fermion.occ_bit(dets, 2 * p + 1, nm))
+    return occ
+
+
+def transfer_state(state, mo_atob, act_idx, ncas, dets=None):
+    """Transfer a statevector between active-orbital bases ON DEVICE.
+
+    mo_atob: OAO-MO overlap C_a^T C_b between consecutive geometries;
+    its (transposed) active block defines the Thouless rotation
+    (notebook cell 28: `bogoliubov_atob_cas`).  Gamma(M) is applied as
+    Givens-gate programs + one diagonal occupation weighting — exact for
+    any invertible real M (including reflections and non-orthogonality),
+    matching transfer_state_host to machine precision.  `dets` runs the
+    transfer in a sector basis (pass pqc.sector_basis)."""
+    act = np.asarray(act_idx, dtype=int)
+    M = np.asarray(mo_atob).T[np.ix_(act, act)]
+    rots_W, flip_W, rots_V, sigma = transfer_factors(M)
+    psi = jnp.asarray(state)
+    occ = _occupation_matrix(ncas, dets)
+    # Gamma(M) = Gamma(W') Gamma(Dw) Gamma(V') Gamma(diag sigma) Gamma(V'^T)
+    progVt, angVt = _rotation_program(rots_V, ncas, dets, transpose=True)
+    psi = progVt.apply(angVt, psi)
+    weights = jnp.exp(jnp.asarray(occ.astype(float))
+                      @ jnp.log(jnp.asarray(sigma)))
+    psi = psi * weights.astype(psi.dtype)
+    progV, angV = _rotation_program(rots_V, ncas, dets)
+    psi = progV.apply(angV, psi)
+    if flip_W:
+        # Gamma(diag(1..1,-1)) multiplies by (-1)^{n_last}
+        psi = psi * jnp.asarray(
+            np.where(occ[:, -1] % 2 == 1, -1.0, 1.0)).astype(psi.dtype)
+    progW, angW = _rotation_program(rots_W, ncas, dets)
+    psi = progW.apply(angW, psi)
+    return np.asarray(psi)
 
 
 class BerryPhaseLoop:
@@ -149,8 +296,11 @@ class BerryPhaseLoop:
 
     def overlaps(self):
         """Successive overlaps <psi_{i+1}| G_{i->i+1} |psi_i>
-        (notebook cells 30-32)."""
+        (notebook cells 30-32).  The Thouless transfer runs on device
+        through the compiled-gate simulator (sector-compatible: a sector
+        pqc transfers in its own basis)."""
         states = self.states()
+        dets = self.pqc.sector_basis if self.pqc.sector else None
         n = len(states)
         out = []
         for i in range(n):
@@ -158,7 +308,7 @@ class BerryPhaseLoop:
             mo_atob = (np.asarray(self.oao_mo_coeff_l[i]).T
                        @ np.asarray(self.oao_mo_coeff_l[j]))
             moved = transfer_state(states[i], mo_atob, self.act_idx,
-                                   self.ncas)
+                                   self.ncas, dets=dets)
             out.append(np.vdot(states[j].astype(complex), moved))
         return np.array(out)
 

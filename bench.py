@@ -6,13 +6,27 @@ under the driver).  Prints ONE JSON line on stdout:
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
 (progress goes to stderr).
 
+Tiers (all formaldimine, np_fabric ansatz):
+  (6e,6o)  sto-3g   full space      — the headline BASELINE.json metric
+  (4e,3o)  sto-3g   full space
+  (8e,8o)  sto-3g   full space      — reference-architecture ceiling
+  (8e,8o)  sto-3g   SECTOR basis    — D = C(8,4)^2 = 4,900 (13x smaller)
+  (10e,10o) sto-3g  SECTOR basis    — D = 63,504 (full space needs ~32G)
+  (12e,12o) sto-3g  SECTOR basis    — D = 853,776
+  (4e,4o)  cc-pVDZ  full space      — polarized basis (nao = 43): stresses
+                                      the nao^4 transform + native ERI path
+
+Each tier reports median, p95 and the max/min iteration ratio — iteration
+time of a fixed compiled program should be flat; the ratio quantifies
+host-sync / service jitter instead of leaving it anecdotal.
+
 The reference publishes no numbers (BASELINE.md); the driver-set target is
 < 1 s per NR iteration on one TPU v5e chip — `vs_baseline` is reported as
 target_seconds / measured_seconds against that 1 s target for the headline
 (6e,6o) configuration, so > 1.0 beats the target.
 
 A persistent XLA compilation cache under .jax_cache/ makes repeat runs
-skip the (large) one-time compile of the fused NR-iteration program.
+skip the (large) one-time compile of the NR-iteration programs.
 """
 
 import json
@@ -30,7 +44,19 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False):
+def _stats(times):
+    t = np.asarray(times)
+    return {
+        "median": float(np.median(t)),
+        "p95": float(np.percentile(t, 95)),
+        "min": float(t.min()),
+        "max": float(t.max()),
+        "ratio_max_min": float(t.max() / t.min()),
+    }
+
+
+def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
+                  basis="sto-3g"):
     import jax
     import jax.numpy as jnp
 
@@ -42,13 +68,13 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False):
     # device session carries tens of seconds of one-time warmup that is
     # not this program's compile time
     jax.jit(lambda x: x + 1.0)(jnp.zeros(8)).block_until_ready()
-    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol = Moldata(get_formal_geo(140, 80), basis)
     pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
                                 n_layers=n_layers, sector=sector)
     oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True)
     theta = pqc.init_zeros()
-    log(f"setup ({nelecas}e,{ncas}o){' sector' if sector else ''}: "
-        f"{time.time() - t0:.1f}s "
+    log(f"setup ({nelecas}e,{ncas}o) {basis}"
+        f"{' sector' if sector else ''}: {time.time() - t0:.1f}s "
         f"(n_theta={pqc.theta_shape}, n_kappa={oo.n_kappa}, "
         f"D={pqc.program.dim})")
 
@@ -68,7 +94,7 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False):
         energy.block_until_ready()
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]:.4f}s  E={float(energy):.10f}")
-    return float(np.median(times)), compile_s, float(energy)
+    return _stats(times), compile_s, float(energy)
 
 
 def main():
@@ -80,37 +106,47 @@ def main():
     except Exception as exc:  # cache is best-effort
         log(f"compilation cache unavailable: {exc}")
 
-    value, compile_s, energy = time_nr_iters(6, 6, 2)
-    extra = {"compile_s_6e6o": round(compile_s, 2), "energy_6e6o": energy}
-    try:
-        v43, c43, e43 = time_nr_iters(3, 4, 1)
-        extra["nr_iter_wall_s_4e3o"] = round(v43, 6)
-    except Exception as exc:
-        log(f"(4e,3o) tier skipped: {exc}")
-    try:
-        v88, c88, e88 = time_nr_iters(8, 8, 2, n_iters=3)
-        extra["nr_iter_wall_s_8e8o"] = round(v88, 6)
-        extra["compile_s_8e8o"] = round(c88, 2)
-    except Exception as exc:
-        log(f"(8e,8o) tier skipped: {exc}")
-    try:
-        # (10e,10o) runs in the conserved-particle sector basis
-        # (D = C(10,5)^2 = 63,504 instead of 4^10; the full space needs
-        # ~32G HBM and does not fit one chip)
-        v10, c10, e10 = time_nr_iters(10, 10, 2, n_iters=3, sector=True)
-        extra["nr_iter_wall_s_10e10o_sector"] = round(v10, 6)
-        extra["compile_s_10e10o_sector"] = round(c10, 2)
-    except Exception as exc:
-        log(f"(10e,10o) sector tier skipped: {exc}")
+    st, compile_s, energy = time_nr_iters(6, 6, 2)
+    value = st["median"]
+    extra = {"compile_s_6e6o": round(compile_s, 2), "energy_6e6o": energy,
+             "stats_6e6o": st}
+
+    def tier(label, *args, **kwargs):
+        try:
+            s, c, e = time_nr_iters(*args, **kwargs)
+            extra[f"nr_iter_wall_s_{label}"] = round(s["median"], 6)
+            extra[f"stats_{label}"] = s
+            extra[f"compile_s_{label}"] = round(c, 2)
+        except Exception as exc:
+            log(f"{label} tier skipped: {exc}")
+
+    tier("4e3o", 3, 4, 1)
+    # (8e,8o): full space (the reference architecture's ceiling) AND the
+    # sector basis (D = 4,900 vs 65,536 — the production configuration)
+    tier("8e8o", 8, 8, 2, n_iters=3)
+    tier("8e8o_sector", 8, 8, 2, n_iters=6, sector=True)
+    # (10e,10o)/(12e,12o) run in the conserved-particle sector basis
+    # (D = 63,504 / 853,776; the full spaces need ~32G / ~512G HBM)
+    tier("10e10o_sector", 10, 10, 2, n_iters=3, sector=True)
+    tier("12e12o_sector", 12, 12, 1, n_iters=2, sector=True)
+    # polarized-basis tier: nao = 43 stresses the nao^4 transform and the
+    # native ERI engine (reference ran cc-pVDZ in its north-star test,
+    # test_oo_pqc.py:160-185)
+    tier("4e4o_ccpvdz", 4, 4, 2, n_iters=3, basis="cc-pvdz")
+
     # PyTorch-CPU reference-pattern baseline, measured on this host with
     # scripts/bench_torch_cpu.py (the reference's own deps are not
     # installable here; that script reimplements its default hot path —
     # complex128 backprop sim, ncas^4 sparse-matvec RDM loops, AD circuit
     # blocks + analytic orbital blocks, Armijo NR step — in torch):
-    #   torch_cpu_nr_iter_s_6e6o = 35.823   torch_cpu_nr_iter_s_4e3o = 0.927
     torch_cpu_6e6o = 35.823  # scripts/bench_torch_cpu.py on this host
     extra["torch_cpu_ref_nr_iter_s_6e6o"] = torch_cpu_6e6o
     extra["speedup_vs_torch_cpu_6e6o"] = round(torch_cpu_6e6o / value, 1)
+    torch_cpu_44dz = 30.515  # same script, (4e,4o) cc-pVDZ tier
+    if "nr_iter_wall_s_4e4o_ccpvdz" in extra:
+        extra["torch_cpu_ref_nr_iter_s_4e4o_ccpvdz"] = torch_cpu_44dz
+        extra["speedup_vs_torch_cpu_4e4o_ccpvdz"] = round(
+            torch_cpu_44dz / extra["nr_iter_wall_s_4e4o_ccpvdz"], 1)
     target_s = 1.0
     print(json.dumps({
         "metric": "nr_iter_wall_s_formaldimine_6e6o_sto3g",

@@ -50,12 +50,12 @@ def torch_sparse(csr):
 class TorchReference:
     """Reference-pattern OO-PQC in torch (CPU)."""
 
-    def __init__(self, ncas, nelecas, n_layers):
+    def __init__(self, ncas, nelecas, n_layers, basis="sto-3g"):
         from auto_oo_tpu import Moldata, get_formal_geo
         from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
         from auto_oo_tpu.ops import fermion
 
-        mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+        mol = Moldata(get_formal_geo(140, 80), basis)
         pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
                                     n_layers=n_layers)
         oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True)
@@ -254,10 +254,10 @@ class TorchReference:
         return new[:nt], float(e_t)
 
 
-def bench(ncas, nelecas, n_layers, n_iters=2):
+def bench(ncas, nelecas, n_layers, n_iters=2, basis="sto-3g"):
     t0 = time.time()
-    ref = TorchReference(ncas, nelecas, n_layers)
-    log(f"setup ({nelecas}e,{ncas}o): {time.time() - t0:.1f}s")
+    ref = TorchReference(ncas, nelecas, n_layers, basis=basis)
+    log(f"setup ({nelecas}e,{ncas}o) {basis}: {time.time() - t0:.1f}s")
     theta = torch.zeros(ref.n_theta, requires_grad=False)
     times = []
     for i in range(n_iters):
@@ -275,6 +275,8 @@ def main():
     out["torch_cpu_nr_iter_s_4e3o"] = round(t43, 3)
     t66 = bench(6, 6, 2)
     out["torch_cpu_nr_iter_s_6e6o"] = round(t66, 3)
+    t44dz = bench(4, 4, 2, basis="cc-pvdz")
+    out["torch_cpu_nr_iter_s_4e4o_ccpvdz"] = round(t44dz, 3)
     import json
     print(json.dumps(out))
 

@@ -12,7 +12,9 @@ import pytest
 import auto_oo_tpu
 from auto_oo_tpu import Moldata, get_formal_geo
 from auto_oo_tpu.models import Parameterized_circuit
-from auto_oo_tpu.models.berry import transfer_state, BerryPhaseLoop
+from auto_oo_tpu.models.berry import (transfer_state,
+                                      transfer_state_host,
+                                      BerryPhaseLoop)
 from auto_oo_tpu.moldata import fci as _fci
 
 
@@ -55,28 +57,115 @@ def test_transfer_state_fci_self_consistency():
     assert abs(abs(overlap) - 1.0) < 1e-8
 
 
+def test_transfer_device_matches_host_oracle():
+    """The device Givens/polar transfer equals the scipy expm_multiply
+    oracle for orthogonal, reflecting (det < 0) and non-orthogonal M."""
+    rng = np.random.RandomState(0)
+    ncas = 3
+    act = np.arange(ncas)
+    D = 1 << (2 * ncas)
+    cases = [
+        np.linalg.qr(rng.randn(ncas, ncas))[0],
+        np.linalg.qr(rng.randn(ncas, ncas))[0] * np.array([1, 1, -1]),
+        (np.linalg.qr(rng.randn(ncas, ncas))[0]
+         + 0.05 * rng.randn(ncas, ncas)),
+        np.diag([-1.0, -1.0, 1.0]),
+    ]
+    for M in cases:
+        psi = rng.randn(D)
+        psi /= np.linalg.norm(psi)
+        ref = transfer_state_host(psi, M.T, act, ncas)
+        dev = np.asarray(transfer_state(psi, M.T, act, ncas),
+                         dtype=complex)
+        assert np.max(np.abs(dev - ref)) < 1e-12
+
+
+def test_transfer_sector_basis():
+    """Sector-basis transfer equals the full-space transfer projected."""
+    from auto_oo_tpu.ops import fermion
+    rng = np.random.RandomState(3)
+    ncas, ne = 3, 4
+    basis = fermion.sector_basis(ncas, ne)
+    D = 1 << (2 * ncas)
+    psi = np.zeros(D)
+    psi[basis] = rng.randn(len(basis))
+    psi /= np.linalg.norm(psi)
+    M = (np.linalg.qr(rng.randn(ncas, ncas))[0]
+         + 0.03 * rng.randn(ncas, ncas))
+    ref = transfer_state_host(psi, M.T, np.arange(ncas), ncas)
+    dev = np.asarray(transfer_state(psi[basis], M.T, np.arange(ncas),
+                                    ncas, dets=basis), dtype=complex)
+    assert np.max(np.abs(dev - ref[basis])) < 1e-12
+
+
+def _ci_loop_geos(n_points):
+    ts = np.linspace(0, 1, n_points)
+    return [get_formal_geo(130 + 10 * np.cos(2 * np.pi * t + np.pi / 20),
+                           89.9 + 10 * np.sin(2 * np.pi * t + np.pi / 20))
+            for t in ts]
+
+
 @pytest.mark.slow
 def test_berry_phase_around_conical_intersection():
     """Loop around the formaldimine CI: Berry phase ~ +-pi
-    (notebook cells 10-33; red loop origin (130, 89.9), radius 10,
-    10-point loop as in the notebook, first == last).
+    (notebook cells 10-33; red loop origin (130, 89.9), radius 10).
 
     Tracking converges each loop point (up to 12 NR steps, dE < 1e-10)
-    so the state stays on the adiabatic ground-state branch; the
-    remaining sub-unit overlap magnitudes reflect the genuine rotation
-    of the state between consecutive geometries."""
-    n_points = 11
-    ts = np.linspace(0, 1, n_points)
-    geos = [get_formal_geo(130 + 10 * np.cos(2 * np.pi * t + np.pi / 20),
-                           89.9 + 10 * np.sin(2 * np.pi * t + np.pi / 20))
-            for t in ts]
+    so the state stays on the adiabatic ground-state branch; with a
+    21-point loop the geometry steps are small enough that every
+    successive overlap magnitude is within 0.05 of 1."""
+    geos = _ci_loop_geos(21)
     pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
     loop = BerryPhaseLoop(geos, "sto-3g", 2, 2, pqc,
                           freeze_active=True).run(
         conv_tol=1e-10, track_steps=12, track_tol=1e-10)
     ov = loop.overlaps()
-    # individual overlaps are near +-1 (adiabatic tracking); measured
-    # magnitudes 0.89-1.0 on this loop
+    assert np.all(np.abs(np.abs(ov) - 1.0) < 0.05)
+    phase = loop.berry_phase()
+    assert abs(abs(phase) - np.pi) < 0.05
+
+
+@pytest.mark.slow
+def test_berry_phase_sector_mode():
+    """The SAME conical-intersection loop run entirely in the particle
+    sector basis (states, tracking and Thouless transfer all on sector
+    vectors) reproduces the +-pi Berry phase."""
+    geos = _ci_loop_geos(11)
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    loop = BerryPhaseLoop(geos, "sto-3g", 2, 2, pqc,
+                          freeze_active=True).run(
+        conv_tol=1e-10, track_steps=12, track_tol=1e-10)
+    ov = loop.overlaps()
     assert np.all(np.abs(np.abs(ov) - 1.0) < 0.15)
     phase = loop.berry_phase()
     assert abs(abs(phase) - np.pi) < 0.05
+
+
+@pytest.mark.slow
+def test_berry_loop_6e6o_sector_smoke():
+    """A (6e,6o) Berry tracking loop runs entirely in sector mode
+    (D = C(6,3)^2 = 400 instead of 4,096): full optimization at the
+    first point, adiabatic tracking + device Thouless transfer on sector
+    vectors for the rest.  A short open arc must give successive
+    overlaps that are real, positive and O(1).  They are NOT ~1 here:
+    at (6e,6o) one active orbital is nearly empty, and the Newton steps
+    freely gauge-rotate it into the virtual space (sigma_min of the
+    active overlap block drops to ~0.1), which legitimately shrinks the
+    non-unitary Thouless norm — a positive scaling that cannot affect
+    the Berry PHASE, which stays ~0 for this non-enclosing arc."""
+    geos = [get_formal_geo(140 + 0.25 * k, 80 + 0.25 * k)
+            for k in range(3)]
+    pqc = Parameterized_circuit(6, 6, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    loop = BerryPhaseLoop(geos, "sto-3g", 6, 6, pqc,
+                          freeze_active=True).run(
+        conv_tol=1e-9, max_iterations=30, track_steps=6,
+        track_tol=1e-9)
+    assert len(loop.energy_l) == 3
+    assert np.all(np.isfinite(loop.energy_l))
+    ov = loop.overlaps()
+    # consecutive-geometry overlaps (the loop is not closed, so skip the
+    # wrap-around element): real, positive, O(1)
+    assert np.all(ov[:-1].real > 0.7)
+    assert np.all(np.abs(ov.imag) < 1e-10)

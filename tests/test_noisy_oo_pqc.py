@@ -53,3 +53,36 @@ def test_full_noisy_optimization_runs_and_converges(noisy):
     mol.run_casscf(2, 2)
     assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-4
     assert len(kappa_l) == len(energy_l)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variance,e_tol,basin_frac",
+                         [(1e-6, 5e-3, 1.0), (1e-4, 5e-2, 1.0)])
+def test_shot_noise_robustness_statistics(variance, e_tol, basin_frac):
+    """Realistic shot-noise regime (the reference class's stated purpose,
+    noisy_oo_pqc.py:21): across seeds, the damped-Newton optimizer must
+    reach the CASSCF basin despite Gaussian noise of the given variance
+    on every gradient/Hessian block.  Asserts convergence STATISTICS
+    (fraction of seeds in basin, median final error ~ sqrt(variance)
+    scale), not a single near-noiseless run."""
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol.run_casscf(2, 2)
+    e_ref = mol.casscf.e_tot
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    finals = []
+    for seed in range(4):
+        noisy = Noisy_OO_pqc(pqc, mol, 2, 2, freeze_active=True,
+                             seed=seed)
+        energy_l, *_ = noisy.full_noisy_optimization(
+            pqc.init_zeros(), variance=variance, max_iterations=30,
+            conv_tol=0.0)
+        # the iterate wanders in a noise ball: score the BEST energy
+        # reached (the line search keeps exact-energy descent, so the
+        # trajectory visits the basin)
+        finals.append(min(energy_l))
+    finals = np.array(finals)
+    in_basin = np.mean(np.abs(finals - e_ref) < e_tol)
+    assert in_basin >= basin_frac, (finals, e_ref)
+    # noise floor scales like sqrt(variance): the median error must not
+    # be orders of magnitude above it
+    assert np.median(np.abs(finals - e_ref)) < 50 * np.sqrt(variance)
