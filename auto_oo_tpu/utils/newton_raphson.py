@@ -58,6 +58,16 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
     if e0 is None:
         e0 = objective_flat(params_flat)
     gdp = jnp.dot(gradient, dp)
+    # floating-point slack on the Armijo comparison: near convergence the
+    # true decrease drops below f64 resolution of the energy (~eps |e0|),
+    # and a strict test then burns all lmax halvings on pure-roundoff
+    # comparisons before falling back to t=0 — observed as rogue
+    # NR iterations costing lmax energy evaluations (bench max/min
+    # ratios up to 14x).  64 eps |e0| ~ 1e-12 Ha here: far below any
+    # conv_tol in use, so no real descent decision is altered, but
+    # roundoff-level trials accept immediately.
+    slack = 64.0 * jnp.finfo(jnp.float64).eps * jnp.maximum(
+        1.0, jnp.abs(e0))
 
     # the t=1 trial happens INSIDE the while loop (first iteration halves
     # the sentinel t=1/beta back to 1), so the objective is traced once
@@ -65,7 +75,8 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
     # the line-search energy region dominates this program's compile time
     def cond(state):
         t, e_t, num = state
-        return jnp.logical_and(e_t > e0 + alpha * t * gdp, num < lmax)
+        return jnp.logical_and(e_t > e0 + alpha * t * gdp + slack,
+                               num < lmax)
 
     def body(state):
         t, _, num = state
@@ -79,7 +90,7 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
     t, e_t, num = jax.lax.while_loop(
         cond, body, (1.0 / beta, jnp.asarray(jnp.inf, dtype=e0.dtype), 0))
     # exhausted without an Armijo-satisfying trial -> return the origin
-    failed = e_t > e0 + alpha * t * gdp
+    failed = e_t > e0 + alpha * t * gdp + slack
     t = jnp.where(failed, 0.0, t)
     e_t = jnp.where(failed, e0, e_t)
     return params_flat + t * dp, t, e_t

@@ -142,7 +142,7 @@ def main():
     torch_cpu_6e6o = 35.823  # scripts/bench_torch_cpu.py on this host
     extra["torch_cpu_ref_nr_iter_s_6e6o"] = torch_cpu_6e6o
     extra["speedup_vs_torch_cpu_6e6o"] = round(torch_cpu_6e6o / value, 1)
-    torch_cpu_44dz = 30.515  # same script, (4e,4o) cc-pVDZ tier
+    torch_cpu_44dz = 18.045  # same script, (4e,4o) cc-pVDZ tier
     if "nr_iter_wall_s_4e4o_ccpvdz" in extra:
         extra["torch_cpu_ref_nr_iter_s_4e4o_ccpvdz"] = torch_cpu_44dz
         extra["speedup_vs_torch_cpu_4e4o_ccpvdz"] = round(
