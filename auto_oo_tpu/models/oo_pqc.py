@@ -208,13 +208,14 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             J)
         term2 = jax.jacfwd(jax.grad(
             lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(theta)
-        hess_cc = 2.0 * jnp.real(jnp.conj(J) @ HJ.T) + term2
+        hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(J), HJ))
+                   + term2)
 
         # RDMs and their theta-tangents from the Phi gram (product rule)
         phi = shard(_rdms.apply_epq_all(psi, ncas, utd, maps),
                     None, s_ax)                          # (n^2, D)
         gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
-        corr = jnp.real(jnp.conj(phi) @ phi.T).reshape(
+        corr = jnp.real(_rdms.gram_last(jnp.conj(phi), phi)).reshape(
             ncas, ncas, ncas, ncas)
         delta = jnp.eye(ncas, dtype=gamma.dtype)
         Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
@@ -224,10 +225,13 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             phiJ = jax.vmap(
                 lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
             phiJ = shard(phiJ, t_ax, None, s_ax)
-            # d corr[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b>, real part
+            # d corr[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b>, real part;
+            # both contractions via gram_last so the big D axis never
+            # gets relayed out (see ops/rdms.gram_last)
             dgram = jnp.real(
-                jnp.einsum("iad,bd->iab", jnp.conj(phiJ), phi)
-                + jnp.einsum("ad,ibd->iab", jnp.conj(phi), phiJ))
+                _rdms.gram_last(jnp.conj(phiJ), phi)
+                + jnp.transpose(_rdms.gram_last(jnp.conj(phi), phiJ),
+                                (1, 0, 2)))
             dgamma = jnp.real(
                 (phiJ @ jnp.conj(psi))
                 + jnp.einsum("ad,id->ia", phi, jnp.conj(Jc))).reshape(
@@ -264,6 +268,182 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                           [hess_oc, hess_oo]])
         return e0, grad, hess
 
+    # ---- staged large-D pipeline ---------------------------------------
+    # ONE fused grad_hess program at D ~ 850k ((12e,12o) sector) exceeds
+    # HBM working-set comfort and XLA resorts to compressed
+    # rematerialization of the ~1 GB (ncas^2, D) buffers — measured to
+    # inflate a ~60 s iteration to > 900 s, at which point the device
+    # runtime gives up.  Above _STAGED_MIN_D the SAME math runs as
+    # separate modest-peak programs; every intermediate stays
+    # device-resident between dispatches, and each program's peak is a
+    # few GB so nothing spills.  Exactness vs the fused program is
+    # pinned in tests/test_oo_pqc.py.
+    n2s = ncas * ncas
+
+    def _coeffs(oao, int1e_ao, int2e_ao, oao_coeff, nuc):
+        mo = oao_coeff @ oao
+        h1, g2, c0, c1, c2 = active_coeffs(int1e_ao, int2e_ao, nuc, mo)
+        return h1, g2, c0, c2, _ham.c1_effective(c1, c2)
+
+    def _state_and_J(theta, tables):
+        def f(th):
+            return pqc._state_impl(th, tables)
+        return f(theta), jax.jacfwd(f)(theta).T
+
+    def _hrow(c1eff, c2, v, tables):
+        return _ham.ham_apply(c1eff, c2, v, ncas, utd,
+                              pqc._maps_from(tables))
+
+    def _misc(c0, psi, Hpsi, J):
+        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
+        w = 2.0 * Hpsi
+        return e0, w, jnp.real(jnp.conj(J) @ w)
+
+    def _term2(theta, w, tables):
+        return jax.jacfwd(jax.grad(
+            lambda th: jnp.real(pqc._state_impl(th, tables)
+                                @ jnp.conj(w))))(theta)
+
+    def _cc(J, HJ, term2):
+        return 2.0 * jnp.real(_rdms.gram_last(jnp.conj(J), HJ)) + term2
+
+    def _phi_of(psi, tables):
+        return _rdms.apply_epq_all(psi, ncas, utd,
+                                   pqc._maps_from(tables))
+
+    def _rdms_of(phi, psi):
+        gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
+        corr = jnp.real(_rdms.gram_last(jnp.conj(phi), phi)).reshape(
+            ncas, ncas, ncas, ncas)
+        delta = jnp.eye(ncas, dtype=gamma.dtype)
+        Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
+                 - jnp.einsum("qr,ps->pqrs", delta, gamma))
+        return gamma, Gamma
+
+    def _pack(h1, g2, g1, G2):
+        grad4 = _fock.analytic_gradient_from_integrals(
+            h1, g2, g1, G2, occ, act)
+        return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
+
+    def _orb(h1, g2, gamma, Gamma):
+        grad_o = _pack(h1, g2, gamma, Gamma)
+        G0 = _pack(h1, g2, jnp.zeros_like(gamma), jnp.zeros_like(Gamma))
+        hess4 = _fock.analytic_hessian_from_integrals(
+            h1, g2, gamma, Gamma, occ, act)
+        return grad_o, G0, _fock.full_hessian_to_matrix(
+            hess4, params_idx, nao)
+
+    def _row_fused(Jrow, phi, psi, h1, g2, G0, c1eff, c2, tables):
+        """Per-tangent program: ONE E_pq gather of the tangent feeds both
+        the Hamiltonian-apply row (H J_i, for hess_cc) and the
+        transition-RDM row (for hess_oc)."""
+        maps = pqc._maps_from(tables)
+        phiJ = _rdms.apply_epq_all(Jrow, ncas, utd, maps)
+        HJrow = _ham.ham_apply(c1eff, c2, Jrow, ncas, utd, maps,
+                               phi_pre=phiJ[None])
+        delta = jnp.eye(ncas, dtype=jnp.float64)
+        # dgram[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b> (both terms are
+        # (a,b)-indexed grams here — no transpose, unlike the batched
+        # 3-D form where the tangent axis leads)
+        dgram = jnp.real(_rdms.gram_last(jnp.conj(phiJ), phi)
+                         + _rdms.gram_last(jnp.conj(phi), phiJ))
+        dgamma = jnp.real(
+            phiJ @ jnp.conj(psi)
+            + _rdms.gram_last(phi, jnp.conj(Jrow[None, :]))[:, 0]
+        ).reshape(ncas, ncas)
+        dcorr = dgram.reshape(ncas, ncas, ncas, ncas)
+        dGamma = (jnp.transpose(dcorr, (1, 0, 2, 3))
+                  - jnp.einsum("qr,ps->pqrs", delta, dgamma))
+        return HJrow, _pack(h1, g2, dgamma, dGamma) - G0
+
+    def _assemble(grad_c, grad_o, hess_cc, oc_stack, hess_oo):
+        hess_oc = oc_stack.T.reshape(n_kappa, nt)
+        grad = jnp.concatenate([grad_c, grad_o])
+        hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],
+                          [hess_oc, hess_oo]])
+        return grad, hess
+
+    _staged_jits = {}
+
+    def _sj(name, fn):
+        if name not in _staged_jits:
+            _staged_jits[name] = jax.jit(fn)
+        return _staged_jits[name]
+
+    def grad_hess_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                         tables):
+        h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
+            oao, int1e_ao, int2e_ao, oao_coeff, nuc)
+        psi, J = _sj("stateJ", _state_and_J)(theta, tables)
+        Hpsi = _sj("hrow", _hrow)(c1eff, c2, psi, tables)
+        phi = _sj("phi", _phi_of)(psi, tables)
+        gamma, Gamma = _sj("rdms", _rdms_of)(phi, psi)
+        grad_o, G0, hess_oo = _sj("orb", _orb)(h1, g2, gamma, Gamma)
+        row = _sj("row", _row_fused)
+        HJ_rows, oc_rows_l = [], []
+        for i in range(nt):
+            HJrow, ocrow = row(J[i], phi, psi, h1, g2, G0, c1eff, c2,
+                               tables)
+            HJ_rows.append(HJrow)
+            oc_rows_l.append(ocrow)
+        HJ = jnp.stack(HJ_rows)
+        oc = (jnp.stack(oc_rows_l) if n_kappa
+              else jnp.zeros((nt, 0), dtype=jnp.float64))
+        e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
+        term2 = _sj("term2", _term2)(theta, w, tables)
+        hess_cc = _sj("cc", _cc)(J, HJ, term2)
+        grad, hess = _sj("asm", _assemble)(grad_c, grad_o, hess_cc, oc,
+                                           hess_oo)
+        return e0, grad, hess
+
+    _STAGED_MIN_D = 1 << 19
+    D_static = pqc.program.dim if pqc.program is not None else 0
+    use_staged = mesh is None and D_static >= _STAGED_MIN_D
+
+    def _solve_dir(grad, hess, mu, rho, lambda_min):
+        from ..utils.newton_raphson import newton_step_pure
+        return newton_step_pure(grad, hess, mu=mu, rho=rho,
+                                lambda_min=lambda_min)
+
+    def _fold_oao(oao, new_kappa):
+        return oao @ expm(-k2m(new_kappa))
+
+    def newton_update_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff,
+                             nuc, tables, e0, grad, hess, alpha, beta,
+                             mu, rho, lambda_min, lmax=20):
+        """Host-driven damped Newton update for large D: the augmented
+        solve is one small program, each Armijo trial is one forward-pass
+        program (core energy), and the loop runs in Python — mirroring
+        utils/newton_raphson.backtracking_pure trial for trial (incl. the
+        roundoff slack), because the fused while_loop line-search program
+        at D ~ 850k hits the same spill regime as the fused grad_hess."""
+        import numpy as np_
+
+        dp, lowest = _sj("solve", _solve_dir)(grad, hess, mu, rho,
+                                              lambda_min)
+        flat0 = jnp.concatenate(
+            [theta, jnp.zeros(n_kappa, dtype=theta.dtype)])
+        e_jit = _sj("energy", energy)
+        e0_f = float(e0)
+        gdp = float(grad @ dp)
+        slack = 64.0 * np_.finfo(np_.float64).eps * max(1.0, abs(e0_f))
+        t = 1.0
+        e_t = None
+        for num in range(lmax):
+            trial = flat0 + t * dp
+            e_t = float(e_jit(trial[:nt], trial[nt:], oao, int1e_ao,
+                              int2e_ao, oao_coeff, nuc, tables))
+            if e_t <= e0_f + alpha * t * gdp + slack:
+                break
+            t *= beta
+        else:
+            t, e_t = 0.0, e0_f
+        new_flat = flat0 + t * dp
+        new_theta = new_flat[:nt]
+        new_kappa = new_flat[nt:]
+        new_oao = _sj("fold", _fold_oao)(oao, new_kappa)
+        return new_theta, new_kappa, new_oao, jnp.asarray(e_t), lowest
+
     def newton_update(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                       tables, e0, grad, hess, alpha, beta, mu, rho,
                       lambda_min):
@@ -287,8 +467,14 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         # bit-identical, so no trailing re-evaluation is needed.
         return new_theta, new_kappa, new_oao, e_t, lowest
 
-    grad_hess_jit = jax.jit(grad_hess)
-    newton_update_jit = jax.jit(newton_update)
+    grad_hess_fused_jit = jax.jit(grad_hess)
+    # dispatcher: the staged pipeline replaces the fused programs above
+    # the spill threshold (single-device only — under a mesh the tangent
+    # axis is already partitioned, which removes the pressure)
+    grad_hess_jit = (grad_hess_staged if use_staged
+                     else grad_hess_fused_jit)
+    newton_update_jit = (newton_update_staged if use_staged
+                         else jax.jit(newton_update))
 
     def nr_iteration(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                      tables, alpha, beta, mu, rho, lambda_min):
@@ -307,6 +493,9 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         "energy_jit": jax.jit(energy),
         "orbital_gradient": orbital_gradient,
         "grad_hess_jit": grad_hess_jit,
+        "grad_hess_fused_jit": grad_hess_fused_jit,
+        "grad_hess_staged": grad_hess_staged,
+        "newton_update_staged": newton_update_staged,
         "newton_update_jit": newton_update_jit,
         "nr_iteration_jit": nr_iteration,
     }

@@ -36,10 +36,15 @@ def c1_effective(c1, c2):
     return c1 - jnp.einsum("ptts->ps", c2)
 
 
-def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None):
+def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None,
+              phi_pre=None):
     """H|chi> (without the c0 constant).  chi: (D,) or (B, D).
 
-    `maps` optionally overrides the E_pq gather maps (sector basis)."""
+    `maps` optionally overrides the E_pq gather maps (sector basis).
+    `phi_pre` optionally supplies the precomputed Phi[b, rs, :] =
+    E_rs chi_b tensor ((B, n2, D)) so callers that already built it
+    (e.g. the staged per-tangent pipeline, which needs Phi_J for the
+    transition RDMs anyway) skip the second E_pq gather pass."""
     n2 = ncas * ncas
     batched = chi.ndim == 2
     x = chi if batched else chi[None, :]
@@ -50,9 +55,16 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None):
         maps = [_rdms._epq_maps_spin(ncas, up_then_down, s, D, x.dtype)
                 for s in range(2)]
     # Phi[b, rs, :] = E_rs x_b
-    phi = sum(x[:, src] * sign for src, sign in maps)      # (B, n2, D)
+    phi = (phi_pre if phi_pre is not None
+           else sum(x[:, src] * sign for src, sign in maps))  # (B, n2, D)
     C2 = c2.reshape(n2, n2).astype(x.dtype)
-    Y = jnp.einsum("pr,brd->bpd", C2, phi)                 # (B, n2, D)
+    # Y[b] = C2 @ phi[b] with the LARGE state axis kept minor-most and
+    # sliced above ~260k (ops/rdms.small_matmul_free_last): the einsum
+    # form "pr,brd->bpd" let XLA pick a [..., D, n2] layout whose
+    # (8,128) tiling pads n2 (144 -> 256, 1.8x) and whose f64 dot
+    # emulation materialized 3.7-6.5 GB expanded-operand temporaries —
+    # the difference between (12e,12o) fitting in 15.75 GB HBM and OOM
+    Y = _rdms.small_matmul_free_last(C2, phi)              # (B, n2, D)
     Y = Y + c1eff.reshape(n2)[None, :, None] * x[:, None, :]
     # out = sum_pq E_pq Y[pq]:  E_pq acts row-wise with row-specific
     # sources: out[i] += sign[s,pq,i] * Y[pq, src[s,pq,i]].  Integer

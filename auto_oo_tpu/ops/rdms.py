@@ -159,6 +159,80 @@ def warm_tables(ncas, up_then_down=False):
             _epq_tables_spin(ncas, up_then_down, s, "float64")
 
 
+def _dot_last(a, b):
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (b.ndim - 1,)), ((), ())))
+
+
+# the TPU f64 dot emulation materializes ~8 f32 copies of each operand:
+# a (144, D) gram at D = 853,776 expands to 2 x 3.7 GB of temporaries.
+# Above _CHUNK_MIN_D the big axis is processed in _CHUNK_D slices so the
+# expanded buffers stay ~350 MB; below it (every bench tier up to
+# (10e,10o)) the direct dot is used unchanged.
+_CHUNK_MIN_D = 1 << 18
+_CHUNK_D = 1 << 16
+
+
+def _pad_last(x, pad):
+    if not pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+
+
+def gram_last(a, b):
+    """Contract the LAST axis of both operands: (..., D) x (..., D) ->
+    outer batch shape, without ever materializing a transpose of the
+    large-D operand.  ``a @ b.T`` makes XLA relayout b into (D, n) whose
+    (8,128) tiling pads the minor n axis (144 -> 256, 1.8x); large D is
+    additionally sliced so the f64 dot emulation's expanded operand
+    copies stay bounded (see _CHUNK_MIN_D)."""
+    D = a.shape[-1]
+    if D <= _CHUNK_MIN_D:
+        return _dot_last(a, b)
+    n = -(-D // _CHUNK_D)
+    pad = n * _CHUNK_D - D
+    ap = _pad_last(a, pad)
+    bp = _pad_last(b, pad)
+    out0 = jnp.zeros(a.shape[:-1] + b.shape[:-1],
+                     jnp.result_type(a.dtype, b.dtype))
+
+    def body(k, acc):
+        sa = jax.lax.dynamic_slice_in_dim(ap, k * _CHUNK_D, _CHUNK_D,
+                                          axis=ap.ndim - 1)
+        sb = jax.lax.dynamic_slice_in_dim(bp, k * _CHUNK_D, _CHUNK_D,
+                                          axis=bp.ndim - 1)
+        return acc + _dot_last(sa, sb)
+
+    return jax.lax.fori_loop(0, n, body, out0)
+
+
+def small_matmul_free_last(C, X):
+    """C (m, k) @ X (..., k, D) -> (..., m, D) with the small k axis
+    contracted and the large FREE last axis sliced above _CHUNK_MIN_D
+    (same f64-emulation containment as gram_last)."""
+    def dot(x):
+        return jnp.einsum("mk,...kd->...md", C, x)
+
+    D = X.shape[-1]
+    if D <= _CHUNK_MIN_D:
+        return dot(X)
+    n = -(-D // _CHUNK_D)
+    pad = n * _CHUNK_D - D
+    Xp = _pad_last(X, pad)
+    out0 = jnp.zeros(X.shape[:-2] + (C.shape[0], n * _CHUNK_D),
+                     jnp.result_type(C.dtype, X.dtype))
+
+    def body(k, acc):
+        sx = jax.lax.dynamic_slice_in_dim(Xp, k * _CHUNK_D, _CHUNK_D,
+                                          axis=Xp.ndim - 1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, dot(sx), k * _CHUNK_D, axis=acc.ndim - 1)
+
+    out = jax.lax.fori_loop(0, n, body, out0)
+    return jax.lax.slice_in_dim(out, 0, D, axis=out.ndim - 1)
+
+
 def apply_epq_all(psi, ncas, up_then_down=False, maps=None):
     """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D).
 
@@ -189,7 +263,7 @@ def rdms_from_state(psi, ncas, up_then_down=False, maps=None):
     phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
     gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>
-    corr = jnp.real(jnp.conj(phi) @ phi.T)
+    corr = jnp.real(gram_last(jnp.conj(phi), phi))
     corr = corr.reshape(ncas, ncas, ncas, ncas)
     epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
     delta = jnp.eye(ncas, dtype=gamma.dtype)
@@ -210,7 +284,7 @@ def rdms_from_state_unrestricted(psi, ncas):
     nm = 2 * ncas
     src, sign = _pair_annihilation_tables(ncas)
     W = psi[src] * sign.astype(psi.dtype)                # (nm^2, D)
-    corr = jnp.real(jnp.conj(W) @ W.T)                   # <W_ab psi|W_rs psi>
+    corr = jnp.real(gram_last(jnp.conj(W), W))           # <W_ab psi|W_rs psi>
     corr = corr.reshape(nm, nm, nm, nm)
     # corr[(q,p),(r,s)] -> Gamma[p,q,r,s]
     Gamma = jnp.transpose(corr, (1, 0, 2, 3))

@@ -101,7 +101,7 @@ def sharded_rdms_fn(pqc, mesh, axis="tp", shard_gates=True):
         phi = _rdms.apply_epq_all(psi, ncas, utd, maps=maps)
         phi = jax.lax.with_sharding_constraint(phi, sh_phi)
         gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
-        corr = jnp.real(jnp.conj(phi) @ phi.T).reshape(
+        corr = jnp.real(_rdms.gram_last(jnp.conj(phi), phi)).reshape(
             ncas, ncas, ncas, ncas)
         epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
         delta = jnp.eye(ncas, dtype=gamma.dtype)
@@ -185,7 +185,7 @@ def sharded_energy_fn(oo, mesh, sv_axis="tp", eri_axis="tp"):
         phi = _rdms.apply_epq_all(psi, ncas, utd, maps=tables.get("maps"))
         phi = jax.lax.with_sharding_constraint(phi, sh_phi)
         gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
-        corr = jnp.real(jnp.conj(phi) @ phi.T).reshape(
+        corr = jnp.real(_rdms.gram_last(jnp.conj(phi), phi)).reshape(
             ncas, ncas, ncas, ncas)
         Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
                  - jnp.einsum("qr,ps->pqrs",

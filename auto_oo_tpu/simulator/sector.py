@@ -206,8 +206,9 @@ def rdms_from_sector_state_unrestricted(psi_s, epq_maps, pair_maps, ncas):
         gamma = gamma.at[2 * p_arr + s, 2 * q_arr + s].set(g_s)
     Gamma = jnp.zeros((nm, nm, nm, nm), dtype=jnp.float64)
     for pairs, src_g, sign_g in pair_maps.values():
+        from ..ops.rdms import gram_last
         W = psi_s[src_g] * sign_g.astype(psi_s.dtype)   # (k, D_target)
-        C = jnp.real(jnp.conj(W) @ W.T)                 # <W_a psi|W_b psi>
+        C = jnp.real(gram_last(jnp.conj(W), W))         # <W_a psi|W_b psi>
         X = jnp.asarray(pairs[:, 0])
         Y = jnp.asarray(pairs[:, 1])
         # Gamma[p,q,r,s] = C[idx(q,p), idx(r,s)]: row a is W_{qp} with
@@ -223,10 +224,11 @@ def rdms_from_sector_state(psi_s, maps):
     src, sign = maps
     n2 = src.shape[1]
     ncas = int(round(n2 ** 0.5))
+    from ..ops.rdms import gram_last
     sgn = sign.astype(psi_s.dtype)
     phi = psi_s[src[0]] * sgn[0] + psi_s[src[1]] * sgn[1]
     gamma = (phi @ psi_s).reshape(ncas, ncas)
-    corr = (phi @ phi.T).reshape(ncas, ncas, ncas, ncas)
+    corr = gram_last(phi, phi).reshape(ncas, ncas, ncas, ncas)
     epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
     delta = jnp.eye(ncas, dtype=psi_s.dtype)
     Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)

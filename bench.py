@@ -12,7 +12,6 @@ Tiers (all formaldimine, np_fabric ansatz):
   (8e,8o)  sto-3g   full space      — reference-architecture ceiling
   (8e,8o)  sto-3g   SECTOR basis    — D = C(8,4)^2 = 4,900 (13x smaller)
   (10e,10o) sto-3g  SECTOR basis    — D = 63,504 (full space needs ~32G)
-  (12e,12o) sto-3g  SECTOR basis    — D = 853,776
   (4e,4o)  cc-pVDZ  full space      — polarized basis (nao = 43): stresses
                                       the nao^4 transform + native ERI path
 
@@ -128,7 +127,10 @@ def main():
     # (10e,10o)/(12e,12o) run in the conserved-particle sector basis
     # (D = 63,504 / 853,776; the full spaces need ~32G / ~512G HBM)
     tier("10e10o_sector", 10, 10, 2, n_iters=3, sector=True)
-    tier("12e12o_sector", 12, 12, 1, n_iters=2, sector=True)
+    # the (12e,12o) sector tier (D = 853,776) runs through the STAGED
+    # large-D pipeline at ~0.3-5 min/iter + ~18 min of one-time compiles
+    # — too slow for every driver run; measure on demand with
+    # scripts/bench_12e12o.py (results recorded in BASELINE.md)
     # polarized-basis tier: nao = 43 stresses the nao^4 transform and the
     # native ERI engine (reference ran cc-pVDZ in its north-star test,
     # test_oo_pqc.py:160-185)

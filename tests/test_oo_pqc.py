@@ -112,3 +112,25 @@ def test_quadratic_form_hessian_vs_pure_ad(setup_22):
                        atol=1e-9)
     assert np.allclose(np.asarray(hess)[nt:, :nt], h_ad[nt:, :nt],
                        atol=1e-9)
+
+
+def test_staged_grad_hess_equals_fused():
+    """The staged large-D pipeline (separate modest-peak programs, used
+    above D = 2^19 where the fused program forces XLA into
+    compressed-remat spilling) computes the identical energy, gradient
+    and Hessian as the fused program, full-space and sector."""
+    import jax.numpy as jnp
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    for sector in (False, True):
+        pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                    sector=sector)
+        oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+        theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+        core, margs = oo._core, oo._mol_args
+        e_f, g_f, h_f = core["grad_hess_fused_jit"](
+            theta, oo.oao_mo_coeff, *margs)
+        e_s, g_s, h_s = core["grad_hess_staged"](
+            theta, oo.oao_mo_coeff, *margs)
+        assert abs(float(e_f) - float(e_s)) < 1e-12
+        assert np.allclose(np.asarray(g_f), np.asarray(g_s), atol=1e-12)
+        assert np.allclose(np.asarray(h_f), np.asarray(h_s), atol=1e-12)
