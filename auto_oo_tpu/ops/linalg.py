@@ -96,7 +96,11 @@ def _round_robin_orderings(n):
     return rounds
 
 
-_EIGH_SWEEPS = 16
+# 16 sweeps converge parallel round-robin Jacobi only up to n ~ 200;
+# n = 362 (a cc-pVDZ orbital Hessian) needs ~20-30.  The while_loop
+# stops at the off-diagonal-norm criterion, so a generous cap costs
+# converged cases nothing — only the truly pathological ones pay.
+_EIGH_SWEEPS = 64
 
 
 def eigh(A, sweeps=_EIGH_SWEEPS, backend=None):

@@ -83,3 +83,24 @@ def test_rdms_on_chip():
     two = np.asarray(two)
     lhs = np.einsum("pqqr->pr", two)
     assert np.allclose(lhs, (2 - 1) * one, atol=1e-12)
+
+
+@pytest.mark.tpu
+def test_jacobi_eigh_large_matrix_on_chip():
+    """n = 362 (the cc-pVDZ (4e,4o) Hessian size): the Jacobi solver must
+    CONVERGE, not stop at the sweep cap — 16 sweeps silently returned
+    eigenvalues wrong by O(0.1) at this size (fixed by the adaptive cap +
+    off-norm stopping criterion)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from auto_oo_tpu.ops.linalg import jacobi_eigh
+    n = 362
+    rng = np.random.RandomState(0)
+    A0 = rng.randn(n, n)
+    A = jnp.asarray(A0 + A0.T)
+    w, V = jax.jit(jacobi_eigh)(A)
+    ref = np.linalg.eigvalsh(np.asarray(A))
+    assert np.max(np.abs(np.sort(np.asarray(w)) - ref)) < 1e-8
+    resid = np.asarray(A @ V - V * w[None, :])
+    assert np.max(np.abs(resid)) < 1e-7
