@@ -12,7 +12,10 @@ Run:  python examples/noise_study.py        (~5 min on CPU)
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

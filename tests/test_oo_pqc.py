@@ -134,3 +134,26 @@ def test_staged_grad_hess_equals_fused():
         assert abs(float(e_f) - float(e_s)) < 1e-12
         assert np.allclose(np.asarray(g_f), np.asarray(g_s), atol=1e-12)
         assert np.allclose(np.asarray(h_f), np.asarray(h_s), atol=1e-12)
+
+
+def test_staged_newton_update_equals_fused():
+    """The staged host-driven damped-Newton update (small solve program +
+    one forward-pass program per Armijo trial) reproduces the fused
+    while_loop program's step exactly."""
+    import jax.numpy as jnp
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = pqc.init_zeros()
+    core, margs = oo._core, oo._mol_args
+    e0, g, h = core["grad_hess_fused_jit"](theta, oo.oao_mo_coeff, *margs)
+    args = (theta, oo.oao_mo_coeff) + margs + (e0, g, h,
+                                              1e-4, 0.5, 1e-6, 1.1, 1e-6)
+    out_f = core["newton_update_jit"](*args)
+    out_s = core["newton_update_staged"](*args)
+    assert abs(float(out_f[3]) - float(out_s[3])) < 1e-12
+    assert np.allclose(np.asarray(out_f[0]), np.asarray(out_s[0]),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(out_f[2]), np.asarray(out_s[2]),
+                       atol=1e-12)
