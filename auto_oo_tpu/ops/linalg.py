@@ -207,3 +207,143 @@ def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
     w = jnp.diagonal(Af)
     order = jnp.argsort(w)
     return w[order], Vf[:, order]
+
+
+def lanczos_lowest(A, k=64):
+    """Lowest eigenvalue of symmetric A by k-step Lanczos with full
+    reorthogonalization (matvec + small-matmul work only — TPU-friendly).
+
+    Returns the lowest Ritz value; for dense Hessians the extremal Ritz
+    value is converged to ~1e-10 well before k = 64.  On (rare)
+    breakdown the dead iterations park their diagonal at +1e30 (inside
+    the TPU f64-emulation exponent range) so they cannot contaminate the
+    minimum."""
+    A = jnp.asarray(A)
+    n = A.shape[0]
+    k = min(k, n)
+    V0 = jnp.zeros((k + 1, n), dtype=A.dtype)
+    # deterministic PSEUDO-RANDOM start: a uniform (or otherwise
+    # structured) vector can be near-orthogonal to the extremal
+    # eigenvector of a symmetric physics Hessian, making Lanczos blind
+    # to lambda_min — observed on a cc-pVDZ orbital Hessian, where the
+    # uniform start found the SECOND eigenvalue
+    v0 = jax.random.normal(jax.random.PRNGKey(7), (n,), dtype=A.dtype)
+    v0 = v0 / jnp.sqrt(v0 @ v0)
+    V0 = V0.at[0].set(v0)
+
+    def body(j, carry):
+        V, alpha, beta, dead = carry
+        v = V[j]
+        w = A @ v
+        a = v @ w
+        w = w - a * v - jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)],
+                                  0.0) * V[jnp.maximum(j - 1, 0)]
+        # full reorthogonalization (rows > j are zero, so V @ w is safe)
+        w = w - V.T @ (V @ w)
+        b = jnp.sqrt(w @ w)
+        new_dead = jnp.logical_or(dead, b < 1e-13)
+        alpha = alpha.at[j].set(jnp.where(dead, 1e30, a))
+        beta = beta.at[j].set(jnp.where(new_dead, 0.0, b))
+        V = V.at[j + 1].set(jnp.where(new_dead, 0.0,
+                                      w / jnp.maximum(b, 1e-300)))
+        return V, alpha, beta, new_dead
+
+    alpha0 = jnp.zeros((k,), A.dtype)
+    beta0 = jnp.zeros((k,), A.dtype)
+    V, alpha, beta, _ = jax.lax.fori_loop(
+        0, k, body, (V0, alpha0, beta0, jnp.asarray(False)))
+    T = (jnp.diag(alpha) + jnp.diag(beta[:k - 1], 1)
+         + jnp.diag(beta[:k - 1], -1))
+    w, _ = jacobi_eigh(T)
+    return w[0]
+
+
+_NS_ITERS = 100
+
+
+def symmetric_inverse_ns(A, iters=_NS_ITERS):
+    """Inverse of a nonsingular SYMMETRIC A by Newton-Schulz iteration —
+    matmuls only, no LU/solve (neither exists for f64 on this TPU
+    backend).  X0 = A / r^2 (r = max row 1-norm) makes X0 A = A^2/r^2
+    positive semidefinite with spectrum in (0, 1], so the error
+    e_{j+1} = e_j^2 contracts for ANY symmetric nonsingular A
+    (indefinite included) and reaches machine precision in
+    ~2 log2(cond(A)) + 6 iterations — logarithmic in the condition
+    number, vs the Jacobi eigendecomposition's ~30 full sweeps of
+    2(n-1) matmuls each at n ~ 360."""
+    A = jnp.asarray(A)
+    n = A.shape[0]
+    r = jnp.max(jnp.sum(jnp.abs(A), axis=1))
+    X = A / (r * r)
+    eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+
+    def body(i, X):
+        return X @ (eye2 - A @ X)
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
+def _power_max(X, iters=24):
+    """Largest eigenvalue of a positive-definite X by power iteration
+    (deterministic start)."""
+    n = X.shape[0]
+    v = jnp.full((n,), 1.0, X.dtype) / jnp.sqrt(jnp.asarray(float(n)))
+
+    def body(i, v):
+        w = X @ v
+        return w / jnp.sqrt(w @ w)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    return v @ (X @ v)
+
+
+def newton_dir_iterative(gradient, hessian, mu=1e-6, rho=1.1,
+                         lambda_min=1e-6, aug=True, lanczos_k=64,
+                         ns_iters=_NS_ITERS):
+    """Damped-Newton direction without an eigendecomposition — three
+    matmul-rich phases that replace the Jacobi eigh's O(sweeps n^4)
+    matmul volume (3.2 s at n = 362 on TPU vs ~0.2 s here):
+
+    A. coarse lowest eigenvalue by Lanczos — accurate whenever the
+       bottom of the spectrum is separated (the indefinite case that
+       triggers augmentation);
+    B. refined lowest eigenvalue by POWER ITERATION ON THE INVERSE of a
+       safely-shifted H: inversion spreads the clustered small end
+       (near-convergence Hessians have lambda_min ~ 1e-8 clustered
+       against ~1e-4 — hopeless for direct Lanczos, but their inverses
+       are separated 100x), and the Newton-Schulz inverse is
+       indefinite-safe because X0 A = A^2/r^2 is PSD;
+    C. the canonical augmentation rule with the refined lambda_0, one
+       more Newton-Schulz inverse, and an iterative-refinement step.
+
+    Returns (dp, lowest) matching the eigh-based newton_step_pure to
+    solver precision; `lowest` (a physics observable) is Rayleigh-refined
+    and accurate to ~1e-9 at clustered spectra."""
+    H = jnp.asarray(hessian)
+    n = H.shape[0]
+    eye = jnp.eye(n, dtype=H.dtype)
+    # A: coarse estimate; its only job is a safe probe shift.  The 2x
+    # margin puts -sigma_probe BELOW the whole spectrum even if the
+    # coarse estimate undershoots |lambda_min| by up to ~3x, so the
+    # inverse phase locks onto lambda_min (the eigenvalue closest to
+    # -sigma_probe) and not a neighbor.
+    lam_c = lanczos_lowest(H, k=lanczos_k)
+    sigma_probe = mu + 2.0 * rho * jnp.abs(jnp.minimum(lam_c, 0.0))
+    Xp = symmetric_inverse_ns(H + sigma_probe * eye, iters=ns_iters)
+    # B: lambda_0 = 1 / lambda_max((H + sigma)^-1) - sigma; the top of
+    # the inverse spectrum is found by Lanczos (superlinear at the
+    # extremes, where plain power iteration crawls on tight spectra)
+    refined = 1.0 / (-lanczos_lowest(-Xp, k=min(48, n))) - sigma_probe
+    lowest = jnp.minimum(refined, lam_c)
+    if aug:
+        shift = jnp.where(lowest < lambda_min,
+                          mu + rho * jnp.abs(lowest), 0.0)
+    else:
+        shift = 0.0
+    # C: final solve at the canonical shift
+    Haug = H + shift * eye
+    X = symmetric_inverse_ns(Haug, iters=ns_iters)
+    dp = -(X @ gradient)
+    resid = -gradient - Haug @ dp
+    dp = dp + X @ resid
+    return dp, lowest

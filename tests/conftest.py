@@ -18,9 +18,16 @@ import pytest
 _ON_TPU = os.environ.get("AUTO_OO_TPU_TESTS", "") == "1"
 
 if not _ON_TPU:
-    # must happen before the first backend initialization
+    # must happen before the first backend initialization.
+    # single-threaded eigen: with 8 virtual devices on a small host, the
+    # per-device intra-op thread pools multiply into dozens of runnable
+    # threads whose scheduling jitter can starve the XLA CPU in-process
+    # collective rendezvous past its hard 40 s deadline (observed as a
+    # rare mid-suite SIGABRT); one thread per device keeps the laggard
+    # spread minimal
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8")
+                               + " --xla_force_host_platform_device_count=8"
+                               + " --xla_cpu_multi_thread_eigen=false")
 
 import jax
 

@@ -104,3 +104,25 @@ def test_jacobi_eigh_large_matrix_on_chip():
     assert np.max(np.abs(np.sort(np.asarray(w)) - ref)) < 1e-8
     resid = np.asarray(A @ V - V * w[None, :])
     assert np.max(np.abs(resid)) < 1e-7
+
+
+@pytest.mark.tpu
+def test_iterative_newton_direction_on_chip():
+    """The TPU large-n Newton solve (auto-selected above n = 128) agrees
+    with a host LAPACK reference at n = 362."""
+    import numpy as np
+    import jax.numpy as jnp
+    from auto_oo_tpu.utils.newton_raphson import newton_step_pure
+    rng = np.random.RandomState(1)
+    n = 362
+    Q = np.linalg.qr(rng.randn(n, n))[0]
+    lam = np.concatenate([[-0.2], np.logspace(-5, 2, n - 1)])
+    H = Q @ np.diag(lam) @ Q.T
+    g = rng.randn(n)
+    dp, l0 = jax.jit(newton_step_pure)(jnp.asarray(g), jnp.asarray(H))
+    shift = 1e-6 + 1.1 * abs(lam.min())
+    dp_ref = -np.linalg.solve(H + shift * np.eye(n), g)
+    rel = (np.linalg.norm(np.asarray(dp) - dp_ref)
+           / np.linalg.norm(dp_ref))
+    assert rel < 1e-6, rel
+    assert abs(float(l0) - lam.min()) < 1e-6

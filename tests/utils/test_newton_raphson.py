@@ -143,3 +143,30 @@ def test_line_search_failure_returns_origin():
     newp, t, e = backtracking_pure(f, x0, dp, grad)
     assert float(t) == 0.0
     assert np.allclose(np.asarray(newp), np.asarray(x0))
+
+
+def test_iterative_newton_direction_matches_eigh():
+    """The eigendecomposition-free Newton direction (Lanczos + inverse
+    power iteration + Newton-Schulz, the TPU large-n path) matches the
+    eigh-based direction: exactly for separated spectra, and within the
+    refined-lambda_0 shift tolerance for pathologically clustered ones."""
+    from auto_oo_tpu.utils.newton_raphson import newton_step_pure
+    rng = np.random.RandomState(0)
+    n = 200
+    Q = np.linalg.qr(rng.randn(n, n))[0]
+    g = jnp.asarray(rng.randn(n))
+    cases = {
+        "spd_clustered": (np.logspace(-8, 2, n), 3e-2, 1e-7),
+        "indefinite": (np.concatenate(
+            [[-0.5, -0.01], np.logspace(-4, 2, n - 2)]), 1e-10, 1e-6),
+        "well_conditioned": (np.linspace(0.5, 5.0, n), 1e-12, 1e-10),
+    }
+    for name, (lam, dp_tol, l0_tol) in cases.items():
+        H = jnp.asarray(Q @ np.diag(lam) @ Q.T)
+        dp_e, l0_e = newton_step_pure(g, H, method="eigh")
+        dp_i, l0_i = newton_step_pure(g, H, method="iterative")
+        rel = (np.linalg.norm(np.asarray(dp_i) - np.asarray(dp_e))
+               / np.linalg.norm(np.asarray(dp_e)))
+        assert rel < dp_tol, (name, rel)
+        assert abs(float(l0_i) - float(l0_e)) < max(
+            l0_tol, 0.01 * abs(float(l0_e))), (name, l0_i, l0_e)
