@@ -218,7 +218,8 @@ class BerryPhaseLoop:
     """
 
     def __init__(self, geometries, basis, ncas, nelecas, pqc,
-                 freeze_active=True, run_casscf=False, **newton_kwargs):
+                 freeze_active=True, run_casscf=False, newton_method=None,
+                 **newton_kwargs):
         self.geometries = list(geometries)
         self.basis = basis
         self.ncas = ncas
@@ -226,6 +227,13 @@ class BerryPhaseLoop:
         self.pqc = pqc
         self.freeze_active = freeze_active
         self.run_casscf = run_casscf
+        # hess_eig_l tracks the lowest Hessian eigenvalue, the conical-
+        # intersection diagnostic.  With the default solver selection,
+        # large Hessians on TPU use the iterative solve whose lowest
+        # eigenvalue can carry ~1% error on pathologically clustered
+        # spectra; pass newton_method='eigh' when the observable must be
+        # exact (accuracy contract: utils/newton_raphson).
+        self.newton_method = newton_method
         self.newton_kwargs = newton_kwargs
         # trajectories
         self.theta_l = []
@@ -247,7 +255,8 @@ class BerryPhaseLoop:
         makes the successive overlaps approach +-1."""
         mol0 = Moldata(self.geometries[0], self.basis)
         oo0 = OO_pqc(self.pqc, mol0, self.ncas, self.nelecas,
-                     freeze_active=self.freeze_active)
+                     freeze_active=self.freeze_active,
+                     newton_method=self.newton_method)
         self.act_idx = oo0.act_idx
         theta0 = (self.pqc.init_zeros() if theta_init is None
                   else jnp.asarray(theta_init))
@@ -270,7 +279,8 @@ class BerryPhaseLoop:
             mol = Moldata(geo, self.basis)
             oo = OO_pqc(self.pqc, mol, self.ncas, self.nelecas,
                         oao_mo_coeff=oao,
-                        freeze_active=self.freeze_active)
+                        freeze_active=self.freeze_active,
+                        newton_method=self.newton_method)
             energy_prev = None
             for _ in range(max(1, int(track_steps))):
                 theta, kappa, oao, energy, hess_eig = oo._nr_iteration_jit(

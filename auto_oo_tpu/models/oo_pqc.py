@@ -51,7 +51,7 @@ from .oo_energy import OO_energy
 
 
 def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
-                   tangent_axis="tp", state_axis=None):
+                   tangent_axis="tp", state_axis=None, newton_method=None):
     """Geometry-independent functional core for one problem spec.
 
     All molecule data (int1e_ao, int2e_ao, oao_coeff, nuc) are runtime
@@ -403,7 +403,8 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _solve_dir(grad, hess, mu, rho, lambda_min):
         from ..utils.newton_raphson import newton_step_pure
         return newton_step_pure(grad, hess, mu=mu, rho=rho,
-                                lambda_min=lambda_min)
+                                lambda_min=lambda_min,
+                                method=newton_method)
 
     def _fold_oao(oao, new_kappa):
         return oao @ expm(-k2m(new_kappa))
@@ -458,7 +459,8 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             [theta, jnp.zeros(n_kappa, dtype=theta.dtype)])
         new_flat, lowest, t, e_t = damped_newton_step_pure(
             objective, flat0, grad, hess, alpha=alpha, beta=beta,
-            mu=mu, rho=rho, lambda_min=lambda_min, e0=e0)
+            mu=mu, rho=rho, lambda_min=lambda_min, e0=e0,
+            method=newton_method)
         new_theta = new_flat[:nt]
         new_kappa = new_flat[nt:]
         new_oao = oao @ expm(-k2m(new_kappa))
@@ -502,17 +504,18 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
 
 
 def _nr_core_for(pqc, nao, occ, act, params_idx, mesh=None,
-                 tangent_axis="tp", state_axis=None):
+                 tangent_axis="tp", state_axis=None, newton_method=None):
     """Spec-keyed cache of compiled cores, stored on the (shared) pqc."""
     key = (nao, tuple(occ), tuple(act), tuple(int(i) for i in params_idx),
-           mesh, tangent_axis, state_axis)
+           mesh, tangent_axis, state_axis, newton_method)
     cache = getattr(pqc, "_nr_core_cache", None)
     if cache is None:
         cache = pqc._nr_core_cache = {}
     if key not in cache:
         cache[key] = _build_nr_core(pqc, nao, occ, act, params_idx,
                                     mesh=mesh, tangent_axis=tangent_axis,
-                                    state_axis=state_axis)
+                                    state_axis=state_axis,
+                                    newton_method=newton_method)
     return cache[key]
 
 
@@ -520,17 +523,26 @@ class OO_pqc(OO_energy):
     """Orbital-optimized PQC energy (reference oo_pqc.py:30)."""
 
     def __init__(self, pqc, mol, ncas, nelecas, oao_mo_coeff=None,
-                 freeze_active=False, interface=None):
+                 freeze_active=False, interface=None, newton_method=None):
+        """``newton_method``: None (default — iterative solver for large
+        Hessians on TPU, exact eigh otherwise), 'eigh' (force the exact
+        eigendecomposition solve at every size; use when the lowest-
+        Hessian-eigenvalue observable must be exact on clustered spectra)
+        or 'iterative'.  See utils/newton_raphson.damped_newton_step_pure
+        for the accuracy contract."""
         super().__init__(mol, ncas, nelecas, oao_mo_coeff=oao_mo_coeff,
                          freeze_active=freeze_active)
         self.pqc = pqc
+        self.newton_method = newton_method
         self._build_pure_fns()
 
     # -- pure functional core --------------------------------------------
 
     def _build_pure_fns(self):
         core = _nr_core_for(self.pqc, self.nao, self._occ, self._act,
-                            self.params_idx)
+                            self.params_idx,
+                            newton_method=getattr(self, "newton_method",
+                                                  None))
         self._core = core
         # molecule arrays AND gate tables travel as runtime arguments:
         # closure capture would embed them as program constants (multi-GB

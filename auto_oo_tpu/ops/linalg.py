@@ -261,7 +261,7 @@ def lanczos_lowest(A, k=64):
 _NS_ITERS = 100
 
 
-def symmetric_inverse_ns(A, iters=_NS_ITERS):
+def symmetric_inverse_ns(A, iters=_NS_ITERS, with_residual=False):
     """Inverse of a nonsingular SYMMETRIC A by Newton-Schulz iteration —
     matmuls only, no LU/solve (neither exists for f64 on this TPU
     backend).  X0 = A / r^2 (r = max row 1-norm) makes X0 A = A^2/r^2
@@ -270,7 +270,12 @@ def symmetric_inverse_ns(A, iters=_NS_ITERS):
     (indefinite included) and reaches machine precision in
     ~2 log2(cond(A)) + 6 iterations — logarithmic in the condition
     number, vs the Jacobi eigendecomposition's ~30 full sweeps of
-    2(n-1) matmuls each at n ~ 360."""
+    2(n-1) matmuls each at n ~ 360.
+
+    ``with_residual=True`` additionally returns the scaled final residual
+    ||I - X A||_F / sqrt(n) (one extra matmul), so callers can DETECT an
+    unconverged inverse (cond(A) >~ 2^(iters/2 - 3), e.g. a nearly
+    singular augmented Hessian) instead of silently consuming it."""
     A = jnp.asarray(A)
     n = A.shape[0]
     r = jnp.max(jnp.sum(jnp.abs(A), axis=1))
@@ -280,7 +285,12 @@ def symmetric_inverse_ns(A, iters=_NS_ITERS):
     def body(i, X):
         return X @ (eye2 - A @ X)
 
-    return jax.lax.fori_loop(0, iters, body, X)
+    X = jax.lax.fori_loop(0, iters, body, X)
+    if not with_residual:
+        return X
+    R = 0.5 * eye2 - X @ A
+    resid = jnp.sqrt(jnp.sum(R * R) / n)
+    return X, resid
 
 
 def _power_max(X, iters=24):
@@ -318,7 +328,16 @@ def newton_dir_iterative(gradient, hessian, mu=1e-6, rho=1.1,
 
     Returns (dp, lowest) matching the eigh-based newton_step_pure to
     solver precision; `lowest` (a physics observable) is Rayleigh-refined
-    and accurate to ~1e-9 at clustered spectra."""
+    and accurate to ~1e-9 at clustered spectra.
+
+    ROBUSTNESS GUARD: after the final solve the (cheap) linear-system
+    residual and the descent test g.dp < 0 are checked on device; if
+    either fails — an unconverged Newton-Schulz inverse (cond(Haug)
+    beyond ~2^47), or a probe shift that locked onto the wrong
+    eigenvalue leaving the augmentation insufficient — the step falls
+    back to the exact Jacobi-eigh solve inside a lax.cond, so a
+    pathological Hessian costs one eigh instead of a silent non-descent
+    direction surfacing as a t=0 line-search stall."""
     H = jnp.asarray(hessian)
     n = H.shape[0]
     eye = jnp.eye(n, dtype=H.dtype)
@@ -346,4 +365,28 @@ def newton_dir_iterative(gradient, hessian, mu=1e-6, rho=1.1,
     dp = -(X @ gradient)
     resid = -gradient - Haug @ dp
     dp = dp + X @ resid
-    return dp, lowest
+    # guard: relative linear-system residual after refinement, and descent
+    gnorm = jnp.sqrt(gradient @ gradient)
+    dpnorm = jnp.sqrt(dp @ dp)
+    rnorm = jnp.sqrt(jnp.sum((Haug @ dp + gradient) ** 2))
+    resid_ok = rnorm <= 1e-6 * gnorm + 1e-300
+    # g.dp < 0 up to roundoff slack (at convergence g.dp ~ -g H^-1 g is a
+    # tiny negative that rounding may flip; the slack keeps that benign)
+    descent_ok = (gradient @ dp) <= 1e-12 * gnorm * dpnorm
+    ok = jnp.logical_and(resid_ok, descent_ok)
+
+    def _accept(_):
+        return dp, lowest
+
+    def _eigh_fallback(_):
+        w, V = jacobi_eigh(H)
+        lowest_e = w[0]
+        if aug:
+            shift_e = jnp.where(lowest_e < lambda_min,
+                                mu + rho * jnp.abs(lowest_e), 0.0)
+        else:
+            shift_e = 0.0
+        dp_e = -(V @ ((V.T @ gradient) / (w + shift_e)))
+        return dp_e, lowest_e
+
+    return jax.lax.cond(ok, _accept, _eigh_fallback, None)

@@ -220,16 +220,21 @@ def rdms_from_sector_state_unrestricted(psi_s, epq_maps, pair_maps, ncas):
 
 def rdms_from_sector_state(psi_s, maps):
     """Spin-summed restricted (gamma, Gamma) from a sector-basis
-    statevector, via the same Phi-gram pipeline as ops/rdms.py."""
+    statevector, via the same Phi-gram pipeline as ops/rdms.py.
+
+    Bra-side conjugation + real part mirror ops/rdms.rdms_from_state, so
+    COMPLEX sector states (custom ansatze) give correct real RDMs;
+    conj/real are XLA no-ops for the real-valued built-in ansatze."""
     src, sign = maps
     n2 = src.shape[1]
     ncas = int(round(n2 ** 0.5))
     from ..ops.rdms import gram_last
     sgn = sign.astype(psi_s.dtype)
     phi = psi_s[src[0]] * sgn[0] + psi_s[src[1]] * sgn[1]
-    gamma = (phi @ psi_s).reshape(ncas, ncas)
-    corr = gram_last(phi, phi).reshape(ncas, ncas, ncas, ncas)
+    gamma = jnp.real(phi @ jnp.conj(psi_s)).reshape(ncas, ncas)
+    corr = jnp.real(gram_last(jnp.conj(phi), phi)).reshape(
+        ncas, ncas, ncas, ncas)
     epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
-    delta = jnp.eye(ncas, dtype=psi_s.dtype)
+    delta = jnp.eye(ncas, dtype=gamma.dtype)
     Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
     return gamma, Gamma

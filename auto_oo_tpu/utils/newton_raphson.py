@@ -122,11 +122,24 @@ def backtracking_pure(objective_flat, params_flat, dp, gradient,
 
 def damped_newton_step_pure(objective_flat, params_flat, gradient, hessian,
                             alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1,
-                            lambda_min=1e-6, lmax=20, aug=True, e0=None):
+                            lambda_min=1e-6, lmax=20, aug=True, e0=None,
+                            method=None):
     """One damped Newton step on flat parameters; returns
-    (new_flat_params, lowest_eigenvalue, t, energy_after)."""
+    (new_flat_params, lowest_eigenvalue, t, energy_after).
+
+    ACCURACY CONTRACT on the returned lowest eigenvalue: with the default
+    method selection, large Hessians (n >= _ITERATIVE_MIN_N) on non-CPU
+    backends use the iterative solver, whose Rayleigh-refined lowest
+    eigenvalue is exact for separated spectra but can carry ~1% error on
+    pathologically clustered ones (and a failed solve falls back to the
+    exact eigh on device — see ops/linalg.newton_dir_iterative).  Callers
+    that track `lowest` as a physics observable (e.g. the conical-
+    intersection diagnostic through Berry-phase loops) and need it exact
+    should pass method='eigh' — exposed as `newton_method` on OO_pqc and
+    BerryPhaseLoop."""
     dp, lowest = newton_step_pure(gradient, hessian, mu=mu, rho=rho,
-                                  lambda_min=lambda_min, aug=aug)
+                                  lambda_min=lambda_min, aug=aug,
+                                  method=method)
     newp, t, e_t = backtracking_pure(objective_flat, params_flat, dp,
                                      gradient, alpha=alpha, beta=beta,
                                      lmax=lmax, e0=e0)

@@ -55,12 +55,20 @@ def _stats(times):
 
 
 def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
-                  basis="sto-3g"):
+                  basis="sto-3g", sync_per_program=False):
+    """Time NR iterations; returns (stats, compile_s, energy, flop_info).
+
+    sync_per_program=True inserts a block_until_ready between the two NR
+    programs (grad_hess, then update) — the controlled experiment from
+    BASELINE.md: back-to-back async dispatch through the remote-device
+    link occasionally stalls 0.5-1 s, while synced dispatch is flat.
+    """
     import jax
     import jax.numpy as jnp
 
     from auto_oo_tpu import Moldata, get_formal_geo
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.utils import flops as _flops
 
     t0 = time.time()
     # one trivial executable first: the first compile+load on a fresh
@@ -88,12 +96,29 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     th, oao = out[0], out[2]
     for i in range(n_iters):
         t0 = time.time()
-        th, kp, oao, energy, low = oo._nr_iteration_jit(
-            th, oao, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+        if sync_per_program:
+            e0, grad, hess = oo._grad_hess_jit(th, oao)
+            hess.block_until_ready()
+            th, kp, oao, energy, low = oo._core["newton_update_jit"](
+                th, oao, *oo._mol_args, e0, grad, hess,
+                1e-4, 0.5, 1e-6, 1.1, 1e-6)
+        else:
+            th, kp, oao, energy, low = oo._nr_iteration_jit(
+                th, oao, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
         energy.block_until_ready()
         times.append(time.time() - t0)
         log(f"iter {i}: {times[-1]:.4f}s  E={float(energy):.10f}")
-    return _stats(times), compile_s, float(energy)
+    st = _stats(times)
+    # device-efficiency accounting: statically known algorithmic f64
+    # FLOPs per iteration / measured median wall-clock
+    fl = _flops.nr_iteration_flops(pqc, oo)
+    achieved, frac = _flops.mfu(fl["total"], st["median"])
+    flop_info = {
+        "f64_gflop_per_iter": round(fl["total"] / 1e9, 3),
+        "achieved_f64_gflops": round(achieved / 1e9, 2),
+        "mfu_pct_vs_bf16_peak": round(100.0 * frac, 4),
+    }
+    return st, compile_s, float(energy), flop_info
 
 
 def main():
@@ -105,17 +130,18 @@ def main():
     except Exception as exc:  # cache is best-effort
         log(f"compilation cache unavailable: {exc}")
 
-    st, compile_s, energy = time_nr_iters(6, 6, 2)
+    st, compile_s, energy, fl = time_nr_iters(6, 6, 2)
     value = st["median"]
     extra = {"compile_s_6e6o": round(compile_s, 2), "energy_6e6o": energy,
-             "stats_6e6o": st}
+             "stats_6e6o": st, "flops_6e6o": fl}
 
     def tier(label, *args, **kwargs):
         try:
-            s, c, e = time_nr_iters(*args, **kwargs)
+            s, c, e, f = time_nr_iters(*args, **kwargs)
             extra[f"nr_iter_wall_s_{label}"] = round(s["median"], 6)
             extra[f"stats_{label}"] = s
             extra[f"compile_s_{label}"] = round(c, 2)
+            extra[f"flops_{label}"] = f
         except Exception as exc:
             log(f"{label} tier skipped: {exc}")
 
@@ -127,6 +153,12 @@ def main():
     # (10e,10o)/(12e,12o) run in the conserved-particle sector basis
     # (D = 63,504 / 853,776; the full spaces need ~32G / ~512G HBM)
     tier("10e10o_sector", 10, 10, 2, n_iters=3, sector=True)
+    # synced-dispatch variant of the same tier: per-program
+    # block_until_ready removes the async-dispatch stalls of the remote
+    # device link (BASELINE.md variance diagnosis), so ratio_max_min on
+    # this row quantifies the genuinely flat compute time
+    tier("10e10o_sector_synced", 10, 10, 2, n_iters=3, sector=True,
+         sync_per_program=True)
     # the (12e,12o) sector tier (D = 853,776) runs through the STAGED
     # large-D pipeline at ~0.3-5 min/iter + ~18 min of one-time compiles
     # — too slow for every driver run; measure on demand with

@@ -46,6 +46,28 @@ def test_sector_rdms_equal_full_space():
     assert np.allclose(np.asarray(G_s), np.asarray(G_f), atol=1e-13)
 
 
+def test_sector_rdms_complex_state():
+    """rdms_from_sector_state must conjugate the bra (a COMPLEX sector
+    state, e.g. from a custom ansatz, gave wrong RDMs before): compare
+    against the full-space pipeline on the embedded vector."""
+    from auto_oo_tpu.ops import rdms as _rdms
+
+    ncas, nelecas = 3, 4
+    basis, _ = S.sector_basis_and_rank(ncas, nelecas)
+    maps = S.sector_epq_maps(ncas, nelecas)
+    rng = np.random.RandomState(3)
+    v = rng.randn(len(basis)) + 1j * rng.randn(len(basis))
+    v = v / np.linalg.norm(v)
+    psi_s = jnp.asarray(v, dtype=jnp.complex128)
+    g_s, G_s = S.rdms_from_sector_state(psi_s, maps)
+    assert np.isrealobj(np.asarray(g_s)) and np.isrealobj(np.asarray(G_s))
+    full = np.zeros(1 << (2 * ncas), dtype=np.complex128)
+    full[np.asarray(basis)] = v
+    g_f, G_f = _rdms.rdms_from_state(jnp.asarray(full), ncas)
+    assert np.allclose(np.asarray(g_s), np.asarray(g_f), atol=1e-13)
+    assert np.allclose(np.asarray(G_s), np.asarray(G_f), atol=1e-13)
+
+
 def test_sector_dimension_scaling():
     """The sector dimension is C(ncas, na) * C(ncas, nb) — the scaling
     argument of the README roadmap (16x at (10e,10o))."""
