@@ -4,9 +4,10 @@ The reference package required callers to set x64 themselves
 (/root/reference/src/auto_oo/oo_pqc.py:238-242, test headers); here the
 library owns its precision policy: float64 is enabled at import because the
 OO-VQE workloads need 1e-8 Ha convergence.  On TPU, float64 is emulated by
-XLA; the hot kernels in this package are written to be precision-polymorphic
-so that a float32 path can be selected where it is safe (see
-``auto_oo_tpu.ops``).
+XLA; the hot kernels are precision-polymorphic, and the float32 path is
+selected where it is safe via ``OO_pqc(..., precision='mixed')`` — Hessian
+blocks on the MXU in f32, energy/gradient in f64 (models/oo_pqc.py;
+validated in tests/test_mixed_precision.py).
 """
 
 import jax

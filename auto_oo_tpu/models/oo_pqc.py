@@ -50,8 +50,38 @@ from ..utils.newton_raphson import damped_newton_step_pure
 from .oo_energy import OO_energy
 
 
+def _lowp(x):
+    """f64-family -> f32-family cast (mixed-precision mode); ints and
+    already-low dtypes pass through."""
+    if x is None:
+        return x
+    d = jnp.asarray(x).dtype
+    if d == jnp.float64:
+        return jnp.asarray(x).astype(jnp.float32)
+    if d == jnp.complex128:
+        return jnp.asarray(x).astype(jnp.complex64)
+    return x
+
+
+def _lowp_tables(tables):
+    """Gate-table / map bundle with every float leaf cast to f32, so a
+    statevector application started from an f32 theta STAYS f32 (x64
+    promotion rules would silently upcast at the first f64 operand)."""
+    def cast_gates(g):
+        return None if g is None else tuple(
+            _lowp(x) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+            else x for x in g)
+
+    if isinstance(tables, dict):
+        m = tables.get("maps")
+        return {"gates": cast_gates(tables.get("gates")),
+                "maps": None if m is None else (m[0], m[1])}
+    return cast_gates(tables)
+
+
 def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
-                   tangent_axis="tp", state_axis=None, newton_method=None):
+                   tangent_axis="tp", state_axis=None, newton_method=None,
+                   precision="f64"):
     """Geometry-independent functional core for one problem spec.
 
     All molecule data (int1e_ao, int2e_ao, oao_coeff, nuc) are runtime
@@ -71,6 +101,17 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     n_kappa = len(params_idx)
     tril_size = nao * (nao - 1) // 2
     nt = int(pqc.theta_shape)
+    # mixed precision: energy + gradient stay f64 (they drive the
+    # convergence test at 1e-10 Ha), but the HESSIAN blocks — the O(nt)
+    # batched Hamiltonian-applies, grams and transition RDMs that
+    # dominate the iteration — run on the MXU in f32 (one matmul pass
+    # instead of the ~8-pass f64 emulation).  Newton is self-correcting:
+    # an O(1e-6)-relative Hessian perturbs the step direction, not the
+    # stationary point, so converged energies agree with the f64 path to
+    # ~1e-10 Ha (pinned by tests/test_mixed_precision.py).  Promised at
+    # config.py:8; SURVEY.md section 7 "Hard parts" (x64 vs f32 on TPU).
+    mixed = (precision == "mixed")
+    lp = _lowp if mixed else (lambda x: x)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -201,14 +242,26 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                 f, Xp.reshape(n_chunks, chunk, *X.shape[1:]))
             return out.reshape(n_chunks * chunk, *out.shape[2:])[:B]
 
+        Jl = lp(J)
         HJ = map_chunked(
             lambda Jc: shard(
-                _ham.ham_apply(c1eff, c2, Jc, ncas, utd, maps),
+                _ham.ham_apply(lp(c1eff), lp(c2), Jc, ncas, utd, maps),
                 t_ax, s_ax),
-            J)
-        term2 = jax.jacfwd(jax.grad(
-            lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(theta)
-        hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(J), HJ))
+            Jl)
+        if mixed:
+            tabs_l = _lowp_tables(tables)
+            w_l = lp(w)
+
+            def state_fn_l(th):
+                return pqc._state_impl(th, tabs_l)
+
+            term2 = jax.jacfwd(jax.grad(
+                lambda th: jnp.real(state_fn_l(th) @ jnp.conj(w_l))))(
+                theta.astype(jnp.float32))
+        else:
+            term2 = jax.jacfwd(jax.grad(
+                lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(theta)
+        hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(Jl), HJ))
                    + term2)
 
         # RDMs and their theta-tangents from the Phi gram (product rule)
@@ -221,6 +274,9 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
                  - jnp.einsum("qr,ps->pqrs", delta, gamma))
 
+        phi_l = lp(phi)
+        psi_l = lp(psi)
+
         def transition_rdms(Jc):
             phiJ = jax.vmap(
                 lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
@@ -229,16 +285,17 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             # both contractions via gram_last so the big D axis never
             # gets relayed out (see ops/rdms.gram_last)
             dgram = jnp.real(
-                _rdms.gram_last(jnp.conj(phiJ), phi)
-                + jnp.transpose(_rdms.gram_last(jnp.conj(phi), phiJ),
+                _rdms.gram_last(jnp.conj(phiJ), phi_l)
+                + jnp.transpose(_rdms.gram_last(jnp.conj(phi_l), phiJ),
                                 (1, 0, 2)))
             dgamma = jnp.real(
-                (phiJ @ jnp.conj(psi))
-                + jnp.einsum("ad,id->ia", phi, jnp.conj(Jc))).reshape(
+                (phiJ @ jnp.conj(psi_l))
+                + jnp.einsum("ad,id->ia", phi_l, jnp.conj(Jc))).reshape(
                 -1, ncas, ncas)
             dcorr = dgram.reshape(-1, ncas, ncas, ncas, ncas)
+            delta_t = jnp.eye(ncas, dtype=dgamma.dtype)
             dGamma = (jnp.transpose(dcorr, (0, 2, 1, 3, 4))
-                      - jnp.einsum("qr,ips->ipqrs", delta, dgamma))
+                      - jnp.einsum("qr,ips->ipqrs", delta_t, dgamma))
             return dgamma, dGamma
 
         def pack_grad(g1, G2):
@@ -246,17 +303,25 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                 h1, g2, g1, G2, occ, act)
             return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
 
+        h1_l, g2_l = lp(h1), lp(g2)
+
+        def pack_grad_l(g1, G2):
+            grad4 = _fock.analytic_gradient_from_integrals(
+                h1_l, g2_l, g1, G2, occ, act)
+            return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
+
         grad_o = pack_grad(gamma, Gamma)
         # the analytic gradient is affine in the RDMs: subtract its value
         # at zero RDMs to get the linear part applied to each tangent
-        G0 = pack_grad(jnp.zeros_like(gamma), jnp.zeros_like(Gamma))
+        G0 = pack_grad_l(jnp.zeros_like(lp(gamma)),
+                         jnp.zeros_like(lp(Gamma)))
 
         def oc_rows(Jc):
             dgamma, dGamma = transition_rdms(Jc)
-            return jax.vmap(pack_grad)(dgamma, dGamma) - G0[None, :]
+            return jax.vmap(pack_grad_l)(dgamma, dGamma) - G0[None, :]
 
         if n_kappa:
-            hess_oc = map_chunked(oc_rows, J).T.reshape(n_kappa, nt)
+            hess_oc = map_chunked(oc_rows, Jl).T.reshape(n_kappa, nt)
         else:  # full-space active problems have no orbital parameters
             hess_oc = jnp.zeros((0, nt), dtype=theta.dtype)
 
@@ -266,7 +331,9 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         grad = jnp.concatenate([grad_c, grad_o])
         hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],
                           [hess_oc, hess_oo]])
-        return e0, grad, hess
+        # mixed mode: the solver consumes a uniform f64 matrix (entries
+        # carry f32 accuracy where blocks ran in f32)
+        return e0, grad, hess.astype(jnp.float64)
 
     # ---- staged large-D pipeline ---------------------------------------
     # ONE fused grad_hess program at D ~ 850k ((12e,12o) sector) exceeds
@@ -300,12 +367,19 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         return e0, w, jnp.real(jnp.conj(J) @ w)
 
     def _term2(theta, w, tables):
+        if mixed:
+            tabs_l = _lowp_tables(tables)
+            w_l = lp(w)
+            return jax.jacfwd(jax.grad(
+                lambda th: jnp.real(pqc._state_impl(th, tabs_l)
+                                    @ jnp.conj(w_l))))(
+                theta.astype(jnp.float32))
         return jax.jacfwd(jax.grad(
             lambda th: jnp.real(pqc._state_impl(th, tables)
                                 @ jnp.conj(w))))(theta)
 
     def _cc(J, HJ, term2):
-        return 2.0 * jnp.real(_rdms.gram_last(jnp.conj(J), HJ)) + term2
+        return 2.0 * jnp.real(_rdms.gram_last(jnp.conj(lp(J)), HJ)) + term2
 
     def _phi_of(psi, tables):
         return _rdms.apply_epq_all(psi, ncas, utd,
@@ -336,30 +410,34 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _row_fused(Jrow, phi, psi, h1, g2, G0, c1eff, c2, tables):
         """Per-tangent program: ONE E_pq gather of the tangent feeds both
         the Hamiltonian-apply row (H J_i, for hess_cc) and the
-        transition-RDM row (for hess_oc)."""
+        transition-RDM row (for hess_oc).  In mixed mode the whole row —
+        a pure Hessian contribution — runs in f32."""
+        Jrow, phi, psi = lp(Jrow), lp(phi), lp(psi)
+        h1, g2, G0, c1eff, c2 = lp(h1), lp(g2), lp(G0), lp(c1eff), lp(c2)
         maps = pqc._maps_from(tables)
         phiJ = _rdms.apply_epq_all(Jrow, ncas, utd, maps)
-        HJrow = _ham.ham_apply(c1eff, c2, Jrow, ncas, utd, maps,
-                               phi_pre=phiJ[None])
-        delta = jnp.eye(ncas, dtype=jnp.float64)
         # dgram[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b> (both terms are
         # (a,b)-indexed grams here — no transpose, unlike the batched
         # 3-D form where the tangent axis leads)
+        HJrow = _ham.ham_apply(c1eff, c2, Jrow, ncas, utd, maps,
+                               phi_pre=phiJ[None])
         dgram = jnp.real(_rdms.gram_last(jnp.conj(phiJ), phi)
                          + _rdms.gram_last(jnp.conj(phi), phiJ))
         dgamma = jnp.real(
             phiJ @ jnp.conj(psi)
             + _rdms.gram_last(phi, jnp.conj(Jrow[None, :]))[:, 0]
         ).reshape(ncas, ncas)
+        delta = jnp.eye(ncas, dtype=dgamma.dtype)
         dcorr = dgram.reshape(ncas, ncas, ncas, ncas)
         dGamma = (jnp.transpose(dcorr, (1, 0, 2, 3))
                   - jnp.einsum("qr,ps->pqrs", delta, dgamma))
         return HJrow, _pack(h1, g2, dgamma, dGamma) - G0
 
     def _assemble(grad_c, grad_o, hess_cc, oc_stack, hess_oo):
-        hess_oc = oc_stack.T.reshape(n_kappa, nt)
+        hess_oc = oc_stack.T.reshape(n_kappa, nt).astype(jnp.float64)
         grad = jnp.concatenate([grad_c, grad_o])
-        hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],
+        hess = jnp.block([[hess_cc.reshape(nt, nt).astype(jnp.float64),
+                           hess_oc.T],
                           [hess_oc, hess_oo]])
         return grad, hess
 
@@ -370,6 +448,20 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             _staged_jits[name] = jax.jit(fn)
         return _staged_jits[name]
 
+    # tangent rows per staged program: one-row-per-dispatch left most of
+    # the (12e,12o) iteration in dispatch+sync overhead (nt programs of
+    # ~1 s each).  Rows are grouped so the dominant (chunk, n2, D)
+    # intermediates stay ~1.5 GB — far under the spill threshold the
+    # staging exists to avoid — which cuts dispatches nt -> nt/chunk.
+    # In mixed mode the f32 buffers are half-size, so the chunk doubles.
+    _row_itemsize = 4 if mixed else 8
+    D_prog = pqc.program.dim if pqc.program is not None else 1
+    _stage_chunk = int(min(
+        8, max(1, int(1.5e9 // max(1, n2s * D_prog * _row_itemsize)))))
+
+    _rows_fused = jax.vmap(_row_fused,
+                           in_axes=(0,) + (None,) * 8)
+
     def grad_hess_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                          tables):
         h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
@@ -379,15 +471,20 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         phi = _sj("phi", _phi_of)(psi, tables)
         gamma, Gamma = _sj("rdms", _rdms_of)(phi, psi)
         grad_o, G0, hess_oo = _sj("orb", _orb)(h1, g2, gamma, Gamma)
-        row = _sj("row", _row_fused)
-        HJ_rows, oc_rows_l = [], []
-        for i in range(nt):
-            HJrow, ocrow = row(J[i], phi, psi, h1, g2, G0, c1eff, c2,
-                               tables)
-            HJ_rows.append(HJrow)
-            oc_rows_l.append(ocrow)
-        HJ = jnp.stack(HJ_rows)
-        oc = (jnp.stack(oc_rows_l) if n_kappa
+        rows = _sj("rows", _rows_fused)
+        ck = _stage_chunk
+        n_chunks = -(-nt // ck)
+        pad = n_chunks * ck - nt
+        Jp = (jnp.concatenate(
+            [J, jnp.zeros((pad,) + J.shape[1:], J.dtype)]) if pad else J)
+        HJ_parts, oc_parts = [], []
+        for c in range(n_chunks):
+            HJc, occ_c = rows(Jp[c * ck:(c + 1) * ck], phi, psi, h1, g2,
+                              G0, c1eff, c2, tables)
+            HJ_parts.append(HJc)
+            oc_parts.append(occ_c)
+        HJ = jnp.concatenate(HJ_parts)[:nt]
+        oc = (jnp.concatenate(oc_parts)[:nt] if n_kappa
               else jnp.zeros((nt, 0), dtype=jnp.float64))
         e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
         term2 = _sj("term2", _term2)(theta, w, tables)
@@ -504,10 +601,11 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
 
 
 def _nr_core_for(pqc, nao, occ, act, params_idx, mesh=None,
-                 tangent_axis="tp", state_axis=None, newton_method=None):
+                 tangent_axis="tp", state_axis=None, newton_method=None,
+                 precision="f64"):
     """Spec-keyed cache of compiled cores, stored on the (shared) pqc."""
     key = (nao, tuple(occ), tuple(act), tuple(int(i) for i in params_idx),
-           mesh, tangent_axis, state_axis, newton_method)
+           mesh, tangent_axis, state_axis, newton_method, precision)
     cache = getattr(pqc, "_nr_core_cache", None)
     if cache is None:
         cache = pqc._nr_core_cache = {}
@@ -515,7 +613,8 @@ def _nr_core_for(pqc, nao, occ, act, params_idx, mesh=None,
         cache[key] = _build_nr_core(pqc, nao, occ, act, params_idx,
                                     mesh=mesh, tangent_axis=tangent_axis,
                                     state_axis=state_axis,
-                                    newton_method=newton_method)
+                                    newton_method=newton_method,
+                                    precision=precision)
     return cache[key]
 
 
@@ -523,17 +622,27 @@ class OO_pqc(OO_energy):
     """Orbital-optimized PQC energy (reference oo_pqc.py:30)."""
 
     def __init__(self, pqc, mol, ncas, nelecas, oao_mo_coeff=None,
-                 freeze_active=False, interface=None, newton_method=None):
+                 freeze_active=False, interface=None, newton_method=None,
+                 precision="f64"):
         """``newton_method``: None (default — iterative solver for large
         Hessians on TPU, exact eigh otherwise), 'eigh' (force the exact
         eigendecomposition solve at every size; use when the lowest-
         Hessian-eigenvalue observable must be exact on clustered spectra)
         or 'iterative'.  See utils/newton_raphson.damped_newton_step_pure
-        for the accuracy contract."""
+        for the accuracy contract.
+
+        ``precision``: 'f64' (default — everything in emulated f64 on
+        TPU) or 'mixed' — the Hessian blocks run on the MXU in f32 while
+        energy and gradient stay f64, cutting the dominant per-iteration
+        cost (~8 f32 passes per f64 matmul avoided) at no cost to the
+        converged energy (the stationary point is fixed by the f64
+        gradient; validated to ~1e-10 Ha in tests/test_mixed_precision.py
+        and promised at config.py:8)."""
         super().__init__(mol, ncas, nelecas, oao_mo_coeff=oao_mo_coeff,
                          freeze_active=freeze_active)
         self.pqc = pqc
         self.newton_method = newton_method
+        self.precision = precision
         self._build_pure_fns()
 
     # -- pure functional core --------------------------------------------
@@ -542,7 +651,8 @@ class OO_pqc(OO_energy):
         core = _nr_core_for(self.pqc, self.nao, self._occ, self._act,
                             self.params_idx,
                             newton_method=getattr(self, "newton_method",
-                                                  None))
+                                                  None),
+                            precision=getattr(self, "precision", "f64"))
         self._core = core
         # molecule arrays AND gate tables travel as runtime arguments:
         # closure capture would embed them as program constants (multi-GB
