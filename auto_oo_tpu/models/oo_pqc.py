@@ -36,6 +36,8 @@ Known reference bugs fixed here (SURVEY.md):
 * kappa trajectory records kappa, not theta (reference oo_pqc.py:189);
 """
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -112,6 +114,16 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     # config.py:8; SURVEY.md section 7 "Hard parts" (x64 vs f32 on TPU).
     mixed = (precision == "mixed")
     lp = _lowp if mixed else (lambda x: x)
+
+    def prec_ctx():
+        """Trace-time matmul-precision scope for the f32 blocks: TPU f32
+        dots default to ONE bf16 pass (~1e-2 relative error — measured to
+        derail the Newton trajectory by 8e-2 Ha); 'float32' stamps the
+        bf16x3 passes that deliver true f32 accuracy.  f64 ops are kept
+        OUTSIDE these scopes (their emulation path is precision-flag
+        sensitive on some backends)."""
+        return (jax.default_matmul_precision("float32") if mixed
+                else contextlib.nullcontext())
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -242,27 +254,30 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                 f, Xp.reshape(n_chunks, chunk, *X.shape[1:]))
             return out.reshape(n_chunks * chunk, *out.shape[2:])[:B]
 
-        Jl = lp(J)
-        HJ = map_chunked(
-            lambda Jc: shard(
-                _ham.ham_apply(lp(c1eff), lp(c2), Jc, ncas, utd, maps),
-                t_ax, s_ax),
-            Jl)
-        if mixed:
-            tabs_l = _lowp_tables(tables)
-            w_l = lp(w)
+        with prec_ctx():
+            Jl = lp(J)
+            HJ = map_chunked(
+                lambda Jc: shard(
+                    _ham.ham_apply(lp(c1eff), lp(c2), Jc, ncas, utd,
+                                   maps),
+                    t_ax, s_ax),
+                Jl)
+            if mixed:
+                tabs_l = _lowp_tables(tables)
+                w_l = lp(w)
 
-            def state_fn_l(th):
-                return pqc._state_impl(th, tabs_l)
+                def state_fn_l(th):
+                    return pqc._state_impl(th, tabs_l)
 
-            term2 = jax.jacfwd(jax.grad(
-                lambda th: jnp.real(state_fn_l(th) @ jnp.conj(w_l))))(
-                theta.astype(jnp.float32))
-        else:
-            term2 = jax.jacfwd(jax.grad(
-                lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(theta)
-        hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(Jl), HJ))
-                   + term2)
+                term2 = jax.jacfwd(jax.grad(
+                    lambda th: jnp.real(state_fn_l(th) @ jnp.conj(w_l))))(
+                    theta.astype(jnp.float32))
+            else:
+                term2 = jax.jacfwd(jax.grad(
+                    lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(
+                    theta)
+            hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(Jl), HJ))
+                       + term2)
 
         # RDMs and their theta-tangents from the Phi gram (product rule)
         phi = shard(_rdms.apply_epq_all(psi, ncas, utd, maps),
@@ -313,15 +328,19 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         grad_o = pack_grad(gamma, Gamma)
         # the analytic gradient is affine in the RDMs: subtract its value
         # at zero RDMs to get the linear part applied to each tangent
-        G0 = pack_grad_l(jnp.zeros_like(lp(gamma)),
-                         jnp.zeros_like(lp(Gamma)))
+        # (computed under the SAME matmul-precision scope as the oc rows
+        # so the affine offset cancels exactly)
+        with prec_ctx():
+            G0 = pack_grad_l(jnp.zeros_like(lp(gamma)),
+                             jnp.zeros_like(lp(Gamma)))
 
         def oc_rows(Jc):
             dgamma, dGamma = transition_rdms(Jc)
             return jax.vmap(pack_grad_l)(dgamma, dGamma) - G0[None, :]
 
         if n_kappa:
-            hess_oc = map_chunked(oc_rows, Jl).T.reshape(n_kappa, nt)
+            with prec_ctx():
+                hess_oc = map_chunked(oc_rows, Jl).T.reshape(n_kappa, nt)
         else:  # full-space active problems have no orbital parameters
             hess_oc = jnp.zeros((0, nt), dtype=theta.dtype)
 
@@ -370,16 +389,19 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         if mixed:
             tabs_l = _lowp_tables(tables)
             w_l = lp(w)
-            return jax.jacfwd(jax.grad(
-                lambda th: jnp.real(pqc._state_impl(th, tabs_l)
-                                    @ jnp.conj(w_l))))(
-                theta.astype(jnp.float32))
+            with prec_ctx():
+                return jax.jacfwd(jax.grad(
+                    lambda th: jnp.real(pqc._state_impl(th, tabs_l)
+                                        @ jnp.conj(w_l))))(
+                    theta.astype(jnp.float32))
         return jax.jacfwd(jax.grad(
             lambda th: jnp.real(pqc._state_impl(th, tables)
                                 @ jnp.conj(w))))(theta)
 
     def _cc(J, HJ, term2):
-        return 2.0 * jnp.real(_rdms.gram_last(jnp.conj(lp(J)), HJ)) + term2
+        with prec_ctx():
+            return (2.0 * jnp.real(_rdms.gram_last(jnp.conj(lp(J)), HJ))
+                    + term2)
 
     def _phi_of(psi, tables):
         return _rdms.apply_epq_all(psi, ncas, utd,
@@ -412,26 +434,28 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         the Hamiltonian-apply row (H J_i, for hess_cc) and the
         transition-RDM row (for hess_oc).  In mixed mode the whole row —
         a pure Hessian contribution — runs in f32."""
-        Jrow, phi, psi = lp(Jrow), lp(phi), lp(psi)
-        h1, g2, G0, c1eff, c2 = lp(h1), lp(g2), lp(G0), lp(c1eff), lp(c2)
-        maps = pqc._maps_from(tables)
-        phiJ = _rdms.apply_epq_all(Jrow, ncas, utd, maps)
-        # dgram[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b> (both terms are
-        # (a,b)-indexed grams here — no transpose, unlike the batched
-        # 3-D form where the tangent axis leads)
-        HJrow = _ham.ham_apply(c1eff, c2, Jrow, ncas, utd, maps,
-                               phi_pre=phiJ[None])
-        dgram = jnp.real(_rdms.gram_last(jnp.conj(phiJ), phi)
-                         + _rdms.gram_last(jnp.conj(phi), phiJ))
-        dgamma = jnp.real(
-            phiJ @ jnp.conj(psi)
-            + _rdms.gram_last(phi, jnp.conj(Jrow[None, :]))[:, 0]
-        ).reshape(ncas, ncas)
-        delta = jnp.eye(ncas, dtype=dgamma.dtype)
-        dcorr = dgram.reshape(ncas, ncas, ncas, ncas)
-        dGamma = (jnp.transpose(dcorr, (1, 0, 2, 3))
-                  - jnp.einsum("qr,ps->pqrs", delta, dgamma))
-        return HJrow, _pack(h1, g2, dgamma, dGamma) - G0
+        with prec_ctx():
+            Jrow, phi, psi = lp(Jrow), lp(phi), lp(psi)
+            h1, g2, G0, c1eff, c2 = (lp(h1), lp(g2), lp(G0), lp(c1eff),
+                                     lp(c2))
+            maps = pqc._maps_from(tables)
+            phiJ = _rdms.apply_epq_all(Jrow, ncas, utd, maps)
+            # dgram[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b> (both terms
+            # are (a,b)-indexed grams here — no transpose, unlike the
+            # batched 3-D form where the tangent axis leads)
+            HJrow = _ham.ham_apply(c1eff, c2, Jrow, ncas, utd, maps,
+                                   phi_pre=phiJ[None])
+            dgram = jnp.real(_rdms.gram_last(jnp.conj(phiJ), phi)
+                             + _rdms.gram_last(jnp.conj(phi), phiJ))
+            dgamma = jnp.real(
+                phiJ @ jnp.conj(psi)
+                + _rdms.gram_last(phi, jnp.conj(Jrow[None, :]))[:, 0]
+            ).reshape(ncas, ncas)
+            delta = jnp.eye(ncas, dtype=dgamma.dtype)
+            dcorr = dgram.reshape(ncas, ncas, ncas, ncas)
+            dGamma = (jnp.transpose(dcorr, (1, 0, 2, 3))
+                      - jnp.einsum("qr,ps->pqrs", delta, dgamma))
+            return HJrow, _pack(h1, g2, dgamma, dGamma) - G0
 
     def _assemble(grad_c, grad_o, hess_cc, oc_stack, hess_oo):
         hess_oc = oc_stack.T.reshape(n_kappa, nt).astype(jnp.float64)

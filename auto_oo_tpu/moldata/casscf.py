@@ -137,7 +137,10 @@ class CASSCF:
         self.weights = None  # state-average weights (None = ground state)
 
     def _active_idx(self):
-        ncore = (self.mol.nelectron - self.nelecas) // 2
+        ne_act = (sum(self.nelecas)
+                  if isinstance(self.nelecas, (tuple, list))
+                  else self.nelecas)
+        ncore = (self.mol.nelectron - ne_act) // 2
         occ = np.arange(ncore)
         act = ncore + np.arange(self.ncas)
         virt = np.arange(ncore + self.ncas, self.mol.nao)

@@ -24,6 +24,16 @@ def ao_to_oao(ovlp):
     return v @ np.diag(w ** (-0.5)) @ v.T
 
 
+def _fix(fix_singlet, nelecas):
+    """Singlet selection is meaningless in an open-shell (n_a != n_b)
+    sector (every state there has S >= |n_a - n_b|/2), so it is
+    auto-disabled for tuple active spaces."""
+    if (isinstance(nelecas, (tuple, list))
+            and nelecas[0] != nelecas[1]):
+        return False
+    return bool(fix_singlet)
+
+
 class _FCIResult:
     """Mimics the bits of pyscf's FCI object the reference uses
     (``.e_tot`` after kernel, reference test_moldata_pyscf.py:95-104)."""
@@ -60,8 +70,12 @@ class Moldata:
 
     def get_active_space_idx(self, ncas, nelecas):
         """occ/act/virt spatial-orbital index partition
-        (reference moldata_pyscf.py:42-56)."""
-        nelecore = self.mol.nelectron - nelecas
+        (reference moldata_pyscf.py:42-56).  ``nelecas`` may be an
+        (n_alpha, n_beta) tuple (open-shell active space over a
+        closed-shell core)."""
+        ne_act = (sum(nelecas) if isinstance(nelecas, (tuple, list))
+                  else nelecas)
+        nelecore = self.mol.nelectron - ne_act
         if nelecore % 2 == 1:
             raise ValueError("odd number of core electrons")
         occ_idx = np.arange(nelecore // 2)
@@ -93,13 +107,13 @@ class Moldata:
             h1, g2, occ_idx, act_idx)
         res = _fci.solve_cas(core + self.nuc, h_eff, 0.5 * g_act, ncas,
                              nelecas, n_roots=n_roots,
-                             fix_singlet=bool(fix_singlet))
+                             fix_singlet=_fix(fix_singlet, nelecas))
         self.casci = _FCIResult(res.e_tot, res.vecs_full, res.s2)
 
     def run_casscf(self, ncas, nelecas, fix_singlet=1, verbose=0):
         self.run_rhf()
         solver = CASSCF(self.mol, self.hf, ncas, nelecas,
-                        fix_singlet=bool(fix_singlet))
+                        fix_singlet=_fix(fix_singlet, nelecas))
         self.casscf = solver.run()
 
     def run_sa_casscf(self, ncas, nelecas, fix_singlet=1, verbose=0):
@@ -107,7 +121,7 @@ class Moldata:
         (reference moldata_pyscf.py:96-105)."""
         self.run_rhf()
         solver = CASSCF(self.mol, self.hf, ncas, nelecas,
-                        fix_singlet=bool(fix_singlet))
+                        fix_singlet=_fix(fix_singlet, nelecas))
         solver.weights = [0.5, 0.5]
         self.sa_casscf = solver.run()
 

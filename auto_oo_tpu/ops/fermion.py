@@ -273,13 +273,25 @@ def project_sector(op, basis):
 
 
 def hf_bitstring(ncas, nelec):
-    """Occupation vector of the HF reference determinant (first `nelec`
-    modes occupied, interleaved ordering), as an int basis index and as a
-    0/1 vector (matching qml.qchem.hf_state semantics, reference
-    pqc.py:131)."""
+    """Occupation vector of the HF reference determinant (interleaved
+    ordering), as an int basis index and as a 0/1 vector (matching
+    qml.qchem.hf_state semantics, reference pqc.py:131).
+
+    ``nelec`` may be an (n_alpha, n_beta) tuple for OPEN-SHELL references:
+    alpha electrons fill modes 0, 2, ... and beta electrons modes 1, 3,
+    ...; the closed-shell integer form (first `nelec` modes occupied) is
+    the (ceil(n/2), floor(n/2)) special case."""
     nm = n_modes(ncas)
     vec = np.zeros(nm, dtype=np.int64)
-    vec[:nelec] = 1
+    if isinstance(nelec, (tuple, list)):
+        na, nb = int(nelec[0]), int(nelec[1])
+        if na > ncas or nb > ncas or na < 0 or nb < 0:
+            raise ValueError(f"(n_alpha, n_beta) = ({na}, {nb}) does not "
+                             f"fit in {ncas} spatial orbitals")
+        vec[0:2 * na:2] = 1
+        vec[1:2 * nb:2] = 1
+    else:
+        vec[:nelec] = 1
     idx = 0
     for m, o in enumerate(vec):
         idx = (idx << 1) | int(o)

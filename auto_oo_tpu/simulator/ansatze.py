@@ -32,17 +32,32 @@ FABRIC_ORBROT_FIRST = False  # block order: DoubleExcitation then OrbitalRotatio
 
 def excitations(electrons, orbitals, delta_sz=0):
     """Spin-conserving single and double excitations of the HF state, in
-    the qml.qchem.excitations enumeration order (reference pqc.py:123)."""
+    the qml.qchem.excitations enumeration order (reference pqc.py:123).
+
+    ``electrons`` may be an (n_alpha, n_beta) tuple for an OPEN-SHELL
+    reference determinant (alpha on even modes, beta on odd — matching
+    ops/fermion.hf_bitstring); the enumeration then runs over the actual
+    occupied/virtual mode lists with the same nesting order, reducing
+    exactly to the closed-shell form when the occupied set is the first
+    `electrons` modes."""
     sz = np.array([0.5 if i % 2 == 0 else -0.5 for i in range(orbitals)])
+    if isinstance(electrons, (tuple, list)):
+        na, nb = int(electrons[0]), int(electrons[1])
+        occ = sorted([2 * i for i in range(na)]
+                     + [2 * i + 1 for i in range(nb)])
+        virt = [m for m in range(orbitals) if m not in occ]
+    else:
+        occ = list(range(electrons))
+        virt = list(range(electrons, orbitals))
     singles = [[r, p]
-               for r in range(electrons)
-               for p in range(electrons, orbitals)
+               for r in occ
+               for p in virt
                if sz[p] - sz[r] == delta_sz]
     doubles = [[s, r, q, p]
-               for s in range(electrons - 1)
-               for r in range(s + 1, electrons)
-               for q in range(electrons, orbitals - 1)
-               for p in range(q + 1, orbitals)
+               for i, s in enumerate(occ)
+               for r in occ[i + 1:]
+               for j, q in enumerate(virt)
+               for p in virt[j + 1:]
                if (sz[p] + sz[q] - sz[r] - sz[s]) == delta_sz]
     return singles, doubles
 
@@ -117,7 +132,16 @@ def gatefabric_full_shape(n_layers, n_qubits):
 
 def gatefabric_redundant_idx(ncas, nelecas):
     """Flat indices of theta entries redundant when starting from HF
-    (reference pqc.py:144-158, reproduced exactly)."""
+    (reference pqc.py:144-158, reproduced exactly).
+
+    The elimination pattern is derived for a CLOSED-SHELL HF start
+    (all-occupied / all-virtual 4-qubit blocks); for an open-shell
+    (n_alpha, n_beta) reference no block is guaranteed redundant, so no
+    parameters are eliminated."""
+    if isinstance(nelecas, (tuple, list)):
+        if nelecas[0] != nelecas[1]:
+            return []
+        nelecas = int(nelecas[0]) * 2
     n_qubits = 2 * ncas
     if n_qubits > 4:
         redundant = list(range(0, 2 * (nelecas // 4)))

@@ -257,6 +257,45 @@ class Parameterized_circuit:
                                     self._umaps())
         return self._rdms_jit(jnp.asarray(theta), self._tables())
 
+    # -- spin diagnostics -------------------------------------------------
+
+    def _s2maps(self):
+        """Lazy S^- cross-sector maps (sector mode only)."""
+        if getattr(self, "_sector_s2maps", ()) == ():
+            from . import sector as _sector
+            self._sector_s2maps = _sector.sector_sminus_maps(
+                self.ncas, self.nelecas)
+        return self._sector_s2maps
+
+    def s2_expectation(self, theta):
+        """<psi(theta)|S^2|psi(theta)> — the spin-purity diagnostic
+        (reference utils/active_space.py:243-253 via a dense matrix).
+
+        Works at SECTOR scale: in sector mode the expectation is computed
+        from the O(ncas * D_sector) S^- gather maps (||S^- psi||^2 +
+        Sz^2 - Sz), never materializing a 4^ncas operator; dense mode
+        uses the s2_matrix quadratic form."""
+        theta = jnp.asarray(theta)
+        psi = self.state(theta)
+        return self.s2_expectation_of_state(psi)
+
+    def s2_expectation_of_state(self, state):
+        """<S^2> of an explicit (full-space or sector) statevector."""
+        from . import sector as _sector
+        state = jnp.asarray(state)
+        if self.sector:
+            return _sector.s2_expectation_sector(
+                state, self._s2maps(), self.nelecas)
+        s2 = _rdms.s2_matrix(self.ncas).astype(
+            jnp.float64 if not jnp.iscomplexobj(state) else state.dtype)
+        return jnp.real(jnp.conj(state) @ (s2 @ state))
+
+    def sz_value(self):
+        """Exact S_z of the simulated sector, (n_a - n_b)/2."""
+        from .sector import _nelec_split
+        na, nb = _nelec_split(self.nelecas)
+        return 0.5 * (na - nb)
+
     # -- misc -------------------------------------------------------------
 
     def draw_circuit(self, theta):

@@ -187,6 +187,62 @@ def sector_pair_annihilation_maps(ncas, nelecas):
     return groups
 
 
+def sector_sminus_maps(ncas, nelecas):
+    """Cross-sector gather maps for S^- = sum_p a^dag_{p,down} a_{p,up}
+    on a sector state: (n_a, n_b) -> (n_a - 1, n_b + 1).
+
+    Returns (src, sign), shapes (ncas, D_target) int32/int8, so that
+    (T_p psi)[i] = sign[p, i] * psi[src[p, i]] over the target sector's
+    determinants (T_p = a^dag_{p down} a_{p up}), or ``None`` when the
+    target sector does not exist (n_a = 0 or n_b = ncas — then
+    S^- psi = 0 identically).  One more pair-map family in the style of
+    :func:`sector_epq_maps`; interleaved mode ordering.
+
+    This is what makes spin diagnostics usable at sector scale: the
+    dense 4^ncas S^2 matrix (ops/rdms.s2_matrix, reference
+    active_space.py:243-253) is unusable beyond ~ncas = 8, while these
+    maps are O(ncas * D_sector)."""
+    basis = fermion.sector_basis(ncas, nelecas)
+    na, nb = _nelec_split(nelecas)
+    if na - 1 < 0 or nb + 1 > ncas:
+        return None
+    nm = 2 * ncas
+    tbasis = fermion.sector_basis(ncas, (na - 1, nb + 1))
+    Dt = len(tbasis)
+    src = np.zeros((ncas, Dt), dtype=np.int32)
+    sign = np.zeros((ncas, Dt), dtype=np.int8)
+    for p in range(ncas):
+        P = fermion.mode_of(p, 1, ncas, False)   # p, down (created)
+        Q = fermion.mode_of(p, 0, ncas, False)   # p, up (annihilated)
+        bitP = 1 << (nm - 1 - P)
+        bitQ = 1 << (nm - 1 - Q)
+        valid = ((tbasis & bitP) != 0) & ((tbasis & bitQ) == 0)
+        source = np.where(valid, tbasis ^ bitP ^ bitQ, basis[0])
+        sq = fermion._parity_below(source, Q, nm)
+        mid = source ^ bitQ
+        sp = fermion._parity_below(mid, P, nm)
+        pos = np.searchsorted(basis, source)
+        pos = np.minimum(pos, len(basis) - 1)
+        valid = valid & (basis[pos] == source)
+        src[p] = np.where(valid, pos, 0)
+        sign[p] = np.where(valid, sq * sp, 0)
+    return jnp.asarray(src), jnp.asarray(sign)
+
+
+def s2_expectation_sector(psi_s, sminus_maps, nelecas):
+    """<S^2> of a sector-basis state via S^2 = S^+ S^- + Sz^2 - Sz with
+    <S^+ S^-> = ||S^- psi||^2 ((S^-)^dagger = S^+) and Sz = (n_a-n_b)/2
+    exact on the sector.  Matches the dense s2_matrix quadratic form
+    (tests/test_sector.py)."""
+    na, nb = _nelec_split(nelecas)
+    sz = 0.5 * (na - nb)
+    if sminus_maps is None:
+        return jnp.asarray(sz * sz - sz + 0.0)
+    src, sign = sminus_maps
+    v = jnp.sum(psi_s[src] * sign.astype(psi_s.dtype), axis=0)
+    return jnp.real(jnp.conj(v) @ v) + sz * sz - sz
+
+
 def rdms_from_sector_state_unrestricted(psi_s, epq_maps, pair_maps, ncas):
     """Spin-resolved (unrestricted) RDMs over 2*ncas spin-orbitals from a
     sector-basis statevector: gamma_pq = <a^dag_p a_q> (same-spin blocks

@@ -118,6 +118,12 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
         "achieved_f64_gflops": round(achieved / 1e9, 2),
         "mfu_pct_vs_bf16_peak": round(100.0 * frac, 4),
     }
+    if sector:
+        # spin purity at the final iterate — the sector-scale S^2
+        # diagnostic (O(ncas * D) gather maps, no 4^ncas operator)
+        s2 = float(pqc.s2_expectation(th))
+        flop_info["s2_final"] = round(s2, 10)
+        assert abs(s2) < 1e-6, f"spin contamination: <S^2> = {s2}"
     return st, compile_s, float(energy), flop_info
 
 

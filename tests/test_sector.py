@@ -68,6 +68,60 @@ def test_sector_rdms_complex_state():
     assert np.allclose(np.asarray(G_s), np.asarray(G_f), atol=1e-13)
 
 
+def test_sector_s2_matches_dense():
+    """<S^2> from the sector S^- gather maps == the dense 4^ncas matrix
+    quadratic form, for circuit states and for a random sector vector
+    (incl. an open-shell (n_a, n_b) tuple sector)."""
+    from auto_oo_tpu.ops import rdms as _rdms
+
+    ncas, nelecas = 4, 4
+    pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+                                n_layers=2, sector=True)
+    pqc_d = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+                                  n_layers=2)
+    rng = np.random.RandomState(7)
+    theta = jnp.asarray(0.3 * rng.randn(pqc.theta_shape))
+    s2_s = float(pqc.s2_expectation(theta))
+    s2_d = float(pqc_d.s2_expectation(theta))
+    assert abs(s2_s - s2_d) < 1e-12
+    # HF determinant is a singlet: S^2 = 0
+    assert abs(float(pqc.s2_expectation(pqc.init_zeros()))) < 1e-12
+    assert pqc.sz_value() == 0.0
+
+    # random vector in an OPEN-SHELL sector (na=2, nb=1): compare to the
+    # dense operator on the embedded full-space vector
+    basis = S.sector_basis_and_rank(3, (2, 1))[0]
+    maps = S.sector_sminus_maps(3, (2, 1))
+    v = rng.randn(len(basis))
+    v /= np.linalg.norm(v)
+    s2_sector = float(S.s2_expectation_sector(jnp.asarray(v), maps, (2, 1)))
+    full = np.zeros(1 << 6)
+    full[np.asarray(basis)] = v
+    s2_mat = np.asarray(_rdms.s2_matrix(3))
+    s2_dense = float(full @ (s2_mat @ full))
+    assert abs(s2_sector - s2_dense) < 1e-12
+
+
+def test_sector_s2_no_target_sector():
+    """All-alpha sector (n_b = ncas would overflow): S^- psi = 0 and
+    S^2 = Sz^2 + ... reduces to sz(sz+1) for the stretched state."""
+    basis = S.sector_basis_and_rank(2, (2, 0))[0]
+    maps = S.sector_sminus_maps(2, (2, 0))
+    v = np.zeros(len(basis))
+    v[0] = 1.0
+    s2 = float(S.s2_expectation_sector(jnp.asarray(v), maps, (2, 0)))
+    # two aligned up spins: S = 1, S^2 = 2, and S^- maps exist
+    # (target (1,1) is a valid sector)
+    assert abs(s2 - 2.0) < 1e-12
+    # genuinely absent target: (0, 2) sector has n_a = 0
+    maps0 = S.sector_sminus_maps(2, (0, 2))
+    assert maps0 is None
+    v0 = np.zeros(len(S.sector_basis_and_rank(2, (0, 2))[0]))
+    v0[0] = 1.0
+    s2_0 = float(S.s2_expectation_sector(jnp.asarray(v0), maps0, (0, 2)))
+    assert abs(s2_0 - 2.0) < 1e-12  # sz = -1: sz^2 - sz = 2
+
+
 def test_sector_dimension_scaling():
     """The sector dimension is C(ncas, na) * C(ncas, nb) — the scaling
     argument of the README roadmap (16x at (10e,10o))."""
