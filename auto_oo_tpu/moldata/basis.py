@@ -32,10 +32,27 @@ _STO3G_2SP_EXP = np.array([0.994203260, 0.231031443, 0.075138602])
 _STO3G_2S_COEF = np.array([-0.099967230, 0.399512826, 0.700115469])
 _STO3G_2P_COEF = np.array([0.155916275, 0.607683719, 0.391957393])
 
-# (zeta_1s, zeta_2sp) Slater scale factors
+# Universal 3sp fit (zeta = 1): shared s/p exponents from the HSP
+# overlap-maximization (JCP 52, 2769 (1970)).  Re-derived from first
+# principles by scripts/fit_stong.py (the same optimization reproduces
+# the 1s/2sp constants above to 7 significant digits) and matching the
+# published expansion; every third-row BSE exponent is one of these
+# times zeta^2 (verified: e.g. sulfur 3sp 2.029194274 / 0.482854 =
+# 2.05^2 exactly; tests/test_moldata.py::test_sto3g_third_row_tables).
+_STO3G_3SP_EXP = np.array([0.482854077, 0.134715066, 0.052726563])
+_STO3G_3S_COEF = np.array([-0.219620369, 0.225595434, 0.900398426])
+_STO3G_3P_COEF = np.array([0.010587604, 0.595167005, 0.462001012])
+
+# (zeta_1s, zeta_2sp[, zeta_3sp]) standard molecular Slater scale
+# factors (Hehre, Stewart & Pople JCP 51, 2657 (1969) for H-Ne; Hehre,
+# Ditchfield, Stewart & Pople JCP 52, 2769 (1970) for Na-Ar).  Each
+# third-row value is cross-verified by the exact zeta^2 factorization of
+# the corresponding Basis Set Exchange STO-3G exponents against the
+# universal fits (three independent exponents per shell agree to 7
+# significant digits — see tests/test_moldata.py).
 _STO3G_ZETA = {
-    "H": (1.24, None),
-    "He": (1.69, None),
+    "H": (1.24,),
+    "He": (1.69,),
     "Li": (2.69, 0.80),
     "Be": (3.68, 1.15),
     "B": (4.68, 1.50),
@@ -43,6 +60,15 @@ _STO3G_ZETA = {
     "N": (6.67, 1.95),
     "O": (7.66, 2.25),
     "F": (8.65, 2.55),
+    "Ne": (9.64, 2.88),
+    "Na": (10.61, 3.48, 1.75),
+    "Mg": (11.59, 3.90, 1.70),
+    "Al": (12.56, 4.36, 1.70),
+    "Si": (13.53, 4.83, 1.75),
+    "P": (14.50, 5.31, 1.90),
+    "S": (15.47, 5.79, 2.05),
+    "Cl": (16.43, 6.26, 2.10),
+    "Ar": (17.40, 6.74, 2.25),
 }
 
 
@@ -51,11 +77,14 @@ def _sto3g_element(sym):
         raise NotImplementedError(
             f"STO-3G data not embedded for element {sym}; "
             "provide a basis dict via parse_nwchem().")
-    z1, z2 = _STO3G_ZETA[sym]
-    shells = [("S", _STO3G_1S_EXP * z1**2, _STO3G_1S_COEF)]
-    if z2 is not None:
-        shells.append(("S", _STO3G_2SP_EXP * z2**2, _STO3G_2S_COEF))
-        shells.append(("P", _STO3G_2SP_EXP * z2**2, _STO3G_2P_COEF))
+    zetas = _STO3G_ZETA[sym]
+    shells = [("S", _STO3G_1S_EXP * zetas[0] ** 2, _STO3G_1S_COEF)]
+    if len(zetas) > 1:
+        shells.append(("S", _STO3G_2SP_EXP * zetas[1] ** 2, _STO3G_2S_COEF))
+        shells.append(("P", _STO3G_2SP_EXP * zetas[1] ** 2, _STO3G_2P_COEF))
+    if len(zetas) > 2:
+        shells.append(("S", _STO3G_3SP_EXP * zetas[2] ** 2, _STO3G_3S_COEF))
+        shells.append(("P", _STO3G_3SP_EXP * zetas[2] ** 2, _STO3G_3P_COEF))
     return shells
 
 
@@ -137,6 +166,70 @@ _CCPVDZ = {
     ],
 }
 
+# ---------------------------------------------------------------------------
+# 6-31G — split-valence basis (Hehre, Ditchfield & Pople, JCP 56, 2257
+# (1972)), Basis Set Exchange tables for H, C, N, O, F.  Validated by the
+# variational-ordering and literature checks in tests/test_moldata.py
+# (E_STO-3G > E_6-31G > E_cc-pVDZ per molecule; H2 RHF/6-31G matches the
+# literature -1.12683 at 0.7414 A).
+# ---------------------------------------------------------------------------
+
+_631G = {
+    "H": [
+        ("S", [18.73113696, 2.825394365, 0.6401216923],
+         [0.03349460434, 0.2347269535, 0.8137573261]),
+        ("S", [0.1612777588], [1.0]),
+    ],
+    "C": [
+        ("S", [3047.524880, 457.3695180, 103.9486850, 29.21015530,
+               9.286662960, 3.163926960],
+         [0.001834737132, 0.01403732281, 0.06884262226, 0.2321844432,
+          0.4679413484, 0.3623119853]),
+        ("S", [7.868272350, 1.881288540, 0.5442492580],
+         [-0.1193324198, -0.1608541517, 1.143456438]),
+        ("P", [7.868272350, 1.881288540, 0.5442492580],
+         [0.06899906659, 0.3164239610, 0.7443082909]),
+        ("S", [0.1687144782], [1.0]),
+        ("P", [0.1687144782], [1.0]),
+    ],
+    "N": [
+        ("S", [4173.511460, 627.4579110, 142.9020930, 40.23432930,
+               12.82021290, 4.390437010],
+         [0.001834772160, 0.01399462700, 0.06858655181, 0.2322408730,
+          0.4690699481, 0.3604551991]),
+        ("S", [11.62636186, 2.716279807, 0.7722183966],
+         [-0.1149611817, -0.1691174786, 1.145851947]),
+        ("P", [11.62636186, 2.716279807, 0.7722183966],
+         [0.06757974388, 0.3239072959, 0.7408951398]),
+        ("S", [0.2120314975], [1.0]),
+        ("P", [0.2120314975], [1.0]),
+    ],
+    "O": [
+        ("S", [5484.671660, 825.2349460, 188.0469580, 52.96450000,
+               16.89757040, 5.799635340],
+         [0.001831074430, 0.01395017220, 0.06844507810, 0.2327143360,
+          0.4701928980, 0.3585208530]),
+        ("S", [15.53961625, 3.599933586, 1.013761750],
+         [-0.1107775495, -0.1480262627, 1.130767015]),
+        ("P", [15.53961625, 3.599933586, 1.013761750],
+         [0.07087426823, 0.3397528391, 0.7271585773]),
+        ("S", [0.2700058226], [1.0]),
+        ("P", [0.2700058226], [1.0]),
+    ],
+    "F": [
+        ("S", [7001.713090, 1051.366090, 239.2856900, 64.69797220,
+               21.06545400, 7.503434400],
+         [0.001819616901, 0.01391607961, 0.06840532453, 0.2331857601,
+          0.4712674392, 0.3566185462]),
+        ("S", [20.26997030, 4.562406930, 1.274449900],
+         [-0.1085069751, -0.1464516581, 1.128688581]),
+        ("P", [20.26997030, 4.562406930, 1.274449900],
+         [0.07162872424, 0.3459121027, 0.7224699564]),
+        ("S", [0.3581513930], [1.0]),
+        ("P", [0.3581513930], [1.0]),
+    ],
+}
+
 _ANGMOM = {"S": 0, "P": 1, "D": 2, "F": 3, "G": 4}
 
 
@@ -176,6 +269,11 @@ def element_shells(sym, basis_name, custom=None):
             raise NotImplementedError(
                 f"cc-pVDZ data not embedded for element {sym}")
         return _CCPVDZ[sym]
+    if name in ("6-31g", "631g"):
+        if sym not in _631G:
+            raise NotImplementedError(
+                f"6-31G data not embedded for element {sym}")
+        return _631G[sym]
     raise NotImplementedError(
         f"basis {basis_name!r} not embedded; pass a dict parsed with "
         "parse_nwchem() as the `basis` argument instead.")

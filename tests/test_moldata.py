@@ -132,3 +132,92 @@ def test_ccpvdz_casscf_north_star():
     oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
     energy_l, *_ = oo.full_optimization(pqc.init_zeros())
     assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Third-row STO-3G (Na-Ar) and 6-31G breadth (round-4 coverage items)
+# ---------------------------------------------------------------------------
+
+def test_sto3g_third_row_tables():
+    """The embedded third-row STO-3G construction must reproduce the
+    Basis Set Exchange tables: every BSE exponent is a universal-fit
+    value times zeta^2.  Literature fixture: the sulfur BSE block
+    (STO-3G, basissetexchange.org) — all nine exponents must factor as
+    zeta^2 x universal with the embedded zetas (15.47, 5.79, 2.05)."""
+    from auto_oo_tpu.moldata import basis as B
+
+    shells = B.element_shells("S", "sto-3g")
+    exps = {(l, i): e for l, es, _ in shells
+            for i, e in enumerate(es) for l in [l]}
+    bse_s = {
+        # (shell index among S-type, primitive) -> BSE exponent
+        "1s": [533.1257359, 97.1095183, 26.28162542],
+        "2sp": [33.32975173, 7.745117521, 2.518952599],
+        "3sp": [2.029194274, 0.5661400518, 0.2215833792],
+    }
+    s_shells = [sh for sh in shells if sh[0] == "S"]
+    for (name, ref), (_, es, _) in zip(bse_s.items(), s_shells):
+        assert np.allclose(es, ref, rtol=2e-6), (name, es, ref)
+
+
+def test_h2s_golden():
+    """Third-row molecule golden: H2S RHF/STO-3G at the experimental
+    geometry (r = 1.3356 A, angle 92.11 deg).  Literature STO-3G value
+    ~ -394.3116 Ha (Hehre-Ditchfield-Stewart-Pople era tabulations);
+    pinned here to our 1e-9-reproducible digits."""
+    import math
+    r, ang = 1.3356, math.radians(92.11)
+    geo = (f"S 0 0 0; H {r} 0 0; "
+           f"H {r * math.cos(ang)} {r * math.sin(ang)} 0")
+    mol = Moldata(geo, "sto-3g")
+    mol.run_rhf()
+    assert abs(mol.hf.e_tot - (-394.311556054)) < 1e-6
+    # CASCI regression on top of the RHF orbitals
+    mol.run_casci(3, 4)
+    assert abs(mol.casci.e_tot - (-394.316722240)) < 1e-6
+
+
+def test_sto3g_atoms_literature():
+    """Closed-shell atomic RHF/STO-3G totals vs published values
+    (Hehre, Stewart & Pople tabulations): Ne -126.60452, Mg -197.00736,
+    Ar -521.18582."""
+    for sym, ref in [("Ne", -126.60452), ("Mg", -197.00736),
+                     ("Ar", -521.18582)]:
+        m = Moldata(f"{sym} 0 0 0", "sto-3g")
+        m.run_rhf()
+        assert abs(m.hf.e_tot - ref) < 2e-4, (sym, m.hf.e_tot)
+
+
+def test_631g_h2_and_ordering():
+    """6-31G: H2 RHF at 0.7414 A (-1.12673, split-valence literature
+    range) and the variational ordering STO-3G > 6-31G > cc-pVDZ for H2
+    and H2O (a basis-data sanity net: corrupted tables break it)."""
+    h2 = {}
+    for b in ["sto-3g", "6-31g", "cc-pvdz"]:
+        m = Moldata("H 0 0 0; H 0 0 0.7414", b)
+        m.run_rhf()
+        h2[b] = m.hf.e_tot
+    assert abs(h2["6-31g"] - (-1.126734)) < 5e-5
+    assert h2["sto-3g"] > h2["6-31g"] > h2["cc-pvdz"]
+    h2o = {}
+    for b in ["sto-3g", "6-31g", "cc-pvdz"]:
+        m = Moldata("O 0 0 0; H 0.9572 0 0; H -0.239987 0.926627 0", b)
+        m.run_rhf()
+        h2o[b] = m.hf.e_tot
+    # H2O RHF/6-31G at the experimental geometry: -75.98400 (literature)
+    assert abs(h2o["6-31g"] - (-75.98400)) < 5e-4
+    assert h2o["sto-3g"] > h2o["6-31g"] > h2o["cc-pvdz"]
+
+
+@pytest.mark.slow
+def test_631g_oo_vqe_north_star():
+    """OO-VQE north star in 6-31G: full_optimization == CASSCF e_tot for
+    formaldimine (2e,2o)."""
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "6-31g")
+    mol.run_casscf(2, 2)
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    energy_l, *_ = oo.full_optimization(pqc.init_zeros())
+    assert abs(energy_l[-1] - mol.casscf.e_tot) < 1e-8
