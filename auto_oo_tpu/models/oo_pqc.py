@@ -224,12 +224,27 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         # for the real-valued built-in ansatze.
         maps = pqc._maps_from(tables)
         psi = shard(state_fn(theta), s_ax)
-        J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
         Hpsi = shard(_ham.ham_apply(c1eff, c2, psi, ncas, utd, maps),
                      s_ax)
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
-        grad_c = jnp.real(jnp.conj(J) @ w)
+        if mixed:
+            # the tangent Jacobian only feeds HESSIAN blocks, so it runs
+            # natively in f32 (nt forward passes through the f32-table
+            # simulator — the dominant per-iteration cost in f64).  The
+            # f64 circuit gradient is recovered EXACTLY by one
+            # reverse-mode pass with w held constant:
+            #   grad_c_i = 2 Re<d_i psi|H psi> = d/dtheta_i Re<psi|w*>
+            tabs_l0 = _lowp_tables(tables)
+            with prec_ctx():
+                J = shard(jax.jacfwd(
+                    lambda th: pqc._state_impl(th, tabs_l0))(
+                    theta.astype(jnp.float32)).T, t_ax, s_ax)  # (nt, D)
+            grad_c = jax.grad(
+                lambda th: jnp.real(state_fn(th) @ jnp.conj(w)))(theta)
+        else:
+            J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
+            grad_c = jnp.real(jnp.conj(J) @ w)
         # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
         # intermediates must stay ~O(100 MB) under f64 emulation (the
         # full 20-tangent batch allocated 3x 5G buffers at (8e,8o)).
@@ -293,22 +308,32 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         psi_l = lp(psi)
 
         def transition_rdms(Jc):
-            phiJ = jax.vmap(
-                lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
-            phiJ = shard(phiJ, t_ax, None, s_ax)
-            # d corr[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b>, real part;
-            # both contractions via gram_last so the big D axis never
-            # gets relayed out (see ops/rdms.gram_last)
-            dgram = jnp.real(
-                _rdms.gram_last(jnp.conj(phiJ), phi_l)
-                + jnp.transpose(_rdms.gram_last(jnp.conj(phi_l), phiJ),
-                                (1, 0, 2)))
-            dgamma = jnp.real(
-                (phiJ @ jnp.conj(psi_l))
-                + jnp.einsum("ad,id->ia", phi_l, jnp.conj(Jc))).reshape(
-                -1, ncas, ncas)
-            dcorr = dgram.reshape(-1, ncas, ncas, ncas, ncas)
-            delta_t = jnp.eye(ncas, dtype=dgamma.dtype)
+            # mixed mode: the O(nt n^4 D) grams over the big state axis
+            # run in f32 (prec_ctx), then the tiny (ncas^4) tangent RDMs
+            # are promoted to f64 for the nao-space Fock pack — the pack
+            # is O(ns^2 nao^2) per tangent (noise next to the grams) and
+            # the TPU f32 path of the fock contractions was measured
+            # unreliable (oc block rel error ~7 on chip, CPU fine).
+            with prec_ctx():
+                phiJ = jax.vmap(
+                    lambda v: _rdms.apply_epq_all(v, ncas, utd, maps))(Jc)
+                phiJ = shard(phiJ, t_ax, None, s_ax)
+                # d corr[a,b] = <dphi_a|phi_b> + <phi_a|dphi_b>, real
+                # part; both contractions via gram_last so the big D
+                # axis never gets relayed out (see ops/rdms.gram_last)
+                dgram = jnp.real(
+                    _rdms.gram_last(jnp.conj(phiJ), phi_l)
+                    + jnp.transpose(
+                        _rdms.gram_last(jnp.conj(phi_l), phiJ),
+                        (1, 0, 2)))
+                dgamma = jnp.real(
+                    (phiJ @ jnp.conj(psi_l))
+                    + jnp.einsum("ad,id->ia", phi_l,
+                                 jnp.conj(Jc))).reshape(-1, ncas, ncas)
+            dgamma = dgamma.astype(jnp.float64)
+            dcorr = dgram.reshape(-1, ncas, ncas, ncas, ncas).astype(
+                jnp.float64)
+            delta_t = jnp.eye(ncas, dtype=jnp.float64)
             dGamma = (jnp.transpose(dcorr, (0, 2, 1, 3, 4))
                       - jnp.einsum("qr,ips->ipqrs", delta_t, dgamma))
             return dgamma, dGamma
@@ -318,29 +343,17 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                 h1, g2, g1, G2, occ, act)
             return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
 
-        h1_l, g2_l = lp(h1), lp(g2)
-
-        def pack_grad_l(g1, G2):
-            grad4 = _fock.analytic_gradient_from_integrals(
-                h1_l, g2_l, g1, G2, occ, act)
-            return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
-
         grad_o = pack_grad(gamma, Gamma)
         # the analytic gradient is affine in the RDMs: subtract its value
         # at zero RDMs to get the linear part applied to each tangent
-        # (computed under the SAME matmul-precision scope as the oc rows
-        # so the affine offset cancels exactly)
-        with prec_ctx():
-            G0 = pack_grad_l(jnp.zeros_like(lp(gamma)),
-                             jnp.zeros_like(lp(Gamma)))
+        G0 = pack_grad(jnp.zeros_like(gamma), jnp.zeros_like(Gamma))
 
         def oc_rows(Jc):
             dgamma, dGamma = transition_rdms(Jc)
-            return jax.vmap(pack_grad_l)(dgamma, dGamma) - G0[None, :]
+            return jax.vmap(pack_grad)(dgamma, dGamma) - G0[None, :]
 
         if n_kappa:
-            with prec_ctx():
-                hess_oc = map_chunked(oc_rows, Jl).T.reshape(n_kappa, nt)
+            hess_oc = map_chunked(oc_rows, Jl).T.reshape(n_kappa, nt)
         else:  # full-space active problems have no orbital parameters
             hess_oc = jnp.zeros((0, nt), dtype=theta.dtype)
 
@@ -374,7 +387,16 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _state_and_J(theta, tables):
         def f(th):
             return pqc._state_impl(th, tables)
-        return f(theta), jax.jacfwd(f)(theta).T
+        psi = f(theta)
+        if mixed:
+            # f32 tangents (Hessian-only consumer; see grad_hess)
+            tabs_l = _lowp_tables(tables)
+            with prec_ctx():
+                J = jax.jacfwd(lambda th: pqc._state_impl(th, tabs_l))(
+                    theta.astype(jnp.float32)).T
+        else:
+            J = jax.jacfwd(f)(theta).T
+        return psi, J
 
     def _hrow(c1eff, c2, v, tables):
         return _ham.ham_apply(c1eff, c2, v, ncas, utd,
@@ -384,6 +406,15 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
         return e0, w, jnp.real(jnp.conj(J) @ w)
+
+    def _misc_mixed(c0, theta, psi, Hpsi, tables):
+        # f64 grad_c via one reverse pass (J is f32 in mixed mode)
+        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
+        w = 2.0 * Hpsi
+        grad_c = jax.grad(
+            lambda th: jnp.real(pqc._state_impl(th, tables)
+                                @ jnp.conj(w)))(theta)
+        return e0, w, grad_c
 
     def _term2(theta, w, tables):
         if mixed:
@@ -510,7 +541,11 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         HJ = jnp.concatenate(HJ_parts)[:nt]
         oc = (jnp.concatenate(oc_parts)[:nt] if n_kappa
               else jnp.zeros((nt, 0), dtype=jnp.float64))
-        e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
+        if mixed:
+            e0, w, grad_c = _sj("misc_mx", _misc_mixed)(c0, theta, psi,
+                                                        Hpsi, tables)
+        else:
+            e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
         term2 = _sj("term2", _term2)(theta, w, tables)
         hess_cc = _sj("cc", _cc)(J, HJ, term2)
         grad, hess = _sj("asm", _assemble)(grad_c, grad_o, hess_cc, oc,
@@ -615,9 +650,11 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         "energy": energy,
         "energy_jit": jax.jit(energy),
         "orbital_gradient": orbital_gradient,
+        "grad_hess_fused": grad_hess,
         "grad_hess_jit": grad_hess_jit,
         "grad_hess_fused_jit": grad_hess_fused_jit,
         "grad_hess_staged": grad_hess_staged,
+        "newton_update_fused": newton_update,
         "newton_update_staged": newton_update_staged,
         "newton_update_jit": newton_update_jit,
         "nr_iteration_jit": nr_iteration,
