@@ -300,6 +300,68 @@ class BerryPhaseLoop:
                 print(f"Energy at step {step}: {float(energy):.10f}")
         return self
 
+    def run_batched(self, theta_init=None, conv_tol=1e-10,
+                    max_iterations=50, track_steps=4, verbose=0,
+                    mesh=None):
+        """Adiabatic tracking with ALL loop geometries advancing
+        CONCURRENTLY (the GeometryBatch dp axis): full optimization at
+        point 0, then every remaining geometry warm-starts from the
+        point-0 solution and takes ``track_steps`` batched damped-Newton
+        steps in LOCKSTEP — one device program per step for the whole
+        loop, instead of one dispatch sequence per geometry.  Under a
+        ``mesh`` the stacked integral tensors are dp-sharded so the batch
+        spreads across devices.
+
+        Trade-off vs :meth:`run`: sequential tracking warm-starts each
+        geometry from its predecessor (follows the adiabatic branch with
+        ONE step/geometry); the batched variant warm-starts everything
+        from point 0, so it needs a few more steps per geometry on dense
+        loops but runs them all concurrently.  Each batched step is
+        exactly the sequential damped-Newton step (pinned in
+        tests/test_parallel.py)."""
+        from ..parallel.sharding import GeometryBatch
+
+        mol0 = Moldata(self.geometries[0], self.basis)
+        oo0 = OO_pqc(self.pqc, mol0, self.ncas, self.nelecas,
+                     freeze_active=self.freeze_active,
+                     newton_method=self.newton_method)
+        self.act_idx = oo0.act_idx
+        theta0 = (self.pqc.init_zeros() if theta_init is None
+                  else jnp.asarray(theta_init))
+        energy_l, theta_l, _, oao_l, hess_eig_l = oo0.full_optimization(
+            theta0, max_iterations=max_iterations, conv_tol=conv_tol,
+            verbose=verbose, **self.newton_kwargs)
+        theta, oao = theta_l[-1], oao_l[-1]
+        self.theta_l = [theta]
+        self.oao_mo_coeff_l = [oao]
+        self.energy_l = [energy_l[-1]]
+        self.hess_eig_l = [hess_eig_l[-1]]
+        if self.run_casscf:
+            mol0.run_casscf(self.ncas, self.nelecas)
+            self.casscf_energy_l = [mol0.casscf.e_tot]
+
+        mols = [Moldata(g, self.basis) for g in self.geometries[1:]]
+        batch = GeometryBatch(mols, self.ncas, self.nelecas, self.pqc,
+                              mesh=mesh,
+                              freeze_active=self.freeze_active)
+        B = len(mols)
+        hist, thetas, oaos, lowests = batch.optimize(
+            theta, oao_mo0=jnp.broadcast_to(
+                jnp.asarray(oao), (B,) + jnp.asarray(oao).shape),
+            n_steps=max(1, int(track_steps)))
+        for i in range(B):
+            self.theta_l.append(thetas[i])
+            self.oao_mo_coeff_l.append(oaos[i])
+            self.energy_l.append(float(hist[-1][i]))
+            self.hess_eig_l.append(float(lowests[i]))
+            if self.run_casscf:
+                mols[i].run_casscf(self.ncas, self.nelecas)
+                self.casscf_energy_l.append(mols[i].casscf.e_tot)
+        if verbose:
+            print("batched tracking energies:",
+                  [f"{e:.8f}" for e in self.energy_l[1:]])
+        return self
+
     def states(self):
         """PQC statevectors along the loop (notebook cell 25)."""
         return [np.asarray(self.pqc.state(th)) for th in self.theta_l]

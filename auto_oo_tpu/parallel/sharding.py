@@ -195,3 +195,72 @@ class GeometryBatch:
         """Batched (dE/dtheta, dE/dkappa)."""
         return self._grad_batch(self.int1e, self.int2e, self.oao_c,
                                 self.nuc, thetas, kappas, oao_mos)
+
+    # -- batched damped-Newton optimization (the dp axis as an actual
+    # optimizer, not just forward/gradient evaluation) -------------------
+
+    def _newton_step_batch(self, alpha, beta, mu, rho, lambda_min):
+        key = (alpha, beta, mu, rho, lambda_min)
+        cache = getattr(self, "_step_cache", None)
+        if cache is None:
+            cache = self._step_cache = {}
+        if key in cache:
+            return cache[key]
+        from ..models.oo_pqc import _nr_core_for
+
+        oo0 = self.oo0
+        core = _nr_core_for(self.pqc, oo0.nao, oo0._occ, oo0._act,
+                            oo0.params_idx)
+        tables = self.pqc._tables()
+        gh = core["grad_hess_fused"]
+        upd = core["newton_update_fused"]
+
+        def one(theta, oao_mo, int1e, int2e, oao_c, nuc):
+            e0, g, h = gh(theta, oao_mo, int1e, int2e, oao_c, nuc,
+                          tables)
+            return upd(theta, oao_mo, int1e, int2e, oao_c, nuc, tables,
+                       e0, g, h, alpha, beta, mu, rho, lambda_min)
+
+        step = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0)))
+        cache[key] = step
+        return step
+
+    def newton_steps(self, thetas, oao_mos, alpha=1e-4, beta=0.5,
+                     mu=1e-6, rho=1.1, lambda_min=1e-6):
+        """ONE damped Newton step on EVERY geometry concurrently (the
+        same grad+Hessian+augmented-solve+Armijo update the sequential
+        OO_pqc._nr_iteration_jit runs, vmapped over the dp axis — the
+        line-search while_loop batches to lockstep trials).  Returns
+        (new_thetas, new_kappas, new_oao_mos, energies, lowest_eigs),
+        each with a leading geometry axis.  Under a mesh the stacked
+        integral tensors are dp-sharded, so XLA partitions the whole
+        batched step across devices."""
+        step = self._newton_step_batch(alpha, beta, mu, rho, lambda_min)
+        return step(jnp.asarray(thetas), jnp.asarray(oao_mos),
+                    self.int1e, self.int2e, self.oao_c, self.nuc)
+
+    def optimize(self, theta0, oao_mo0=None, n_steps=10, **nr_kwargs):
+        """Run `n_steps` batched Newton steps from a shared or
+        per-geometry start; returns the trajectory of batched energies
+        plus the final (thetas, oao_mos, lowest_eigs).  This is the PES
+        scan / Berry-loop tracking driver: all geometries advance in one
+        device program per step."""
+        B = len(self.oo_list)
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (B,) + theta0.shape)
+        if oao_mo0 is None:
+            oao_mo0 = jnp.stack([oo.oao_mo_coeff for oo in self.oo_list])
+        else:
+            oao_mo0 = jnp.asarray(oao_mo0)
+            if oao_mo0.ndim == 2:
+                oao_mo0 = jnp.broadcast_to(
+                    oao_mo0, (B,) + oao_mo0.shape)
+        thetas, oaos = theta0, oao_mo0
+        energy_hist = []
+        lowest = None
+        for _ in range(n_steps):
+            thetas, _kappas, oaos, energies, lowest = self.newton_steps(
+                thetas, oaos, **nr_kwargs)
+            energy_hist.append(energies)
+        return energy_hist, thetas, oaos, lowest

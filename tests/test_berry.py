@@ -126,6 +126,22 @@ def test_berry_phase_around_conical_intersection():
 
 
 @pytest.mark.slow
+def test_berry_phase_batched_tracking():
+    """run_batched: the SAME conical-intersection loop with all tracking
+    geometries advancing CONCURRENTLY (GeometryBatch dp axis) still
+    measures Berry phase ~ +-pi."""
+    geos = _ci_loop_geos(21)
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    loop = BerryPhaseLoop(geos, "sto-3g", 2, 2, pqc,
+                          freeze_active=True).run_batched(
+        conv_tol=1e-10, track_steps=12)
+    ov = loop.overlaps()
+    assert np.all(np.abs(np.abs(ov) - 1.0) < 0.05)
+    phase = loop.berry_phase()
+    assert abs(abs(phase) - np.pi) < 0.05
+
+
+@pytest.mark.slow
 def test_berry_phase_sector_mode():
     """The SAME conical-intersection loop run entirely in the particle
     sector basis (states, tracking and Thouless transfer all on sector

@@ -72,6 +72,43 @@ def test_geometry_batch_matches_individual():
     assert np.allclose(np.asarray(g_th[0]), g0, atol=1e-9)
 
 
+def test_geometry_batch_newton_steps_match_sequential():
+    """The vmapped batched damped-Newton step (dp axis) is EXACTLY the
+    sequential per-geometry step: same energies, same parameter updates,
+    on the 8-device virtual mesh."""
+    geos = [get_formal_geo(a, p) for a, p in
+            [(140, 80), (135, 85), (130, 90), (125, 95)]]
+    mols = [Moldata(g, "sto-3g") for g in geos]
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    mesh = make_mesh(shape=(4, 2), names=("dp", "tp"))
+    batch = GeometryBatch(mols, 2, 2, pqc, mesh=mesh, axis="dp")
+    theta0 = pqc.init_zeros()
+    thetas = jnp.stack([theta0] * len(mols))
+    oaos = jnp.stack([oo.oao_mo_coeff for oo in batch.oo_list])
+    nth, nka, noao, es, lows = batch.newton_steps(thetas, oaos)
+    for i, oo in enumerate(batch.oo_list):
+        ref = oo._nr_iteration_jit(theta0, oo.oao_mo_coeff,
+                                   1e-4, 0.5, 1e-6, 1.1, 1e-6)
+        assert abs(float(ref[3]) - float(es[i])) < 1e-12
+        assert float(jnp.max(jnp.abs(ref[0] - nth[i]))) < 1e-12
+        assert float(jnp.max(jnp.abs(ref[2] - noao[i]))) < 1e-12
+        assert abs(float(ref[4]) - float(lows[i])) < 1e-9
+
+
+def test_geometry_batch_optimize_converges_to_casscf():
+    """The batched multi-step driver converges every geometry of a PES
+    scan to its own CASSCF minimum concurrently."""
+    geos = [get_formal_geo(a, p) for a, p in [(140, 80), (135, 85)]]
+    mols = [Moldata(g, "sto-3g") for g in geos]
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+    batch = GeometryBatch(mols, 2, 2, pqc)
+    hist, thetas, oaos, lows = batch.optimize(pqc.init_zeros(),
+                                              n_steps=10)
+    for i, m in enumerate(mols):
+        m.run_casscf(2, 2)
+        assert abs(float(hist[-1][i]) - m.casscf.e_tot) < 1e-8
+
+
 def test_sharded_quadratic_form_grad_hess(setup):
     """The FAST quadratic-form grad+Hessian (the production NR core)
     sharded over the tangent axis equals the single-device core (VERDICT
