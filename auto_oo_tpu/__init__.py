@@ -48,4 +48,7 @@ def __getattr__(name):
     if name in ("uccd_circuit", "gatefabric_circuit"):
         from .simulator import ansatze
         return getattr(ansatze, name)
+    if name == "dirac_notation":
+        from .simulator.circuit import dirac_notation
+        return dirac_notation
     raise AttributeError(name)

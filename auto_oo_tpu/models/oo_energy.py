@@ -49,6 +49,7 @@ class OO_energy:
         self.oao_coeff = jnp.asarray(mol.oao_coeff)
         self.nuc = float(mol.nuc)
         self.nao = int(mol.nao)
+        self.basis = getattr(mol, "basis", None)  # checkpoint spec header
 
         self.ncas = ncas
         self.nelecas = nelecas

@@ -132,6 +132,7 @@ class CASSCF:
         self.conv_tol = conv_tol
         self.max_cycle = max_cycle
         self.e_tot = None
+        self.e_states = None  # per-root energies at the final orbitals (SA)
         self.mo_coeff = None
         self.converged = False
         self.weights = None  # state-average weights (None = ground state)
@@ -215,5 +216,7 @@ class CASSCF:
             C = C @ expm(-kappa)
             e_old = e_tot
         self.e_tot = float(e_old)
+        self.e_states = [float(e) for e in
+                         np.atleast_1d(self._last_fci.e_tot)[:n_roots]]
         self.mo_coeff = C
         return self

@@ -49,6 +49,7 @@ class Moldata:
 
     def __init__(self, geometry, basis, **kwargs):
         self.mol = Mole(geometry, basis=basis, **kwargs).build()
+        self.basis = basis
         self.int1e_ao = self.mol.intor("int1e_kin") + self.mol.intor(
             "int1e_nuc")
         self.overlap = self.mol.intor("int1e_ovlp")

@@ -353,3 +353,33 @@ class Parameterized_circuit:
             out.append(f"q{q:02d}: ─" + "─".join(rows[q])
                        + "─")
         return "\n".join(out)
+
+
+def dirac_notation(state, decimals=2, atol=1e-8):
+    """Pretty-print a statevector as a Dirac-notation sum — the
+    cirq.dirac_notation capability the reference tutorials use to display
+    PQC states (reference examples/Tutorial_auto_oo.ipynb, cells printing
+    `cirq.dirac_notation(state)`).  Qubit 0 is the leftmost bit label,
+    matching the simulator's statevector layout."""
+    state = np.asarray(state).ravel()
+    nq = int(round(np.log2(state.size)))
+    if 1 << nq != state.size:
+        raise ValueError(f"statevector length {state.size} is not 2^n")
+    terms = []
+    for idx in np.flatnonzero(np.abs(state) > atol):
+        amp = state[idx]
+        label = format(idx, f"0{nq}b")
+        if abs(np.imag(amp)) < atol:
+            a = float(np.real(amp))
+            mag = f"{abs(a):.{decimals}f}"
+            sign = "-" if a < 0 else "+"
+        else:
+            mag = (f"({np.real(amp):.{decimals}f}"
+                   f"{np.imag(amp):+.{decimals}f}j)")
+            sign = "+"
+        if not terms and sign == "+":
+            terms.append(f"{mag}|{label}⟩")
+        else:
+            terms.append(f"{sign} {mag}|{label}⟩" if terms
+                         else f"-{mag}|{label}⟩")
+    return " ".join(terms) if terms else "0"
