@@ -222,29 +222,20 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         # part, so COMPLEX custom-ansatz states are handled exactly
         # (grad = 2 Re<d_i psi|H|psi>, etc.); conj/real are XLA no-ops
         # for the real-valued built-in ansatze.
+        # NOTE on a measured negative result: computing J natively in f32
+        # (it only feeds Hessian blocks) and recovering the f64 gradient
+        # by one reverse-mode pass was tried and made mixed mode SLOWER
+        # on chip (10e10o sector: 3.77 s -> 4.61 s/iter): XLA batches all
+        # nt jacfwd tangents into ONE scan pass, so the f64 Jacobian is
+        # cheap, while the extra backward scan pays full-D f64 traffic.
         maps = pqc._maps_from(tables)
         psi = shard(state_fn(theta), s_ax)
+        J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
         Hpsi = shard(_ham.ham_apply(c1eff, c2, psi, ncas, utd, maps),
                      s_ax)
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
-        if mixed:
-            # the tangent Jacobian only feeds HESSIAN blocks, so it runs
-            # natively in f32 (nt forward passes through the f32-table
-            # simulator — the dominant per-iteration cost in f64).  The
-            # f64 circuit gradient is recovered EXACTLY by one
-            # reverse-mode pass with w held constant:
-            #   grad_c_i = 2 Re<d_i psi|H psi> = d/dtheta_i Re<psi|w*>
-            tabs_l0 = _lowp_tables(tables)
-            with prec_ctx():
-                J = shard(jax.jacfwd(
-                    lambda th: pqc._state_impl(th, tabs_l0))(
-                    theta.astype(jnp.float32)).T, t_ax, s_ax)  # (nt, D)
-            grad_c = jax.grad(
-                lambda th: jnp.real(state_fn(th) @ jnp.conj(w)))(theta)
-        else:
-            J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
-            grad_c = jnp.real(jnp.conj(J) @ w)
+        grad_c = jnp.real(jnp.conj(J) @ w)
         # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
         # intermediates must stay ~O(100 MB) under f64 emulation (the
         # full 20-tangent batch allocated 3x 5G buffers at (8e,8o)).
@@ -387,16 +378,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _state_and_J(theta, tables):
         def f(th):
             return pqc._state_impl(th, tables)
-        psi = f(theta)
-        if mixed:
-            # f32 tangents (Hessian-only consumer; see grad_hess)
-            tabs_l = _lowp_tables(tables)
-            with prec_ctx():
-                J = jax.jacfwd(lambda th: pqc._state_impl(th, tabs_l))(
-                    theta.astype(jnp.float32)).T
-        else:
-            J = jax.jacfwd(f)(theta).T
-        return psi, J
+        return f(theta), jax.jacfwd(f)(theta).T
 
     def _hrow(c1eff, c2, v, tables):
         return _ham.ham_apply(c1eff, c2, v, ncas, utd,
@@ -406,15 +388,6 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
         return e0, w, jnp.real(jnp.conj(J) @ w)
-
-    def _misc_mixed(c0, theta, psi, Hpsi, tables):
-        # f64 grad_c via one reverse pass (J is f32 in mixed mode)
-        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
-        w = 2.0 * Hpsi
-        grad_c = jax.grad(
-            lambda th: jnp.real(pqc._state_impl(th, tables)
-                                @ jnp.conj(w)))(theta)
-        return e0, w, grad_c
 
     def _term2(theta, w, tables):
         if mixed:
@@ -541,11 +514,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         HJ = jnp.concatenate(HJ_parts)[:nt]
         oc = (jnp.concatenate(oc_parts)[:nt] if n_kappa
               else jnp.zeros((nt, 0), dtype=jnp.float64))
-        if mixed:
-            e0, w, grad_c = _sj("misc_mx", _misc_mixed)(c0, theta, psi,
-                                                        Hpsi, tables)
-        else:
-            e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
+        e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
         term2 = _sj("term2", _term2)(theta, w, tables)
         hess_cc = _sj("cc", _cc)(J, HJ, term2)
         grad, hess = _sj("asm", _assemble)(grad_c, grad_o, hess_cc, oc,
