@@ -55,7 +55,8 @@ def _stats(times):
 
 
 def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
-                  basis="sto-3g", sync_per_program=False):
+                  basis="sto-3g", sync_per_program=False,
+                  precision="f64"):
     """Time NR iterations; returns (stats, compile_s, energy, flop_info).
 
     sync_per_program=True inserts a block_until_ready between the two NR
@@ -78,7 +79,8 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     mol = Moldata(get_formal_geo(140, 80), basis)
     pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
                                 n_layers=n_layers, sector=sector)
-    oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True)
+    oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
+                precision=precision)
     theta = pqc.init_zeros()
     log(f"setup ({nelecas}e,{ncas}o) {basis}"
         f"{' sector' if sector else ''}: {time.time() - t0:.1f}s "
@@ -159,6 +161,14 @@ def main():
     # (10e,10o)/(12e,12o) run in the conserved-particle sector basis
     # (D = 63,504 / 853,776; the full spaces need ~32G / ~512G HBM)
     tier("10e10o_sector", 10, 10, 2, n_iters=3, sector=True)
+    # mixed-precision variant of the same tier: Hessian blocks in f32 on
+    # the MXU, energy/gradient f64 (VERDICT r3 item 1; converged energies
+    # agree with f64 to ~1e-10 Ha, tests/test_mixed_precision.py).  The
+    # MFU fields of this row are conservative: the f64-FLOP count is
+    # divided by the measured wall, so the f32 blocks' true utilization
+    # is higher than printed.
+    tier("10e10o_sector_mixed", 10, 10, 2, n_iters=3, sector=True,
+         precision="mixed")
     # synced-dispatch variant of the same tier: per-program
     # block_until_ready removes the async-dispatch stalls of the remote
     # device link (BASELINE.md variance diagnosis), so ratio_max_min on

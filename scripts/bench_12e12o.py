@@ -9,7 +9,8 @@ cost ~15-20 min through the remote compile service; warm iterations are
 minutes.  Not part of bench.py's driver run for that reason — results
 are recorded in BASELINE.md.
 
-Run: python scripts/bench_12e12o.py [n_iters]
+Run: python scripts/bench_12e12o.py [n_iters] [precision]
+(precision: 'f64' (default) or 'mixed' — f32 Hessian stages on the MXU)
 """
 
 import sys
@@ -20,6 +21,7 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    precision = sys.argv[2] if len(sys.argv) > 2 else "f64"
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -30,10 +32,12 @@ def main():
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     pqc = Parameterized_circuit(12, 12, ansatz="np_fabric", n_layers=1,
                                 sector=True)
-    oo = OO_pqc(pqc, mol, 12, 12, freeze_active=True)
+    oo = OO_pqc(pqc, mol, 12, 12, freeze_active=True,
+                precision=precision)
     theta = pqc.init_zeros()
     print(f"setup: {time.time() - t0:.1f}s (n_theta={pqc.theta_shape}, "
-          f"n_kappa={oo.n_kappa}, D={pqc.program.dim})", flush=True)
+          f"n_kappa={oo.n_kappa}, D={pqc.program.dim}, "
+          f"precision={precision})", flush=True)
     times = []
     for it in range(n_iters):
         t0 = time.time()
