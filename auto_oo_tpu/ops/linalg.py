@@ -7,6 +7,8 @@ differentiable and compiles on TPU (MXU-only work).  Used for the orbital
 rotation exp(-kappa) (reference oo_energy.py:230 used pennylane math.expm).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -117,25 +119,22 @@ def eigh(A, sweeps=_EIGH_SWEEPS, backend=None):
     jitting for a backend that is not the process default, pass
     ``backend='cpu'`` / ``backend='tpu'`` explicitly.
 
-    NOT differentiable on the TPU path: :func:`jacobi_eigh` converges via
-    ``lax.while_loop``, which has no JVP/VJP rule.  Every consumer in
-    this package (the Newton solve) only needs the forward value — wrap
-    with ``jax.lax.stop_gradient`` or use a fixed-sweep scan if a future
-    caller must differentiate through the decomposition.
+    Differentiable on BOTH paths: the CPU path inherits
+    ``jnp.linalg.eigh``'s rules, and :func:`jacobi_eigh` carries a custom
+    JVP (the decomposition derivative expressed in the primal outputs),
+    so the ``lax.while_loop`` convergence loop inside it never needs to
+    be differentiated.  The usual eigh caveat applies on both paths:
+    eigenVECTOR derivatives blow up at (near-)degenerate eigenvalues
+    (eigenVALUE derivatives stay well-defined).
     """
     import jax as _jax
 
     if (backend or _jax.default_backend()) == "cpu":
         return jnp.linalg.eigh(jnp.asarray(A))
-    return jacobi_eigh(A, sweeps=sweeps)
+    return jacobi_eigh(A, sweeps)
 
 
-def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
-    """Parallel cyclic Jacobi eigensolver, built from what the TPU does
-    well: each round applies n/2 disjoint Givens rotations as ONE dense
-    n x n rotation matrix, so a sweep is 2(n-1) small matmuls on the MXU.
-    Ascending eigenvalue order (numpy.linalg.eigh convention).
-    """
+def _jacobi_eigh_impl(A, sweeps=_EIGH_SWEEPS):
     import numpy as np
 
     A = jnp.asarray(A)
@@ -191,7 +190,14 @@ def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
     off_scale = jnp.sqrt(jnp.sum(A * A)) + 1e-30
 
     def off_norm(M):
-        return jnp.sqrt(jnp.sum(M * M) - jnp.sum(jnp.diagonal(M) ** 2))
+        # zero the diagonal and take the Frobenius norm of the rest.
+        # (sqrt(sum(M^2) - sum(diag^2)) cancels catastrophically once the
+        # off-diagonal is below sqrt(eps)*||A|| — the difference is eps-
+        # level noise of the LARGE diagonal term, which floored the
+        # achievable residual at ~1e-8 and could go negative -> NaN ->
+        # spurious early exit)
+        off = M - jnp.diag(jnp.diagonal(M))
+        return jnp.sqrt(jnp.sum(off * off))
 
     def cond(state):
         (Ac, _), k = state
@@ -207,6 +213,49 @@ def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
     w = jnp.diagonal(Af)
     order = jnp.argsort(w)
     return w[order], Vf[:, order]
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def jacobi_eigh(A, sweeps=_EIGH_SWEEPS):
+    """Parallel cyclic Jacobi eigensolver, built from what the TPU does
+    well: each round applies n/2 disjoint Givens rotations as ONE dense
+    n x n rotation matrix, so a sweep is 2(n-1) small matmuls on the MXU.
+    Ascending eigenvalue order (numpy.linalg.eigh convention).
+
+    Differentiable via a custom JVP in terms of the primal outputs (see
+    :func:`_jacobi_eigh_jvp`) — the convergence ``while_loop`` inside is
+    never differentiated.
+    """
+    return _jacobi_eigh_impl(A, sweeps)
+
+
+@jacobi_eigh.defjvp
+def _jacobi_eigh_jvp(sweeps, primals, tangents):
+    """Standard symmetric-eigendecomposition derivative in terms of the
+    primal outputs (A = V diag(w) V^T):
+
+        dw = diag(V^T dA V)
+        dV = V (F o (V^T dA V)),   F_ij = 1/(w_j - w_i), F_ii = 0
+
+    so the convergence while_loop inside :func:`jacobi_eigh` is never
+    differentiated.  Matches ``jnp.linalg.eigh``'s JVP up to the usual
+    caveat: eigenvector tangents are ill-defined at exactly degenerate
+    eigenvalues (the guarded reciprocal returns 0 there instead of inf,
+    i.e. the tangent within a degenerate subspace is dropped)."""
+    (A,) = primals
+    (dA,) = tangents
+    w, V = _jacobi_eigh_impl(A, sweeps)
+    dS = 0.5 * (dA + dA.T)  # eigh of the symmetric part
+    M = V.T @ (dS @ V)
+    dw = jnp.diagonal(M)
+    dif = w[None, :] - w[:, None]
+    # guarded reciprocal: degenerate pairs contribute 0 rather than inf
+    scale = jnp.max(jnp.abs(w)) + 1e-300
+    safe = jnp.abs(dif) > 1e-300 * scale
+    F = jnp.where(safe, 1.0, 0.0) / jnp.where(safe, dif, 1.0)
+    F = F - jnp.diag(jnp.diagonal(F))
+    dV = V @ (F * M)
+    return (w, V), (dw, dV)
 
 
 def lanczos_lowest(A, k=64):

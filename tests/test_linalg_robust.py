@@ -79,3 +79,52 @@ def test_newton_dir_guard_accepts_healthy_solve():
     dp_ref = -(V @ ((V.T @ g) / (wv + shift)))
     assert abs(float(lowest) - wv[0]) < 1e-9
     assert np.allclose(np.asarray(dp), dp_ref, atol=1e-7)
+
+
+def test_jacobi_eigh_differentiable():
+    """jacobi_eigh carries a custom JVP (the eigendecomposition
+    derivative in the primal outputs), so the TPU eigh path is
+    differentiable — forward and reverse — matching jnp.linalg.eigh's
+    rules to near machine precision away from degeneracies (round-3
+    weak point: the while_loop inside previously made it an error)."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    n = 10
+    A = rng.randn(n, n)
+    A = jnp.asarray((A + A.T) / 2)
+    dA = rng.randn(n, n)
+    dA = jnp.asarray((dA + dA.T) / 2)
+
+    (w1, V1), (dw1, dV1) = jax.jvp(lambda M: L.jacobi_eigh(M), (A,), (dA,))
+    (w2, V2), (dw2, dV2) = jax.jvp(jnp.linalg.eigh, (A,), (dA,))
+    s = jnp.sign(jnp.sum(V1 * V2, axis=0))
+    assert np.allclose(np.asarray(w1), np.asarray(w2), atol=1e-12)
+    assert np.allclose(np.asarray(dw1), np.asarray(dw2), atol=1e-11)
+    assert np.allclose(np.asarray(dV1 * s), np.asarray(dV2), atol=1e-9)
+
+    # reverse mode through the eigenvalues (the lowest-eigenvalue physics
+    # observable is a direct consumer)
+    coef = jnp.arange(1.0, n + 1)
+    g1 = jax.grad(lambda M: L.jacobi_eigh(M)[0] @ coef)(A)
+    g2 = jax.grad(lambda M: jnp.linalg.eigh(M)[0] @ coef)(A)
+    assert np.allclose(np.asarray(g1), np.asarray(g2), atol=1e-11)
+
+    # jit + jacfwd compile path (what a Berry-loop sensitivity would use)
+    J = jax.jit(jax.jacfwd(lambda M: L.jacobi_eigh(M)[0]))(A)
+    assert J.shape == (n, n, n)
+
+
+def test_jacobi_eigh_convergence_floor():
+    """The off-diagonal convergence criterion must not cancel
+    catastrophically: the final residual of A V - V w reaches
+    ~1e-14 * ||A||, not the ~sqrt(eps) * ||A|| floor of the old
+    sum(M^2) - sum(diag^2) form."""
+    rng = np.random.RandomState(8)
+    n = 24
+    A = rng.randn(n, n)
+    A = jnp.asarray((A + A.T) / 2)
+    w, V = L.jacobi_eigh(A)
+    resid = float(jnp.max(jnp.abs(A @ V - V * w[None, :])))
+    scale = float(jnp.max(jnp.abs(A)))
+    assert resid < 1e-12 * max(scale, 1.0)
