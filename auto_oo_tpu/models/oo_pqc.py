@@ -75,9 +75,14 @@ def _lowp_tables(tables):
             else x for x in g)
 
     if isinstance(tables, dict):
+        from ..ops.grid import GridMaps
+
         m = tables.get("maps")
-        return {"gates": cast_gates(tables.get("gates")),
-                "maps": None if m is None else (m[0], m[1])}
+        if isinstance(m, GridMaps):
+            pass  # all-integer (int32 ranks, int8 signs): nothing to cast
+        elif m is not None:
+            m = (m[0], m[1])
+        return {"gates": cast_gates(tables.get("gates")), "maps": m}
     return cast_gates(tables)
 
 
@@ -229,12 +234,26 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         # nt jacfwd tangents into ONE scan pass, so the f64 Jacobian is
         # cheap, while the extra backward scan pays full-D f64 traffic.
         maps = pqc._maps_from(tables)
+        # string-grid sector maps: the simulator emits canonical
+        # (sorted-determinant) order; convert psi and J ONCE and run the
+        # whole quadratic form in grid order — every gram/dot below
+        # contracts the state axis of two same-order operands, so the
+        # layout is invisible to the math (ops/grid.py)
+        from ..ops.grid import GridMaps as _GM, to_grid as _tg, \
+            from_grid as _fg
+        is_grid = isinstance(maps, _GM)
         psi = shard(state_fn(theta), s_ax)
         J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
+        if is_grid:
+            psi = _tg(psi, maps)
+            J = _tg(J, maps)
         Hpsi = shard(_ham.ham_apply(c1eff, c2, psi, ncas, utd, maps),
                      s_ax)
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
+        # term2 differentiates the SIMULATOR directly (canonical order),
+        # so its fixed cotangent needs converting back out of grid order
+        w_s = _fg(w, maps) if is_grid else w
         grad_c = jnp.real(jnp.conj(J) @ w)
         # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
         # intermediates must stay ~O(100 MB) under f64 emulation (the
@@ -270,7 +289,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                 Jl)
             if mixed:
                 tabs_l = _lowp_tables(tables)
-                w_l = lp(w)
+                w_l = lp(w_s)
 
                 def state_fn_l(th):
                     return pqc._state_impl(th, tabs_l)
@@ -280,7 +299,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                     theta.astype(jnp.float32))
             else:
                 term2 = jax.jacfwd(jax.grad(
-                    lambda th: jnp.real(state_fn(th) @ jnp.conj(w))))(
+                    lambda th: jnp.real(state_fn(th) @ jnp.conj(w_s))))(
                     theta)
             hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(Jl), HJ))
                        + term2)
@@ -378,7 +397,16 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _state_and_J(theta, tables):
         def f(th):
             return pqc._state_impl(th, tables)
-        return f(theta), jax.jacfwd(f)(theta).T
+
+        psi, J = f(theta), jax.jacfwd(f)(theta).T
+        maps = pqc._maps_from(tables)
+        from ..ops.grid import GridMaps as _GM, to_grid as _tg
+        if isinstance(maps, _GM):
+            # grid order from here on: every staged program downstream
+            # (_hrow, _phi_of, _row_fused, the grams) contracts
+            # consistently-ordered operands; only _term2 converts back
+            psi, J = _tg(psi, maps), _tg(J, maps)
+        return psi, J
 
     def _hrow(c1eff, c2, v, tables):
         return _ham.ham_apply(c1eff, c2, v, ncas, utd,
@@ -390,6 +418,10 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         return e0, w, jnp.real(jnp.conj(J) @ w)
 
     def _term2(theta, w, tables):
+        maps = pqc._maps_from(tables)
+        from ..ops.grid import GridMaps as _GM, from_grid as _fg
+        if isinstance(maps, _GM):
+            w = _fg(w, maps)  # the simulator runs in canonical order
         if mixed:
             tabs_l = _lowp_tables(tables)
             w_l = lp(w)

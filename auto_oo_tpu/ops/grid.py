@@ -1,0 +1,237 @@
+"""String-factorized sector E_pq kernels (Knowles-Handy style) for TPU.
+
+The (n_alpha, n_beta) sector basis is a product of alpha and beta
+occupation-string lists: every determinant is A_i | B_j.  Laid out as an
+(Na, Nb) STRING GRID, the spin components of E_pq act one-sidedly:
+
+  (E_pq^alpha x)[i, j] = sgnA[pq, i] * tB[pq, j] * x[srcA[pq, i], j]
+  (E_pq^beta  x)[i, j] = tA[pq, i] * sgnB[pq, j] * x[i, srcB[pq, j]]
+
+i.e. a ROW gather (alpha) and a row gather of the transpose (beta),
+with rank-1 sign corrections: the Jordan-Wigner parity of a same-spin
+excitation factorizes exactly into a same-spin part (sgn) and an
+other-spin part (t = (-1)^{# other-spin electrons between the two
+modes}), because the parity counts alpha and beta occupations
+independently.
+
+This replaces the flat per-determinant gather maps of
+simulator/sector.sector_epq_maps on the hot paths.  Measured on chip at
+(10e,10o)-sector shapes (scripts/microbench_gather.py): the Phi build
+is 2.3-4x faster and the sum_pq E_pq Y reduction of the
+Hamiltonian-apply kernel 18-22x faster than the flat element gathers,
+at 500x less map memory ((n2, Na) tables instead of (2, n2, D)).
+
+Layout contract: every kernel here treats statevectors as GRID-ordered
+flat vectors — index g = i * Nb + j for determinant A_i | B_j — NOT the
+canonical ascending determinant order of fermion.sector_basis.
+``to_grid`` / ``from_grid`` convert (one cheap permutation per vector);
+grams and dot products are order-invariant as long as both operands use
+the same order, so the quadratic-form Newton core converts psi and J
+once per iteration and stays in grid order throughout
+(models/oo_pqc.py).
+
+No reference counterpart: the reference simulated the full 2^(2 ncas)
+space through PennyLane (reference pqc.py:131-162); the string grid is
+the TPU-native redesign of its sector-restricted workload.
+"""
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fermion
+
+
+class GridMaps(NamedTuple):
+    """String-factorized E_pq maps over the (Na, Nb) sector grid.
+
+    srcA/sgnA: (n2, Na) alpha-string source ranks / signs (0 = invalid)
+    tB:        (n2, Nb) beta parity correction for the ALPHA component
+    srcB/sgnB: (n2, Nb) beta-string source ranks / signs
+    tA:        (n2, Na) alpha parity correction for the BETA component
+    g2s:       (Ds,) grid rank -> canonical (sorted) rank permutation:
+               x_grid = x_sorted[g2s]
+    s2g:       (Ds,) inverse: x_sorted = x_grid[s2g]
+    """
+
+    srcA: jnp.ndarray
+    sgnA: jnp.ndarray
+    tB: jnp.ndarray
+    srcB: jnp.ndarray
+    sgnB: jnp.ndarray
+    tA: jnp.ndarray
+    g2s: jnp.ndarray
+    s2g: jnp.ndarray
+
+    @property
+    def n2(self):
+        return self.srcA.shape[0]
+
+    @property
+    def Na(self):
+        return self.srcA.shape[1]
+
+    @property
+    def Nb(self):
+        return self.srcB.shape[1]
+
+    @property
+    def dim(self):
+        return self.g2s.shape[0]
+
+
+def spin_strings(ncas, n_occ, spin, up_then_down=False):
+    """Ascending occupation strings of one spin: integers with bits only
+    at that spin's mode positions (big-endian full-space convention of
+    ops/fermion.py)."""
+    from itertools import combinations
+
+    nm = 2 * ncas
+    out = np.fromiter(
+        (sum(1 << (nm - 1 - fermion.mode_of(p, spin, ncas, up_then_down))
+             for p in occ)
+         for occ in combinations(range(ncas), n_occ)),
+        dtype=np.int64)
+    if not out.size:
+        out = np.zeros(1, dtype=np.int64)
+    return np.sort(out)
+
+
+def _one_spin_maps(ncas, strings, spin, up_then_down):
+    """(src, sgn) over one spin's string list for all ncas^2 (p, q):
+    same conventions as simulator/sector.sector_epq_maps, restricted to
+    the strings of the acting spin."""
+    nm = 2 * ncas
+    n2 = ncas * ncas
+    N = strings.size
+    src = np.zeros((n2, N), dtype=np.int32)
+    sgn = np.zeros((n2, N), dtype=np.int8)
+    idx = np.arange(N, dtype=np.int64)
+    for p in range(ncas):
+        for q in range(ncas):
+            k = p * ncas + q
+            P = fermion.mode_of(p, spin, ncas, up_then_down)
+            Q = fermion.mode_of(q, spin, ncas, up_then_down)
+            if P == Q:
+                src[k] = idx
+                sgn[k] = fermion.occ_bit(strings, P, nm)
+                continue
+            bitP = 1 << (nm - 1 - P)
+            bitQ = 1 << (nm - 1 - Q)
+            valid = ((strings & bitP) != 0) & ((strings & bitQ) == 0)
+            source = np.where(valid, strings ^ bitP ^ bitQ, strings[0])
+            sq = fermion._parity_below(source, Q, nm)
+            sp = fermion._parity_below(source ^ (valid * bitQ), P, nm)
+            pos = np.searchsorted(strings, source)
+            assert np.all(strings[pos[valid]] == source[valid])
+            src[k] = np.where(valid, pos, 0)
+            sgn[k] = np.where(valid, sq * sp, 0)
+    return src, sgn
+
+
+def _cross_parity(ncas, strings, spin, up_then_down):
+    """t[pq, j] = (-1)^{# `spin`-electrons of string j strictly between
+    the two modes of pair pq of the OTHER spin} — the rank-1 other-spin
+    factor of the Jordan-Wigner parity."""
+    nm = 2 * ncas
+    n2 = ncas * ncas
+    other = 1 - spin
+    t = np.ones((n2, strings.size), dtype=np.int8)
+    for p in range(ncas):
+        for q in range(ncas):
+            if p == q:
+                continue
+            k = p * ncas + q
+            P = fermion.mode_of(p, other, ncas, up_then_down)
+            Q = fermion.mode_of(q, other, ncas, up_then_down)
+            t[k] = (fermion._parity_below(strings, Q, nm)
+                    * fermion._parity_below(strings, P, nm))
+    return t
+
+
+def build_grid_maps(ncas, nelecas, up_then_down=False):
+    """GridMaps for the (n_alpha, n_beta) sector of ncas spatial
+    orbitals.  O(ncas^2 (Na + Nb) + Ds log Ds) host work — hundreds of
+    times cheaper than the flat (2, n2, Ds) tables at large sectors."""
+    if isinstance(nelecas, (tuple, list)):
+        na, nb = int(nelecas[0]), int(nelecas[1])
+    else:
+        nb = int(nelecas) // 2
+        na = int(nelecas) - nb
+    A = spin_strings(ncas, na, 0, up_then_down)
+    B = spin_strings(ncas, nb, 1, up_then_down)
+    srcA, sgnA = _one_spin_maps(ncas, A, 0, up_then_down)
+    srcB, sgnB = _one_spin_maps(ncas, B, 1, up_then_down)
+    tB = _cross_parity(ncas, B, 1, up_then_down)
+    tA = _cross_parity(ncas, A, 0, up_then_down)
+    grid_dets = (A[:, None] | B[None, :]).ravel()
+    # order[r] = grid rank of the r-th smallest determinant, so
+    # x_sorted[r] = x_grid[order[r]] (s2g = order) and g2s is its
+    # inverse: g2s[g] = sorted rank of grid det g
+    order = np.argsort(grid_dets, kind="stable")
+    g2s = np.empty(order.size, dtype=np.int32)
+    g2s[order] = np.arange(order.size, dtype=np.int32)
+    s2g = order.astype(np.int32)
+    return GridMaps(
+        srcA=jnp.asarray(srcA), sgnA=jnp.asarray(sgnA),
+        tB=jnp.asarray(tB), srcB=jnp.asarray(srcB),
+        sgnB=jnp.asarray(sgnB), tA=jnp.asarray(tA),
+        g2s=jnp.asarray(g2s), s2g=jnp.asarray(s2g))
+
+
+def to_grid(x, gm):
+    """Canonical (ascending-determinant) order -> grid order, last axis."""
+    return x[..., gm.g2s]
+
+
+def from_grid(x, gm):
+    """Grid order -> canonical order, last axis."""
+    return x[..., gm.s2g]
+
+
+def _as_grid2d(x, gm):
+    return x.reshape(x.shape[:-1] + (gm.Na, gm.Nb))
+
+
+def phi_all(x, gm, spin=None):
+    """Phi[..., pq, :] = E_pq x for all ncas^2 pairs; x and the result
+    are GRID-ordered flat vectors ((..., Ds) -> (..., n2, Ds)).
+
+    ``spin`` restricts to one spin component (for unrestricted 1-RDMs);
+    None sums both."""
+    xg = _as_grid2d(x, gm)
+    dt = x.dtype
+    parts = []
+    if spin in (None, 0):
+        pa = (xg[..., gm.srcA, :]
+              * gm.sgnA.astype(dt)[:, :, None]
+              * gm.tB.astype(dt)[:, None, :])
+        parts.append(pa)
+    if spin in (None, 1):
+        xt = jnp.swapaxes(xg, -1, -2)
+        pb = (xt[..., gm.srcB, :]
+              * gm.sgnB.astype(dt)[:, :, None]
+              * gm.tA.astype(dt)[:, None, :])
+        parts.append(jnp.swapaxes(pb, -1, -2))
+    phi = parts[0] if len(parts) == 1 else parts[0] + parts[1]
+    return phi.reshape(x.shape[:-1] + (gm.n2, gm.dim))
+
+
+def epq_sum(Y, gm):
+    """out = sum_pq E_pq Y[..., pq, :] — the reduction half of the
+    Hamiltonian apply.  Y (..., n2, Ds) and the result (..., Ds) are
+    grid-ordered.  Per-pair row gathers on the (Na, Nb) grid; 18-22x
+    faster on chip than the flat row-specific element gathers."""
+    Yg = Y.reshape(Y.shape[:-1] + (gm.Na, gm.Nb))
+    dt = Y.dtype
+    rows = jnp.arange(gm.n2)[:, None]
+    Ga = Yg[..., rows, gm.srcA, :]
+    outA = jnp.sum(Ga * gm.sgnA.astype(dt)[:, :, None]
+                   * gm.tB.astype(dt)[:, None, :], axis=-3)
+    Yt = jnp.swapaxes(Yg, -1, -2)
+    Gb = Yt[..., rows, gm.srcB, :]
+    outBt = jnp.sum(Gb * gm.sgnB.astype(dt)[:, :, None]
+                    * gm.tA.astype(dt)[:, None, :], axis=-3)
+    out = outA + jnp.swapaxes(outBt, -1, -2)
+    return out.reshape(Y.shape[:-2] + (gm.dim,))

@@ -45,10 +45,23 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None,
     E_rs chi_b tensor ((B, n2, D)) so callers that already built it
     (e.g. the staged per-tangent pipeline, which needs Phi_J for the
     transition RDMs anyway) skip the second E_pq gather pass."""
+    from .grid import GridMaps, phi_all, epq_sum
+
     n2 = ncas * ncas
     batched = chi.ndim == 2
     x = chi if batched else chi[None, :]
     B, D = x.shape
+    if isinstance(maps, GridMaps):
+        # string-factorized sector path: x, phi_pre and the result are
+        # GRID-ordered (ops/grid.py); same three-stage structure with
+        # row gathers replacing the flat element gathers
+        phi = phi_pre if phi_pre is not None else phi_all(x, maps)
+        C2g = c2.reshape(n2, n2).astype(x.dtype)
+        Y = _rdms.small_matmul_free_last(C2g, phi)
+        Y = Y + c1eff.reshape(n2).astype(x.dtype)[None, :, None] \
+            * x[:, None, :]
+        out = epq_sum(Y, maps)
+        return out if batched else out[0]
     if maps is not None:
         maps = [(maps[0][s], maps[1][s].astype(x.dtype)) for s in range(2)]
     else:

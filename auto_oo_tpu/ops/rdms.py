@@ -237,7 +237,14 @@ def apply_epq_all(psi, ncas, up_then_down=False, maps=None):
     """Phi[p*ncas+q] = E_pq |psi> for all pairs, shape (ncas^2, D).
 
     `maps` optionally overrides the gather maps (e.g. sector-basis maps
-    from simulator/sector.py, shapes (2, ncas^2, D))."""
+    from simulator/sector.py, shapes (2, ncas^2, D)).  A
+    ops.grid.GridMaps instance selects the string-factorized sector
+    kernels instead — then psi and the result are GRID-ordered (see
+    ops/grid.py layout contract)."""
+    from .grid import GridMaps, phi_all
+
+    if isinstance(maps, GridMaps):
+        return phi_all(psi, maps)
     D = psi.shape[0]
     out = None
     for s in range(2):
@@ -258,8 +265,15 @@ def rdms_from_state(psi, ncas, up_then_down=False, maps=None):
     Complex statevectors are handled natively — the bra side is
     conjugated and the real part taken (conj/real are no-ops in XLA for
     the real-valued built-in ansatze, so the hot path is unchanged).
-    `maps` overrides the gather maps (sector basis).
+    `maps` overrides the gather maps (sector basis); a grid.GridMaps
+    selects the string-factorized kernels — psi arrives in canonical
+    order and is converted once (the gram and dot below are invariant
+    under any common permutation of both operands).
     """
+    from .grid import GridMaps, to_grid
+
+    if isinstance(maps, GridMaps):
+        psi = to_grid(psi, maps)
     phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
     gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>

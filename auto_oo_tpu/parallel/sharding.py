@@ -40,16 +40,25 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _replicated_mol_args(oo, mesh):
+def _replicated_mol_args(oo, mesh, flat_sector_maps=False):
     """The molecule runtime-argument bundle (AO integrals, OAO coeffs,
     nuclear repulsion, gate tables) replicated over the mesh.  These
     always travel as ARGUMENTS of the sharded programs — closure capture
     would re-embed them as program constants, the compile-service failure
     mode the single-device core was redesigned to avoid
-    (models/oo_pqc.py:25-30)."""
+    (models/oo_pqc.py:25-30).
+
+    ``flat_sector_maps`` swaps the string-grid sector maps for the flat
+    (2, n2, D) gather tables: the mesh cores shard the flat determinant
+    axis, which the grid kernels' permutations/reshapes would turn into
+    unprofiled collectives."""
     repl = NamedSharding(mesh, P())
+    mol_args = oo._mol_args
+    if flat_sector_maps and getattr(oo.pqc, "sector", False):
+        mol_args = mol_args[:4] + (
+            oo.pqc._tables(flat_sector_maps=True),)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, repl), oo._mol_args)
+        lambda x: jax.device_put(x, repl), mol_args)
 
 
 def sharded_full_hessian_fn(oo, mesh, axis="tp"):
@@ -111,7 +120,7 @@ def sharded_grad_hess_fn(oo, mesh, axis="tp", state_axis=None):
     core = _nr_core_for(oo.pqc, oo.nao, oo._occ, oo._act, oo.params_idx,
                         mesh=mesh, tangent_axis=axis,
                         state_axis=state_axis)
-    mol_args = _replicated_mol_args(oo, mesh)
+    mol_args = _replicated_mol_args(oo, mesh, flat_sector_maps=True)
 
     def run(theta, oao):
         return core["grad_hess_jit"](jnp.ravel(theta), oao, *mol_args)
@@ -132,7 +141,7 @@ def sharded_nr_step_fn(oo, mesh, axis="tp", state_axis=None, alpha=1e-4,
     core = _nr_core_for(oo.pqc, oo.nao, oo._occ, oo._act, oo.params_idx,
                         mesh=mesh, tangent_axis=axis,
                         state_axis=state_axis)
-    mol_args = _replicated_mol_args(oo, mesh)
+    mol_args = _replicated_mol_args(oo, mesh, flat_sector_maps=True)
 
     def run(theta, oao):
         return core["nr_iteration_jit"](

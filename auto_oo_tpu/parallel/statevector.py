@@ -60,7 +60,7 @@ def sharded_state_fn(pqc, mesh, axis="tp"):
         return program.apply(full, psi0, tables=gates)
 
     state_jit = jax.jit(state, out_shardings=sh)
-    gates = _repl(mesh, pqc._tables()["gates"])
+    gates = _repl(mesh, pqc._tables(flat_sector_maps=True)["gates"])
 
     def run(theta):
         return state_jit(theta, gates)
@@ -109,7 +109,7 @@ def sharded_rdms_fn(pqc, mesh, axis="tp", shard_gates=True):
         return gamma, Gamma
 
     rdms_jit = jax.jit(rdms, out_shardings=(repl, repl))
-    tables = _repl(mesh, pqc._tables())
+    tables = _repl(mesh, pqc._tables(flat_sector_maps=True))
 
     def run(theta):
         return rdms_jit(theta, tables)
@@ -204,7 +204,7 @@ def sharded_energy_fn(oo, mesh, sv_axis="tp", eri_axis="tp"):
 
     energy_jit = jax.jit(energy, out_shardings=repl)
     args = _repl(mesh, (oo.int1e_ao, oo.oao_coeff, jnp.asarray(oo.nuc),
-                        pqc._tables()))
+                        pqc._tables(flat_sector_maps=True)))
     int1e_r, oao_c_r, nuc_r, tables_r = args
 
     def run(theta, kappa, oao_mo_coeff):

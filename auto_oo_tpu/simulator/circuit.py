@@ -131,8 +131,20 @@ class Parameterized_circuit:
                     self.program, ncas, nelecas)
             else:
                 self.sector_basis = sector_dets
-            self.sector_maps = _sector.sector_epq_maps(
-                ncas, nelecas, self.up_then_down)
+            if self.up_then_down:
+                # the sector basis convention is interleaved; keep the
+                # historical flat-map behavior (which rejects utd) rather
+                # than silently mixing conventions
+                self.sector_maps = _sector.sector_epq_maps(
+                    ncas, nelecas, self.up_then_down)
+            else:
+                # string-factorized grid maps: 2-20x faster kernels at
+                # ~500x less map memory (ops/grid.py); the flat
+                # (2, n2, D) tables remain available on demand for the
+                # GSPMD-sharded paths via _flat_maps()
+                from ..ops import grid as _grid
+                self.sector_maps = _grid.build_grid_maps(
+                    ncas, nelecas, self.up_then_down)
 
         _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
@@ -155,14 +167,35 @@ class Parameterized_circuit:
         return self.program.apply(self._expand_theta(jnp.ravel(theta)),
                                   tables=gates)
 
-    def _tables(self):
+    def _flat_maps(self):
+        """Flat (2, n2, D) sector E_pq gather maps, built lazily: the
+        GSPMD-sharded paths shard the flat determinant axis and cannot
+        (yet) use the string-grid kernels, so they request these
+        explicitly via _tables(flat_sector_maps=True)."""
+        if not self.sector:
+            return None
+        from ..ops.grid import GridMaps
+
+        if not isinstance(self.sector_maps, GridMaps):
+            return self.sector_maps
+        if getattr(self, "_sector_flat_maps", None) is None:
+            from . import sector as _sector
+            self._sector_flat_maps = _sector.sector_epq_maps(
+                self.ncas, self.nelecas, self.up_then_down)
+        return self._sector_flat_maps
+
+    def _tables(self, flat_sector_maps=False):
         """Runtime-argument bundle: gate tables + (sector) E_pq maps —
         passed through jit boundaries instead of closure-captured (large
-        arrays embedded as constants overflow the compile service)."""
+        arrays embedded as constants overflow the compile service).
+
+        ``flat_sector_maps`` substitutes the flat gather tables for the
+        string-grid maps (sharded-path consumers)."""
         return {
             "gates": (self.program.device_arrays()
                       if self.program is not None else None),
-            "maps": self.sector_maps,
+            "maps": (self._flat_maps() if flat_sector_maps
+                     else self.sector_maps),
         }
 
     def state(self, theta):

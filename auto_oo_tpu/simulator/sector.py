@@ -251,14 +251,23 @@ def rdms_from_sector_state_unrestricted(psi_s, epq_maps, pair_maps, ncas):
     the block-diagonal W-gram over the cross-sector maps.  Matches
     ops/rdms.rdms_from_state_unrestricted on the embedded full-space
     vector."""
+    from ..ops.grid import GridMaps, phi_all, to_grid
+
     nm = 2 * ncas
-    src, sign = epq_maps
     gamma = jnp.zeros((nm, nm), dtype=jnp.float64)
     pq = np.arange(ncas * ncas)
     p_arr, q_arr = pq // ncas, pq % ncas
+    if isinstance(epq_maps, GridMaps):
+        psi_g = to_grid(psi_s, epq_maps)
+        spin_phis = [phi_all(psi_g, epq_maps, spin=s) for s in range(2)]
+        bra = jnp.conj(psi_g)
+    else:
+        src, sign = epq_maps
+        spin_phis = [psi_s[src[s]] * sign[s].astype(psi_s.dtype)
+                     for s in range(2)]
+        bra = jnp.conj(psi_s)
     for s in range(2):
-        phi_s = psi_s[src[s]] * sign[s].astype(psi_s.dtype)
-        g_s = jnp.real(phi_s @ jnp.conj(psi_s))
+        g_s = jnp.real(spin_phis[s] @ bra)
         gamma = gamma.at[2 * p_arr + s, 2 * q_arr + s].set(g_s)
     Gamma = jnp.zeros((nm, nm, nm, nm), dtype=jnp.float64)
     for pairs, src_g, sign_g in pair_maps.values():
@@ -280,13 +289,25 @@ def rdms_from_sector_state(psi_s, maps):
 
     Bra-side conjugation + real part mirror ops/rdms.rdms_from_state, so
     COMPLEX sector states (custom ansatze) give correct real RDMs;
-    conj/real are XLA no-ops for the real-valued built-in ansatze."""
-    src, sign = maps
-    n2 = src.shape[1]
-    ncas = int(round(n2 ** 0.5))
+    conj/real are XLA no-ops for the real-valued built-in ansatze.
+
+    ``maps`` may be the flat (src, sign) tables or an ops.grid.GridMaps;
+    psi_s is canonical (sorted) order either way — the grid kernels
+    convert internally (grams/dots are permutation-invariant)."""
+    from ..ops.grid import GridMaps, phi_all, to_grid
     from ..ops.rdms import gram_last
-    sgn = sign.astype(psi_s.dtype)
-    phi = psi_s[src[0]] * sgn[0] + psi_s[src[1]] * sgn[1]
+
+    if isinstance(maps, GridMaps):
+        n2 = maps.n2
+        ncas = int(round(n2 ** 0.5))
+        psi_s = to_grid(psi_s, maps)
+        phi = phi_all(psi_s, maps)
+    else:
+        src, sign = maps
+        n2 = src.shape[1]
+        ncas = int(round(n2 ** 0.5))
+        sgn = sign.astype(psi_s.dtype)
+        phi = psi_s[src[0]] * sgn[0] + psi_s[src[1]] * sgn[1]
     gamma = jnp.real(phi @ jnp.conj(psi_s)).reshape(ncas, ncas)
     corr = jnp.real(gram_last(jnp.conj(phi), phi)).reshape(
         ncas, ncas, ncas, ncas)

@@ -1,0 +1,147 @@
+"""String-grid sector kernels (ops/grid.py) vs the flat gather maps.
+
+The flat (2, n2, D) sector maps are themselves pinned against dense
+operators in tests/test_sector.py, so bit-exact agreement here certifies
+the factorized kernels end to end."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from auto_oo_tpu.ops import grid as G
+from auto_oo_tpu.ops import rdms as _rdms
+from auto_oo_tpu.ops import hamiltonian as _ham
+from auto_oo_tpu.simulator import sector as S
+
+
+CASES = [(3, (2, 2)), (4, 4), (4, (3, 1)), (5, 6), (4, (0, 2))]
+
+
+@pytest.mark.parametrize("ncas,nelec", CASES)
+def test_phi_matches_flat_maps(ncas, nelec):
+    gm = G.build_grid_maps(ncas, nelec)
+    src, sign = S.sector_epq_maps(ncas, nelec)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(gm.dim))
+    phi_flat = _rdms.apply_epq_all(x, ncas, False, (src, sign))
+    phi_grid = G.phi_all(G.to_grid(x, gm), gm)
+    np.testing.assert_array_equal(np.asarray(G.from_grid(phi_grid, gm)),
+                                  np.asarray(phi_flat))
+    # per-spin components (unrestricted 1-RDM path)
+    for s in range(2):
+        ps = G.from_grid(G.phi_all(G.to_grid(x, gm), gm, spin=s), gm)
+        ref = x[src[s]] * sign[s].astype(x.dtype)
+        np.testing.assert_array_equal(np.asarray(ps), np.asarray(ref))
+
+
+@pytest.mark.parametrize("ncas,nelec", CASES)
+def test_epq_sum_matches_flat(ncas, nelec):
+    gm = G.build_grid_maps(ncas, nelec)
+    src, sign = S.sector_epq_maps(ncas, nelec)
+    rng = np.random.default_rng(2)
+    Y = jnp.asarray(rng.standard_normal((gm.n2, gm.dim)))
+    rows = jnp.arange(gm.n2)[:, None]
+    flat = sum((Y[rows, src[s]] * sign[s].astype(Y.dtype)).sum(axis=0)
+               for s in range(2))
+    got = G.from_grid(G.epq_sum(G.to_grid(Y, gm), gm), gm)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(flat))
+
+
+def test_perm_roundtrip():
+    gm = G.build_grid_maps(4, 4)
+    x = jnp.arange(gm.dim, dtype=jnp.float64)
+    np.testing.assert_array_equal(
+        np.asarray(G.from_grid(G.to_grid(x, gm), gm)), np.asarray(x))
+    np.testing.assert_array_equal(
+        np.asarray(G.to_grid(G.from_grid(x, gm), gm)), np.asarray(x))
+
+
+def test_grid_dets_match_sector_basis():
+    from auto_oo_tpu.ops import fermion
+
+    for ncas, nelec in CASES:
+        gm = G.build_grid_maps(ncas, nelec)
+        basis = fermion.sector_basis(ncas, nelec)
+        # grid dets, permuted to canonical order, equal the sorted basis
+        Agrid = np.asarray(gm.s2g)
+        na = nelec[0] if isinstance(nelec, tuple) else nelec - nelec // 2
+        nb = nelec[1] if isinstance(nelec, tuple) else nelec // 2
+        As = G.spin_strings(ncas, na, 0)
+        Bs = G.spin_strings(ncas, nb, 1)
+        dets = (As[:, None] | Bs[None, :]).ravel()
+        np.testing.assert_array_equal(dets[Agrid], basis)
+
+
+def test_ham_apply_grid_matches_flat():
+    ncas, nelec = 4, 4
+    gm = G.build_grid_maps(ncas, nelec)
+    src, sign = S.sector_epq_maps(ncas, nelec)
+    rng = np.random.default_rng(3)
+    c1 = rng.standard_normal((ncas, ncas))
+    c1 = jnp.asarray(c1 + c1.T)
+    c2 = rng.standard_normal((ncas,) * 4)
+    c2 = jnp.asarray(c2 + np.transpose(c2, (1, 0, 3, 2)))
+    x = jnp.asarray(rng.standard_normal((3, gm.dim)))
+    c1eff = _ham.c1_effective(c1, c2)
+    flat = _ham.ham_apply(c1eff, c2, x, ncas, maps=(src, sign))
+    got = G.from_grid(
+        _ham.ham_apply(c1eff, c2, G.to_grid(x, gm), ncas, maps=gm), gm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(flat),
+                               rtol=0, atol=1e-12)
+
+
+def test_rdms_from_sector_state_grid():
+    ncas, nelec = 4, 4
+    gm = G.build_grid_maps(ncas, nelec)
+    src, sign = S.sector_epq_maps(ncas, nelec)
+    rng = np.random.default_rng(4)
+    psi = rng.standard_normal(gm.dim) + 1j * rng.standard_normal(gm.dim)
+    psi = jnp.asarray(psi / np.linalg.norm(psi))
+    g1, G1 = S.rdms_from_sector_state(psi, (src, sign))
+    g2, G2 = S.rdms_from_sector_state(psi, gm)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), atol=1e-13)
+
+
+def test_unrestricted_rdms_grid():
+    ncas, nelec = 3, (2, 2)
+    gm = G.build_grid_maps(ncas, nelec)
+    src, sign = S.sector_epq_maps(ncas, nelec)
+    umaps = S.sector_pair_annihilation_maps(ncas, nelec)
+    rng = np.random.default_rng(5)
+    psi = jnp.asarray(rng.standard_normal(gm.dim))
+    psi = psi / jnp.linalg.norm(psi)
+    g1, G1 = S.rdms_from_sector_state_unrestricted(
+        psi, (src, sign), umaps, ncas)
+    g2, G2 = S.rdms_from_sector_state_unrestricted(psi, gm, umaps, ncas)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), atol=1e-13)
+
+
+def test_grad_hess_grid_equals_flat_maps():
+    """Full NR grad+Hessian with grid maps vs the same circuit forced
+    onto the flat maps — the end-to-end certification at (4e,4o)."""
+    from auto_oo_tpu import Moldata, get_formal_geo
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    assert isinstance(pqc.sector_maps, G.GridMaps)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = pqc.init_zeros() + 0.05
+    e_g, grad_g, hess_g = oo._grad_hess_jit(theta, oo.oao_mo_coeff)
+
+    # swap in the flat maps and rebuild the pure functions
+    pqc2 = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                 sector=True)
+    pqc2.sector_maps = S.sector_epq_maps(4, 4)
+    oo2 = OO_pqc(pqc2, mol, 4, 4, freeze_active=True)
+    e_f, grad_f, hess_f = oo2._grad_hess_jit(theta, oo2.oao_mo_coeff)
+
+    np.testing.assert_allclose(float(e_g), float(e_f), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(grad_g), np.asarray(grad_f),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(hess_g), np.asarray(hess_f),
+                               atol=1e-9)
