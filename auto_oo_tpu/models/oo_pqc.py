@@ -82,7 +82,9 @@ def _lowp_tables(tables):
             pass  # all-integer (int32 ranks, int8 signs): nothing to cast
         elif m is not None:
             m = (m[0], m[1])
-        return {"gates": cast_gates(tables.get("gates")), "maps": m}
+        gg = tables.get("gates_grid")  # all-integer: pass through
+        return {"gates": cast_gates(tables.get("gates")), "maps": m,
+                "gates_grid": gg}
     return cast_gates(tables)
 
 
@@ -234,26 +236,32 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         # nt jacfwd tangents into ONE scan pass, so the f64 Jacobian is
         # cheap, while the extra backward scan pays full-D f64 traffic.
         maps = pqc._maps_from(tables)
-        # string-grid sector maps: the simulator emits canonical
-        # (sorted-determinant) order; convert psi and J ONCE and run the
-        # whole quadratic form in grid order — every gram/dot below
-        # contracts the state axis of two same-order operands, so the
-        # layout is invisible to the math (ops/grid.py)
-        from ..ops.grid import GridMaps as _GM, to_grid as _tg, \
-            from_grid as _fg
+        # string-grid sector maps: the grid gate program emits GRID order
+        # directly (zero boundary permutations); the whole quadratic form
+        # runs in that order — every gram/dot below contracts the state
+        # axis of two same-order operands, so the layout is invisible to
+        # the math (ops/grid.py).  Fallback: grid maps without a grid
+        # program (hand-swapped maps) convert the canonical-order state.
+        from ..ops.grid import GridMaps as _GM, to_grid as _tg
         is_grid = isinstance(maps, _GM)
-        psi = shard(state_fn(theta), s_ax)
-        J = shard(jax.jacfwd(state_fn)(theta).T, t_ax, s_ax)  # (nt, D)
-        if is_grid:
-            psi = _tg(psi, maps)
-            J = _tg(J, maps)
+        grid_state = is_grid and pqc.grid_program is not None
+
+        def state_fn_g(th):
+            s = (pqc._state_impl_grid(th, tables) if grid_state
+                 else state_fn(th))
+            return _tg(s, maps) if (is_grid and not grid_state) else s
+
+        psi = shard(state_fn_g(theta), s_ax)
+        J = shard(jax.jacfwd(state_fn_g)(theta).T, t_ax, s_ax)  # (nt, D)
         Hpsi = shard(_ham.ham_apply(c1eff, c2, psi, ncas, utd, maps),
                      s_ax)
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
-        # term2 differentiates the SIMULATOR directly (canonical order),
-        # so its fixed cotangent needs converting back out of grid order
-        w_s = _fg(w, maps) if is_grid else w
+        # term2 re-differentiates the simulator: with a grid program its
+        # states come out grid-ordered (same order as w); the fallback
+        # (grid maps, canonical simulator) converts w back instead
+        from ..ops.grid import from_grid as _fg
+        w_s = _fg(w, maps) if (is_grid and not grid_state) else w
         grad_c = jnp.real(jnp.conj(J) @ w)
         # tangent batches run in chunks: the (chunk, n^2, D) Y/Phi
         # intermediates must stay ~O(100 MB) under f64 emulation (the
@@ -292,14 +300,18 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                 w_l = lp(w_s)
 
                 def state_fn_l(th):
-                    return pqc._state_impl(th, tabs_l)
+                    return (pqc._state_impl_grid(th, tabs_l) if grid_state
+                            else pqc._state_impl(th, tabs_l))
 
                 term2 = jax.jacfwd(jax.grad(
                     lambda th: jnp.real(state_fn_l(th) @ jnp.conj(w_l))))(
                     theta.astype(jnp.float32))
             else:
+                term2_state = (
+                    (lambda th: pqc._state_impl_grid(th, tables))
+                    if grid_state else state_fn)
                 term2 = jax.jacfwd(jax.grad(
-                    lambda th: jnp.real(state_fn(th) @ jnp.conj(w_s))))(
+                    lambda th: jnp.real(term2_state(th) @ jnp.conj(w_s))))(
                     theta)
             hess_cc = (2.0 * jnp.real(_rdms.gram_last(jnp.conj(Jl), HJ))
                        + term2)
@@ -395,18 +407,21 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         return h1, g2, c0, c2, _ham.c1_effective(c1, c2)
 
     def _state_and_J(theta, tables):
-        def f(th):
-            return pqc._state_impl(th, tables)
-
-        psi, J = f(theta), jax.jacfwd(f)(theta).T
         maps = pqc._maps_from(tables)
         from ..ops.grid import GridMaps as _GM, to_grid as _tg
-        if isinstance(maps, _GM):
+        is_grid = isinstance(maps, _GM)
+        grid_state = is_grid and pqc.grid_program is not None
+
+        def f(th):
             # grid order from here on: every staged program downstream
             # (_hrow, _phi_of, _row_fused, the grams) contracts
-            # consistently-ordered operands; only _term2 converts back
-            psi, J = _tg(psi, maps), _tg(J, maps)
-        return psi, J
+            # consistently-ordered operands
+            if grid_state:
+                return pqc._state_impl_grid(th, tables)
+            s = pqc._state_impl(th, tables)
+            return _tg(s, maps) if is_grid else s
+
+        return f(theta), jax.jacfwd(f)(theta).T
 
     def _hrow(c1eff, c2, v, tables):
         return _ham.ham_apply(c1eff, c2, v, ncas, utd,
@@ -420,18 +435,25 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _term2(theta, w, tables):
         maps = pqc._maps_from(tables)
         from ..ops.grid import GridMaps as _GM, from_grid as _fg
-        if isinstance(maps, _GM):
-            w = _fg(w, maps)  # the simulator runs in canonical order
+        is_grid = isinstance(maps, _GM)
+        grid_state = is_grid and pqc.grid_program is not None
+        if is_grid and not grid_state:
+            w = _fg(w, maps)  # canonical simulator, grid-ordered w
+
+        def state_of(th, tabs):
+            return (pqc._state_impl_grid(th, tabs) if grid_state
+                    else pqc._state_impl(th, tabs))
+
         if mixed:
             tabs_l = _lowp_tables(tables)
             w_l = lp(w)
             with prec_ctx():
                 return jax.jacfwd(jax.grad(
-                    lambda th: jnp.real(pqc._state_impl(th, tabs_l)
+                    lambda th: jnp.real(state_of(th, tabs_l)
                                         @ jnp.conj(w_l))))(
                     theta.astype(jnp.float32))
         return jax.jacfwd(jax.grad(
-            lambda th: jnp.real(pqc._state_impl(th, tables)
+            lambda th: jnp.real(state_of(th, tables)
                                 @ jnp.conj(w))))(theta)
 
     def _cc(J, HJ, term2):

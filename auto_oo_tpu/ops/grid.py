@@ -150,10 +150,11 @@ def _cross_parity(ncas, strings, spin, up_then_down):
     return t
 
 
-def build_grid_maps(ncas, nelecas, up_then_down=False):
-    """GridMaps for the (n_alpha, n_beta) sector of ncas spatial
-    orbitals.  O(ncas^2 (Na + Nb) + Ds log Ds) host work — hundreds of
-    times cheaper than the flat (2, n2, Ds) tables at large sectors."""
+def grid_perms(ncas, nelecas, up_then_down=False):
+    """Host-side (numpy) string lists and grid<->canonical permutations:
+    (A, B, g2s, s2g) with x_grid = x_sorted[g2s], x_sorted = x_grid[s2g].
+    Kept in numpy so constructors never round-trip device arrays (a
+    single device->host fetch costs ~1 s/MB over the tunneled link)."""
     if isinstance(nelecas, (tuple, list)):
         na, nb = int(nelecas[0]), int(nelecas[1])
     else:
@@ -161,10 +162,6 @@ def build_grid_maps(ncas, nelecas, up_then_down=False):
         na = int(nelecas) - nb
     A = spin_strings(ncas, na, 0, up_then_down)
     B = spin_strings(ncas, nb, 1, up_then_down)
-    srcA, sgnA = _one_spin_maps(ncas, A, 0, up_then_down)
-    srcB, sgnB = _one_spin_maps(ncas, B, 1, up_then_down)
-    tB = _cross_parity(ncas, B, 1, up_then_down)
-    tA = _cross_parity(ncas, A, 0, up_then_down)
     grid_dets = (A[:, None] | B[None, :]).ravel()
     # order[r] = grid rank of the r-th smallest determinant, so
     # x_sorted[r] = x_grid[order[r]] (s2g = order) and g2s is its
@@ -173,6 +170,18 @@ def build_grid_maps(ncas, nelecas, up_then_down=False):
     g2s = np.empty(order.size, dtype=np.int32)
     g2s[order] = np.arange(order.size, dtype=np.int32)
     s2g = order.astype(np.int32)
+    return A, B, g2s, s2g
+
+
+def build_grid_maps(ncas, nelecas, up_then_down=False):
+    """GridMaps for the (n_alpha, n_beta) sector of ncas spatial
+    orbitals.  O(ncas^2 (Na + Nb) + Ds log Ds) host work — hundreds of
+    times cheaper than the flat (2, n2, Ds) tables at large sectors."""
+    A, B, g2s, s2g = grid_perms(ncas, nelecas, up_then_down)
+    srcA, sgnA = _one_spin_maps(ncas, A, 0, up_then_down)
+    srcB, sgnB = _one_spin_maps(ncas, B, 1, up_then_down)
+    tB = _cross_parity(ncas, B, 1, up_then_down)
+    tA = _cross_parity(ncas, A, 0, up_then_down)
     return GridMaps(
         srcA=jnp.asarray(srcA), sgnA=jnp.asarray(sgnA),
         tB=jnp.asarray(tB), srcB=jnp.asarray(srcB),

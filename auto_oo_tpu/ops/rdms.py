@@ -257,7 +257,8 @@ def apply_epq_all(psi, ncas, up_then_down=False, maps=None):
     return out
 
 
-def rdms_from_state(psi, ncas, up_then_down=False, maps=None):
+def rdms_from_state(psi, ncas, up_then_down=False, maps=None,
+                    grid_order=False):
     """Spin-summed restricted (gamma, Gamma), chemist ordering.
 
     Matches reference Parameterized_circuit.get_rdms_from_state
@@ -272,7 +273,7 @@ def rdms_from_state(psi, ncas, up_then_down=False, maps=None):
     """
     from .grid import GridMaps, to_grid
 
-    if isinstance(maps, GridMaps):
+    if isinstance(maps, GridMaps) and not grid_order:
         psi = to_grid(psi, maps)
     phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
     gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)

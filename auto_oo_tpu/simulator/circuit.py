@@ -118,6 +118,7 @@ class Parameterized_circuit:
             raise ValueError(f"unknown ansatz {ansatz!r}")
 
         self.sector_maps = None
+        self.grid_program = None
         if self.sector:
             # run in the conserved (n_alpha, n_beta) determinant basis:
             # C(n,na)*C(n,nb) amplitudes instead of 4^ncas (16x at
@@ -145,6 +146,13 @@ class Parameterized_circuit:
                 from ..ops import grid as _grid
                 self.sector_maps = _grid.build_grid_maps(
                     ncas, nelecas, self.up_then_down)
+                # ... and the circuit itself as row-block rotations on
+                # the string grid (simulator/grid_program.py), replacing
+                # the flat pair-gather scan on every state build
+                from . import grid_program as _gp
+                self.grid_program = _gp.factorize_program(
+                    self.program, self.sector_basis, ncas,
+                    self.up_then_down)
 
         _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
@@ -163,9 +171,24 @@ class Parameterized_circuit:
     def _state_impl(self, theta, tables=None):
         if self._custom_state_fn is not None:
             return self._custom_state_fn(theta)
+        from ..ops.grid import GridMaps, from_grid
+        if (getattr(self, "grid_program", None) is not None
+                and isinstance(self.sector_maps, GridMaps)):
+            # grid-space circuit + one permutation back to the canonical
+            # sorted-determinant order (the public contract); hot paths
+            # that can consume grid order directly use _state_impl_grid
+            return from_grid(self._state_impl_grid(theta, tables),
+                             self.sector_maps)
         gates = tables["gates"] if isinstance(tables, dict) else tables
         return self.program.apply(self._expand_theta(jnp.ravel(theta)),
                                   tables=gates)
+
+    def _state_impl_grid(self, theta, tables=None):
+        """|psi(theta)> in GRID order (ops/grid.py layout contract)."""
+        gates = (tables.get("gates_grid")
+                 if isinstance(tables, dict) else None)
+        return self.grid_program.apply(
+            self._expand_theta(jnp.ravel(theta)), tables=gates)
 
     def _flat_maps(self):
         """Flat (2, n2, D) sector E_pq gather maps, built lazily: the
@@ -196,6 +219,9 @@ class Parameterized_circuit:
                       if self.program is not None else None),
             "maps": (self._flat_maps() if flat_sector_maps
                      else self.sector_maps),
+            "gates_grid": (self.grid_program.device_tables()
+                           if getattr(self, "grid_program", None)
+                           is not None else None),
         }
 
     def state(self, theta):
@@ -223,9 +249,18 @@ class Parameterized_circuit:
         return self.sector_maps
 
     def _rdms_impl(self, theta, tables=None):
+        maps = self._maps_from(tables)
+        from ..ops.grid import GridMaps
+        if (getattr(self, "grid_program", None) is not None
+                and isinstance(maps, GridMaps)):
+            # stay in grid order end to end (no boundary permutations)
+            psi = self._state_impl_grid(theta, tables)
+            return _rdms.rdms_from_state(psi, self.ncas,
+                                         self.up_then_down, maps=maps,
+                                         grid_order=True)
         psi = self._state_impl(theta, tables)
         return _rdms.rdms_from_state(psi, self.ncas, self.up_then_down,
-                                     maps=self._maps_from(tables))
+                                     maps=maps)
 
     def _umaps(self):
         """Cross-sector pair-annihilation maps for unrestricted RDMs,

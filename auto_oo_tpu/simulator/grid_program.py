@@ -1,0 +1,242 @@
+"""String-grid gate program: sector circuits as row-block Givens updates.
+
+Every compiled gate (simulator/gates.py) pairs determinants via a FIXED
+bit flip: ib = ia ^ mask.  On the (Na, Nb) string grid of a particle
+sector (ops/grid.py), the alpha and beta parts of that flip act on the
+two grid axes independently, and the Jordan-Wigner sign of each pair
+factorizes exactly as sign(i, j) = sA(i) * sB(j) (parities count alpha
+and beta occupations independently — same argument as the grid E_pq
+maps).  So one gate is a rotation between two SUBGRIDS:
+
+    Psi[A_src x B_src]  <-cos/sin->  Psi[A_dst x B_dst]
+
+applied as row gathers + small column ops + row scatter-adds — replacing
+the flat per-determinant pair gathers of program.py, which run at
+element-gather speed (~1 GB/s effective on chip) against the row ops'
+contiguous-access speed.
+
+``factorize_program`` converts an existing sector GateProgram (built and
+golden-calibrated by simulator/ansatze.py) into this form, ASSERTING the
+product structure and exact rank-1 sign split of every gate — any gate
+violating the factorization (none of the current families do) fails
+loudly at construction rather than silently simulating wrong.
+
+Layout contract: statevectors are GRID-ordered flat (Na * Nb,) vectors,
+matching ops/grid.py; simulator/circuit.py converts to the canonical
+sorted-determinant order only at public API boundaries.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import fermion
+
+
+class _GridGate:
+    __slots__ = ("Ai_src", "Ai_dst", "sA", "Bj_src", "Bj_dst", "sB",
+                 "alpha_identity", "beta_identity", "half", "param",
+                 "empty")
+
+
+def _spin_mask(ncas, spin, up_then_down=False):
+    nm = 2 * ncas
+    m = 0
+    for p in range(ncas):
+        m |= 1 << (nm - 1 - fermion.mode_of(p, spin, ncas, up_then_down))
+    return m
+
+
+def _factorize_gate(ia_det, ib_det, sign, A, B, amask, bmask):
+    """Split one gate's determinant pairs into alpha x beta structure.
+
+    Returns a _GridGate with indices into the A / B string lists, or
+    None for an empty gate."""
+    g = _GridGate()
+    if ia_det.size == 0:
+        g.empty = True
+        return g
+    g.empty = False
+    fa = int((ia_det[0] ^ ib_det[0]) & amask)
+    fb = int((ia_det[0] ^ ib_det[0]) & bmask)
+    assert np.all((ia_det ^ ib_det) == (fa | fb)), \
+        "gate flip mask is not constant"
+    a_src = ia_det & amask
+    b_src = ia_det & bmask
+    A_list = np.unique(a_src)
+    B_list = np.unique(b_src)
+    ka, kb = A_list.size, B_list.size
+    assert ia_det.size == ka * kb, "gate pairs are not a product grid"
+    i = np.searchsorted(A_list, a_src)
+    j = np.searchsorted(B_list, b_src)
+    S = np.zeros((ka, kb), dtype=np.int64)
+    S[i, j] = np.rint(sign).astype(np.int64)
+    assert np.all(S != 0), "product grid has holes"
+    # exact rank-1 split of the +-1 sign matrix
+    sA = S[:, 0]
+    sB = S[0, :] * S[0, 0]      # so that sA[0] * sB[0] = S[0, 0]
+    assert np.array_equal(np.outer(sA, sB), S), \
+        "gate sign does not factorize alpha x beta"
+    g.Ai_src = np.searchsorted(A, A_list).astype(np.int32)
+    g.Ai_dst = np.searchsorted(A, A_list ^ fa).astype(np.int32)
+    g.Bj_src = np.searchsorted(B, B_list).astype(np.int32)
+    g.Bj_dst = np.searchsorted(B, B_list ^ fb).astype(np.int32)
+    assert np.array_equal(A[g.Ai_src], A_list) \
+        and np.array_equal(A[g.Ai_dst], A_list ^ fa) \
+        and np.array_equal(B[g.Bj_src], B_list) \
+        and np.array_equal(B[g.Bj_dst], B_list ^ fb), \
+        "gate strings left the sector string lists"
+    g.sA = sA.astype(np.int8)
+    g.sB = sB.astype(np.int8)
+    g.alpha_identity = (fa == 0 and ka == A.size)
+    g.beta_identity = (fb == 0 and kb == B.size)
+    return g
+
+
+def factorize_program(program, basis_dets, ncas, up_then_down=False):
+    """GridGateProgram from a sector GateProgram whose (ia, ib) are ranks
+    into ``basis_dets`` (the canonical sorted sector basis)."""
+    from ..ops.grid import grid_perms
+
+    basis_dets = np.asarray(basis_dets, dtype=np.int64)
+    amask = _spin_mask(ncas, 0, up_then_down)
+    bmask = _spin_mask(ncas, 1, up_then_down)
+    # infer (na, nb) from any basis determinant
+    na = int(fermion.popcount(np.asarray([basis_dets[0] & amask]))[0])
+    nb = int(fermion.popcount(np.asarray([basis_dets[0] & bmask]))[0])
+    A, B, g2s, s2g = grid_perms(ncas, (na, nb), up_then_down)
+    gates = []
+    n = program.half.shape[0]
+    for gi in range(n):
+        k = int(program.n_real_pairs[gi])
+        ia = basis_dets[program.ia[gi, :k]]
+        ib = basis_dets[program.ib[gi, :k]]
+        sg = program.sign[gi, :k]
+        g = _factorize_gate(ia, ib, sg, A, B, amask, bmask)
+        g.half = float(program.half[gi])
+        g.param = int(program.param[gi])
+        gates.append(g)
+    init_grid = int(s2g[program.init_idx])
+    return GridGateProgram(gates, program.n_params, init_grid,
+                           A.size, B.size)
+
+
+class GridGateProgram:
+    """Unrolled grid-space circuit application.
+
+    The gate tables are O(Na + Nb) integers per gate (KBs total even at
+    (12e,12o), vs ~1 GB of flat pair tables), so the trace is unrolled
+    per gate with exact shapes — no padding, no scan carry, and XLA
+    schedules the row ops of consecutive gates freely."""
+
+    def __init__(self, gates, n_params, init_idx, Na, Nb):
+        self.gates = [g for g in gates if not g.empty]
+        self.n_params = int(n_params)
+        self.init_idx = int(init_idx)
+        self.Na = int(Na)
+        self.Nb = int(Nb)
+        self.dim = self.Na * self.Nb
+        # concatenate every gate's tables into SIX flat host buffers with
+        # static per-gate offsets: per-gate device conversion was
+        # hundreds of tiny transfers (~0.75 s EACH over the tunneled
+        # device link — 300 s of setup at (12e,12o)); six bulk uploads
+        # are milliseconds, and static slicing at trace time is free
+        self._a_off, self._b_off = [], []
+        a_parts, b_parts = [], []
+        ao = bo = 0
+        for g in self.gates:
+            ka, kb = g.Ai_src.size, g.Bj_src.size
+            self._a_off.append((ao, ka))
+            self._b_off.append((bo, kb))
+            a_parts.append(np.stack([g.Ai_src.astype(np.int32),
+                                     g.Ai_dst.astype(np.int32),
+                                     g.sA.astype(np.int32)]))
+            b_parts.append(np.stack([g.Bj_src.astype(np.int32),
+                                     g.Bj_dst.astype(np.int32),
+                                     g.sB.astype(np.int32)]))
+            ao += ka
+            bo += kb
+        self._a_cat = (np.concatenate(a_parts, axis=1) if a_parts
+                       else np.zeros((3, 0), dtype=np.int32))
+        self._b_cat = (np.concatenate(b_parts, axis=1) if b_parts
+                       else np.zeros((3, 0), dtype=np.int32))
+        self._half = np.array([g.half for g in self.gates])
+        self._param = np.array([g.param for g in self.gates],
+                               dtype=np.int32)
+        self._dev = None
+        self.device_tables()
+
+    def device_tables(self):
+        """(a_cat, b_cat) concatenated device tables, converted eagerly
+        (same tracer-safety discipline as GateProgram.device_arrays)."""
+        if self._dev is None:
+            self._dev = (jnp.asarray(self._a_cat),
+                         jnp.asarray(self._b_cat))
+        return self._dev
+
+    def _gate_tables(self, tabs, gi):
+        a_cat, b_cat = tabs
+        ao, ka = self._a_off[gi]
+        bo, kb = self._b_off[gi]
+        a = a_cat[:, ao:ao + ka]
+        b = b_cat[:, bo:bo + kb]
+        return a[0], a[1], a[2], b[0], b[1], b[2]
+
+    def initial_state(self, dtype=jnp.float64):
+        psi = jnp.zeros(self.dim, dtype=dtype)
+        return psi.at[self.init_idx].set(1.0)
+
+    def apply(self, theta, psi=None, tables=None):
+        """|psi(theta)> over the GRID-ordered sector basis."""
+        if psi is None:
+            psi = self.initial_state(
+                theta.dtype if jnp.issubdtype(theta.dtype, jnp.floating)
+                else jnp.float64)
+        if not self.gates:
+            return psi
+        tabs = tables if tables is not None else self.device_tables()
+        angles = (jnp.asarray(self._half).astype(theta.dtype)
+                  * theta[jnp.asarray(self._param)])
+        # batched trig outside the gate sequence: single-element f64
+        # transcendentals take an f32-accuracy path on this backend
+        # (see program.py)
+        from ..ops.linalg import trig_f64
+
+        cos_t = trig_f64(jnp.cos, angles)
+        sin_t = trig_f64(jnp.sin, angles)
+        Psi = psi.reshape(self.Na, self.Nb)
+        dt = psi.dtype
+        for gi, g in enumerate(self.gates):
+            Ai_src, Ai_dst, sA, Bj_src, Bj_dst, sB = \
+                self._gate_tables(tabs, gi)
+            c, s = cos_t[gi], sin_t[gi]
+            if g.beta_identity:
+                # pure row rotation: sB is a full-width column sign
+                va = Psi[Ai_src]                       # (ka, Nb)
+                vb = Psi[Ai_dst]
+                sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
+                Psi = Psi.at[Ai_src].set(c * va - sgn * s * vb)
+                Psi = Psi.at[Ai_dst].set(sgn * s * va + c * vb)
+            elif g.alpha_identity:
+                # pure column rotation (full rows, disjoint column sets);
+                # sA is a full-height row-sign vector here
+                va = Psi[:, Bj_src]                    # (Na, kb)
+                vb = Psi[:, Bj_dst]
+                sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
+                Psi = Psi.at[:, Bj_src].set(c * va - sgn * s * vb)
+                Psi = Psi.at[:, Bj_dst].set(sgn * s * va + c * vb)
+            else:
+                # subgrid rotation: row gathers, small column ops,
+                # row scatter-adds (A_src/A_dst disjoint, or columns
+                # disjoint — delta-add is safe in every case)
+                ra = Psi[Ai_src]                       # (ka, Nb)
+                rb = Psi[Ai_dst]
+                va = ra[:, Bj_src]                     # (ka, kb)
+                vb = rb[:, Bj_dst]
+                sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
+                da = (c - 1.0) * va - sgn * s * vb
+                db = sgn * s * va + (c - 1.0) * vb
+                DA = jnp.zeros_like(ra).at[:, Bj_src].set(da)
+                DB = jnp.zeros_like(rb).at[:, Bj_dst].set(db)
+                Psi = Psi.at[Ai_src].add(DA)
+                Psi = Psi.at[Ai_dst].add(DB)
+        return Psi.reshape(-1)

@@ -119,6 +119,58 @@ def test_unrestricted_rdms_grid():
     np.testing.assert_allclose(np.asarray(G2), np.asarray(G1), atol=1e-13)
 
 
+@pytest.mark.parametrize("name,builder,ncas,nelec", [
+    ("np_fabric", lambda d: __import__(
+        "auto_oo_tpu.simulator.ansatze", fromlist=["x"]
+    ).gatefabric_program(4, 4, 2, dets=d), 4, 4),
+    ("ucc", lambda d: __import__(
+        "auto_oo_tpu.simulator.ansatze", fromlist=["x"]
+    ).uccd_program(4, 4, add_singles=True, dets=d), 4, 4),
+    ("kupccd", lambda d: __import__(
+        "auto_oo_tpu.simulator.ansatze", fromlist=["x"]
+    ).kupccd_program(4, 4, k=2, dets=d), 4, 4),
+    ("ucc_open", lambda d: __import__(
+        "auto_oo_tpu.simulator.ansatze", fromlist=["x"]
+    ).uccd_program(4, (3, 1), add_singles=True, dets=d), 4, (3, 1)),
+])
+def test_grid_program_matches_sector_program(name, builder, ncas, nelec):
+    """The factorized row-block circuit reproduces the flat pair-scan
+    circuit (state AND Jacobian) for every ansatz family."""
+    from auto_oo_tpu.ops import fermion
+    from auto_oo_tpu.simulator import grid_program as GP
+
+    dets = fermion.sector_basis(ncas, nelec)
+    prog = builder(dets)
+    gprog = GP.factorize_program(prog, dets, ncas)
+    gm = G.build_grid_maps(ncas, nelec)
+    rng = np.random.default_rng(7)
+    theta = jnp.asarray(rng.standard_normal(prog.n_params) * 0.3)
+    psi_sorted = prog.apply(theta)
+    psi_grid = gprog.apply(theta)
+    np.testing.assert_allclose(np.asarray(G.from_grid(psi_grid, gm)),
+                               np.asarray(psi_sorted), atol=1e-13)
+    Jg = jax.jacfwd(lambda th: gprog.apply(th))(theta)
+    Js = jax.jacfwd(lambda th: prog.apply(th))(theta)
+    np.testing.assert_allclose(np.asarray(G.from_grid(Jg.T, gm)),
+                               np.asarray(Js.T), atol=1e-12)
+
+
+def test_state_public_api_canonical_order():
+    """Parameterized_circuit.state still returns canonical-order sector
+    vectors with the grid program underneath."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    pqc_g = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                  sector=True)
+    assert pqc_g.grid_program is not None
+    pqc_f = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                  sector=True)
+    pqc_f.grid_program = None  # force the flat pair-scan path
+    theta = pqc_g.init_zeros() + 0.1
+    np.testing.assert_allclose(np.asarray(pqc_g.state(theta)),
+                               np.asarray(pqc_f.state(theta)), atol=1e-13)
+
+
 def test_grad_hess_grid_equals_flat_maps():
     """Full NR grad+Hessian with grid maps vs the same circuit forced
     onto the flat maps — the end-to-end certification at (4e,4o)."""
