@@ -65,6 +65,62 @@ class Parameterized_circuit:
             from ..ops import fermion as _fermion
             sector_dets = _fermion.sector_basis(ncas, nelecas)
 
+        # in grid-capable sector mode the flat pair tables are only a
+        # host-side factorization input: defer their device upload
+        # (simulator/program.py deferred_device)
+        from .program import deferred_device as _defer
+        import contextlib as _ctx
+        _maybe_defer = (_defer() if (self.sector and not up_then_down)
+                        else _ctx.nullcontext())
+        with _maybe_defer:
+            self._build_ansatz_program(ansatz, ncas, nelecas, n_layers,
+                                       add_singles, k, theta_shape,
+                                       sector_dets)
+
+        self.sector_maps = None
+        self.grid_program = None
+        if self.sector:
+            # run in the conserved (n_alpha, n_beta) determinant basis:
+            # C(n,na)*C(n,nb) amplitudes instead of 4^ncas (16x at
+            # (10e,10o), 20x at (12e,12o); see simulator/sector.py)
+            if self.program is None:
+                raise ValueError("sector=True needs a compiled GateProgram")
+            from . import sector as _sector
+            if self.program.dim == (1 << self.n_qubits):
+                # prebuilt full-space GateProgram: project it
+                self.program, self.sector_basis = _sector.project_program(
+                    self.program, ncas, nelecas)
+            else:
+                self.sector_basis = sector_dets
+            if self.up_then_down:
+                # the sector basis convention is interleaved; keep the
+                # historical flat-map behavior (which rejects utd) rather
+                # than silently mixing conventions
+                self.sector_maps = _sector.sector_epq_maps(
+                    ncas, nelecas, self.up_then_down)
+            else:
+                # string-factorized grid maps: 2-20x faster kernels at
+                # ~500x less map memory (ops/grid.py); the flat
+                # (2, n2, D) tables remain available on demand for the
+                # GSPMD-sharded paths via _flat_maps()
+                from ..ops import grid as _grid
+                self.sector_maps = _grid.build_grid_maps(
+                    ncas, nelecas, self.up_then_down)
+                # ... and the circuit itself as row-block rotations on
+                # the string grid (simulator/grid_program.py), replacing
+                # the flat pair-gather scan on every state build
+                from . import grid_program as _gp
+                self.grid_program = _gp.factorize_program(
+                    self.program, self.sector_basis, ncas,
+                    self.up_then_down)
+
+        _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
+        self._state_jit = jax.jit(self._state_impl)
+        self._rdms_jit = jax.jit(self._rdms_impl)
+        self._rdms_u_jit = jax.jit(self._rdms_unrestricted_impl)
+
+    def _build_ansatz_program(self, ansatz, ncas, nelecas, n_layers,
+                              add_singles, k, theta_shape, sector_dets):
         if ansatz == "ucc":
             self.singles, self.doubles = A.excitations(nelecas,
                                                        self.n_qubits)
@@ -116,48 +172,6 @@ class Parameterized_circuit:
             self.hfstate = None
         else:
             raise ValueError(f"unknown ansatz {ansatz!r}")
-
-        self.sector_maps = None
-        self.grid_program = None
-        if self.sector:
-            # run in the conserved (n_alpha, n_beta) determinant basis:
-            # C(n,na)*C(n,nb) amplitudes instead of 4^ncas (16x at
-            # (10e,10o), 20x at (12e,12o); see simulator/sector.py)
-            if self.program is None:
-                raise ValueError("sector=True needs a compiled GateProgram")
-            from . import sector as _sector
-            if self.program.dim == (1 << self.n_qubits):
-                # prebuilt full-space GateProgram: project it
-                self.program, self.sector_basis = _sector.project_program(
-                    self.program, ncas, nelecas)
-            else:
-                self.sector_basis = sector_dets
-            if self.up_then_down:
-                # the sector basis convention is interleaved; keep the
-                # historical flat-map behavior (which rejects utd) rather
-                # than silently mixing conventions
-                self.sector_maps = _sector.sector_epq_maps(
-                    ncas, nelecas, self.up_then_down)
-            else:
-                # string-factorized grid maps: 2-20x faster kernels at
-                # ~500x less map memory (ops/grid.py); the flat
-                # (2, n2, D) tables remain available on demand for the
-                # GSPMD-sharded paths via _flat_maps()
-                from ..ops import grid as _grid
-                self.sector_maps = _grid.build_grid_maps(
-                    ncas, nelecas, self.up_then_down)
-                # ... and the circuit itself as row-block rotations on
-                # the string grid (simulator/grid_program.py), replacing
-                # the flat pair-gather scan on every state build
-                from . import grid_program as _gp
-                self.grid_program = _gp.factorize_program(
-                    self.program, self.sector_basis, ncas,
-                    self.up_then_down)
-
-        _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
-        self._state_jit = jax.jit(self._state_impl)
-        self._rdms_jit = jax.jit(self._rdms_impl)
-        self._rdms_u_jit = jax.jit(self._rdms_unrestricted_impl)
 
     # -- state ------------------------------------------------------------
 
@@ -214,14 +228,19 @@ class Parameterized_circuit:
 
         ``flat_sector_maps`` substitutes the flat gather tables for the
         string-grid maps (sharded-path consumers)."""
+        has_grid = getattr(self, "grid_program", None) is not None
+        # grid mode defers the flat pair-table upload entirely (the grid
+        # program covers every state build); only the sharded consumers
+        # that explicitly ask for flat maps trigger it
+        want_flat_gates = (self.program is not None
+                           and (not has_grid or flat_sector_maps))
         return {
             "gates": (self.program.device_arrays()
-                      if self.program is not None else None),
+                      if want_flat_gates else None),
             "maps": (self._flat_maps() if flat_sector_maps
                      else self.sector_maps),
             "gates_grid": (self.grid_program.device_tables()
-                           if getattr(self, "grid_program", None)
-                           is not None else None),
+                           if has_grid else None),
         }
 
     def state(self, theta):

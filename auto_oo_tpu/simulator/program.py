@@ -8,9 +8,27 @@ differentiate to scatters), replacing PennyLane's diff_method='backprop'
 (reference pqc.py:133).
 """
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+_EAGER_DEVICE = [True]
+
+
+@contextlib.contextmanager
+def deferred_device():
+    """Construct GatePrograms WITHOUT the eager device upload inside this
+    scope — used by sector grid mode, where the flat pair tables are only
+    a host-side factorization input (simulator/circuit.py) and uploading
+    them would waste HBM plus tunnel-transfer time at large D."""
+    _EAGER_DEVICE.append(False)
+    try:
+        yield
+    finally:
+        _EAGER_DEVICE.pop()
 
 
 class GateProgram:
@@ -27,7 +45,7 @@ class GateProgram:
       dim:      statevector dimension
     """
 
-    def __init__(self, gates, n_params, init_idx, dim):
+    def __init__(self, gates, n_params, init_idx, dim, eager_device=True):
         self.n_params = int(n_params)
         self.init_idx = int(init_idx)
         self.dim = int(dim)
@@ -77,8 +95,15 @@ class GateProgram:
             self.half = np.zeros((0,))
             self.param = np.zeros((0,), dtype=np.int32)
         self._dev = None
-        self.device_arrays()  # eager: avoids tracer caching AND multi-MB
-        # HLO literals (numpy closures), both of which hurt badly
+        if eager_device and _EAGER_DEVICE[-1]:
+            # eager: avoids tracer caching AND multi-MB HLO literals
+            # (numpy closures), both of which hurt badly.  Sector grid
+            # mode defers instead: the string-grid program replaces this
+            # one on every hot path, so the (potentially GB-scale) pair
+            # tables stay off the device until a consumer that really
+            # needs them calls device_arrays() outside a trace
+            # (simulator/circuit.py _tables(flat_sector_maps=True)).
+            self.device_arrays()
 
     def device_arrays(self):
         """Gate tables as device arrays, converted EAGERLY (outside any

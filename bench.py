@@ -175,10 +175,14 @@ def main():
     # this row quantifies the genuinely flat compute time
     tier("10e10o_sector_synced", 10, 10, 2, n_iters=3, sector=True,
          sync_per_program=True)
-    # the (12e,12o) sector tier (D = 853,776) runs through the STAGED
-    # large-D pipeline at ~0.3-5 min/iter + ~18 min of one-time compiles
-    # — too slow for every driver run; measure on demand with
-    # scripts/bench_12e12o.py (results recorded in BASELINE.md)
+    # (12e,12o) sector, D = 853,776, through the STAGED large-D pipeline
+    # (models/oo_pqc.py).  With the string-grid kernels (ops/grid.py +
+    # simulator/grid_program.py) a warm mixed-precision iteration is
+    # ~2-3 s, so the tier now fits the driver run; the one-time stage
+    # compiles (~9 min cold) amortize through .jax_cache/.  n_layers=1
+    # matches scripts/bench_12e12o.py (nt = 10).
+    tier("12e12o_sector_mixed", 12, 12, 1, n_iters=3, sector=True,
+         precision="mixed")
     # polarized-basis tier: nao = 43 stresses the nao^4 transform and the
     # native ERI engine (reference ran cc-pVDZ in its north-star test,
     # test_oo_pqc.py:160-185)
