@@ -537,7 +537,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     # staging exists to avoid — which cuts dispatches nt -> nt/chunk.
     # In mixed mode the f32 buffers are half-size, so the chunk doubles.
     _row_itemsize = 4 if mixed else 8
-    D_prog = pqc.program.dim if pqc.program is not None else 1
+    D_prog = max(1, pqc.state_dim)
     _stage_chunk = int(min(
         8, max(1, int(1.5e9 // max(1, n2s * D_prog * _row_itemsize)))))
 
@@ -576,7 +576,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         return e0, grad, hess
 
     _STAGED_MIN_D = 1 << 19
-    D_static = pqc.program.dim if pqc.program is not None else 0
+    D_static = pqc.state_dim
     use_staged = mesh is None and D_static >= _STAGED_MIN_D
 
     def _solve_dir(grad, hess, mu, rho, lambda_min):

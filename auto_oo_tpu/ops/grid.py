@@ -38,6 +38,7 @@ the TPU-native redesign of its sector-restricted workload.
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from . import fermion
@@ -225,6 +226,85 @@ def phi_all(x, gm, spin=None):
         parts.append(jnp.swapaxes(pb, -1, -2))
     phi = parts[0] if len(parts) == 1 else parts[0] + parts[1]
     return phi.reshape(x.shape[:-1] + (gm.n2, gm.dim))
+
+
+def pair_slice(gm, lo, hi):
+    """GridMaps restricted to pair rows [lo, hi) — the kernels read n2
+    from the table shapes, so the sliced maps drive the same code on a
+    subset of pairs (static slice bounds; free at trace time)."""
+    return GridMaps(srcA=gm.srcA[lo:hi], sgnA=gm.sgnA[lo:hi],
+                    tB=gm.tB[lo:hi], srcB=gm.srcB[lo:hi],
+                    sgnB=gm.sgnB[lo:hi], tA=gm.tA[lo:hi],
+                    g2s=gm.g2s, s2g=gm.s2g)
+
+
+# a full Phi = E_pq x for all ncas^2 pairs is (n2, D) — 9.2 GB in f32 at
+# (14e,14o) (D = 11.78M, n2 = 196), which cannot coexist with the Y
+# buffer of the Hamiltonian apply in 15.75 GB HBM.  Above this byte
+# budget per materialized pair block, the grid kernels stream the pair
+# axis in chunks (python-unrolled static slices; O(n2/chunk) extra
+# passes over x).  1 GB keeps two live blocks + the D-sliced gram
+# temporaries comfortably inside 15.75 GB HBM at (14e,14o) f64.
+_PAIR_CHUNK_BYTES = 1 << 30
+
+
+def _pair_chunk(B, D, n2, itemsize):
+    per_pair = B * D * itemsize
+    if n2 * per_pair <= _PAIR_CHUNK_BYTES:
+        return n2
+    return max(1, int(_PAIR_CHUNK_BYTES // per_pair))
+
+
+def ham_apply_chunked(c1eff_flat, C2, x, gm, chunk):
+    """sum_pq E_pq [sum_rs C2 E_rs + c1eff] x with the pair axis
+    streamed: Phi and Y exist only as (B, chunk, D) blocks.  The inner
+    Phi blocks are recomputed once per outer chunk (n2/chunk extra
+    passes) — the price of never holding a (n2, D) tensor."""
+    n2 = gm.n2
+    out = jnp.zeros_like(x)
+    for lo in range(0, n2, chunk):
+        hi = min(n2, lo + chunk)
+        Y = c1eff_flat[lo:hi][None, :, None] * x[:, None, :]
+        for lo2 in range(0, n2, chunk):
+            hi2 = min(n2, lo2 + chunk)
+            phi_c = phi_all(x, pair_slice(gm, lo2, hi2))
+            Y = Y + _rdms_mod().small_matmul_free_last(
+                C2[lo:hi, lo2:hi2], phi_c)
+        out = out + epq_sum(Y, pair_slice(gm, lo, hi))
+    return out
+
+
+def _rdms_mod():
+    from . import rdms
+    return rdms
+
+
+def rdms_chunked(psi, gm, ncas, chunk):
+    """(gamma, Gamma) of a GRID-ordered state with the pair axis of the
+    Phi gram streamed in chunks: peak extra memory is two (chunk, D)
+    blocks; Phi blocks are rebuilt O((n2/chunk)^2) times."""
+    n2 = gm.n2
+    gram = _rdms_mod().gram_last
+    bra = jnp.conj(psi)
+    gamma_rows = []
+    rdt = jnp.zeros((), dtype=psi.dtype).real.dtype
+    corr = jnp.zeros((n2, n2), dtype=rdt)
+    for lo in range(0, n2, chunk):
+        hi = min(n2, lo + chunk)
+        phi_a = phi_all(psi, pair_slice(gm, lo, hi))
+        gamma_rows.append(jnp.real(phi_a @ bra))
+        for lo2 in range(0, n2, chunk):
+            hi2 = min(n2, lo2 + chunk)
+            phi_b = (phi_a if lo2 == lo
+                     else phi_all(psi, pair_slice(gm, lo2, hi2)))
+            blk = jnp.real(gram(jnp.conj(phi_a), phi_b))
+            corr = jax.lax.dynamic_update_slice(corr, blk, (lo, lo2))
+    gamma = jnp.concatenate(gamma_rows).reshape(ncas, ncas)
+    corr = corr.reshape(ncas, ncas, ncas, ncas)
+    epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
+    delta = jnp.eye(ncas, dtype=gamma.dtype)
+    Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
+    return gamma, Gamma
 
 
 def epq_sum(Y, gm):

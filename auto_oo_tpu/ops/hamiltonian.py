@@ -55,11 +55,19 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None,
         # string-factorized sector path: x, phi_pre and the result are
         # GRID-ordered (ops/grid.py); same three-stage structure with
         # row gathers replacing the flat element gathers
-        phi = phi_pre if phi_pre is not None else phi_all(x, maps)
+        from .grid import _pair_chunk, ham_apply_chunked
+
         C2g = c2.reshape(n2, n2).astype(x.dtype)
+        c1f = c1eff.reshape(n2).astype(x.dtype)
+        chunk = _pair_chunk(B, D, n2, jnp.dtype(x.dtype).itemsize)
+        if phi_pre is None and chunk < n2:
+            # (14e,14o)-scale: stream the pair axis, never holding a
+            # (n2, D) block (ops/grid.ham_apply_chunked)
+            out = ham_apply_chunked(c1f, C2g, x, maps, chunk)
+            return out if batched else out[0]
+        phi = phi_pre if phi_pre is not None else phi_all(x, maps)
         Y = _rdms.small_matmul_free_last(C2g, phi)
-        Y = Y + c1eff.reshape(n2).astype(x.dtype)[None, :, None] \
-            * x[:, None, :]
+        Y = Y + c1f[None, :, None] * x[:, None, :]
         out = epq_sum(Y, maps)
         return out if batched else out[0]
     if maps is not None:

@@ -190,21 +190,26 @@ def gram_last(a, b):
     D = a.shape[-1]
     if D <= _CHUNK_MIN_D:
         return _dot_last(a, b)
-    n = -(-D // _CHUNK_D)
-    pad = n * _CHUNK_D - D
-    ap = _pad_last(a, pad)
-    bp = _pad_last(b, pad)
+    # full chunks via fori_loop + an explicit remainder dot: padding the
+    # operands instead costs two FULL-SIZE copies (4+ GB at (14e,14o)
+    # pair-block shapes) for the sake of the last partial chunk
+    n = D // _CHUNK_D
     out0 = jnp.zeros(a.shape[:-1] + b.shape[:-1],
                      jnp.result_type(a.dtype, b.dtype))
 
     def body(k, acc):
-        sa = jax.lax.dynamic_slice_in_dim(ap, k * _CHUNK_D, _CHUNK_D,
-                                          axis=ap.ndim - 1)
-        sb = jax.lax.dynamic_slice_in_dim(bp, k * _CHUNK_D, _CHUNK_D,
-                                          axis=bp.ndim - 1)
+        sa = jax.lax.dynamic_slice_in_dim(a, k * _CHUNK_D, _CHUNK_D,
+                                          axis=a.ndim - 1)
+        sb = jax.lax.dynamic_slice_in_dim(b, k * _CHUNK_D, _CHUNK_D,
+                                          axis=b.ndim - 1)
         return acc + _dot_last(sa, sb)
 
-    return jax.lax.fori_loop(0, n, body, out0)
+    out = jax.lax.fori_loop(0, n, body, out0)
+    if D > n * _CHUNK_D:
+        out = out + _dot_last(
+            jax.lax.slice_in_dim(a, n * _CHUNK_D, D, axis=a.ndim - 1),
+            jax.lax.slice_in_dim(b, n * _CHUNK_D, D, axis=b.ndim - 1))
+    return out
 
 
 def small_matmul_free_last(C, X):
@@ -217,20 +222,25 @@ def small_matmul_free_last(C, X):
     D = X.shape[-1]
     if D <= _CHUNK_MIN_D:
         return dot(X)
-    n = -(-D // _CHUNK_D)
-    pad = n * _CHUNK_D - D
-    Xp = _pad_last(X, pad)
-    out0 = jnp.zeros(X.shape[:-2] + (C.shape[0], n * _CHUNK_D),
+    # full chunks + explicit remainder, no padded operand copy (see
+    # gram_last)
+    n = D // _CHUNK_D
+    out0 = jnp.zeros(X.shape[:-2] + (C.shape[0], D),
                      jnp.result_type(C.dtype, X.dtype))
 
     def body(k, acc):
-        sx = jax.lax.dynamic_slice_in_dim(Xp, k * _CHUNK_D, _CHUNK_D,
-                                          axis=Xp.ndim - 1)
+        sx = jax.lax.dynamic_slice_in_dim(X, k * _CHUNK_D, _CHUNK_D,
+                                          axis=X.ndim - 1)
         return jax.lax.dynamic_update_slice_in_dim(
             acc, dot(sx), k * _CHUNK_D, axis=acc.ndim - 1)
 
     out = jax.lax.fori_loop(0, n, body, out0)
-    return jax.lax.slice_in_dim(out, 0, D, axis=out.ndim - 1)
+    if D > n * _CHUNK_D:
+        tail = dot(jax.lax.slice_in_dim(X, n * _CHUNK_D, D,
+                                        axis=X.ndim - 1))
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, tail, n * _CHUNK_D, axis=out.ndim - 1)
+    return out
 
 
 def apply_epq_all(psi, ncas, up_then_down=False, maps=None):
@@ -271,10 +281,16 @@ def rdms_from_state(psi, ncas, up_then_down=False, maps=None,
     order and is converted once (the gram and dot below are invariant
     under any common permutation of both operands).
     """
-    from .grid import GridMaps, to_grid
+    from .grid import GridMaps, to_grid, _pair_chunk, rdms_chunked
 
-    if isinstance(maps, GridMaps) and not grid_order:
-        psi = to_grid(psi, maps)
+    if isinstance(maps, GridMaps):
+        if not grid_order:
+            psi = to_grid(psi, maps)
+        chunk = _pair_chunk(1, psi.shape[-1], maps.n2,
+                            jnp.dtype(psi.dtype).itemsize)
+        if chunk < maps.n2:
+            # (14e,14o)-scale: stream the Phi gram's pair axis
+            return rdms_chunked(psi, maps, ncas, chunk)
     phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
     gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>

@@ -53,7 +53,8 @@ class Parameterized_circuit:
         self.up_then_down = bool(up_then_down)
         self.ansatz = ansatz
         self._custom_state_fn = None
-        self.program = None
+        self._program = None
+        self._program_builder = None
 
         # sector mode: built-in ansatz programs are constructed DIRECTLY
         # on the (n_alpha, n_beta) determinant basis — O(D_sector) host
@@ -61,21 +62,21 @@ class Parameterized_circuit:
         # stays for prebuilt full-space GatePrograms)
         self.sector = bool(sector)
         sector_dets = None
+        builtin = ansatz in ("ucc", "np_fabric", "kupccd")
+        # direct grid mode: the circuit is constructed straight on the
+        # alpha/beta string lists (simulator/grid_gates.py,
+        # O(n_gates * (Na + Nb)) host work); the flat per-determinant
+        # pair program — O(n_gates * D) to build and GBs at (14e,14o) —
+        # becomes LAZY, built only if a consumer explicitly needs it
+        # (sharded paths, draw_circuit, _flat_maps)
+        direct_grid = self.sector and not up_then_down and builtin
         if self.sector:
             from ..ops import fermion as _fermion
             sector_dets = _fermion.sector_basis(ncas, nelecas)
 
-        # in grid-capable sector mode the flat pair tables are only a
-        # host-side factorization input: defer their device upload
-        # (simulator/program.py deferred_device)
-        from .program import deferred_device as _defer
-        import contextlib as _ctx
-        _maybe_defer = (_defer() if (self.sector and not up_then_down)
-                        else _ctx.nullcontext())
-        with _maybe_defer:
-            self._build_ansatz_program(ansatz, ncas, nelecas, n_layers,
-                                       add_singles, k, theta_shape,
-                                       sector_dets)
+        self._build_ansatz_program(ansatz, ncas, nelecas, n_layers,
+                                   add_singles, k, theta_shape,
+                                   sector_dets, defer=direct_grid)
 
         self.sector_maps = None
         self.grid_program = None
@@ -83,53 +84,95 @@ class Parameterized_circuit:
             # run in the conserved (n_alpha, n_beta) determinant basis:
             # C(n,na)*C(n,nb) amplitudes instead of 4^ncas (16x at
             # (10e,10o), 20x at (12e,12o); see simulator/sector.py)
-            if self.program is None:
+            if self._program is None and self._program_builder is None:
                 raise ValueError("sector=True needs a compiled GateProgram")
             from . import sector as _sector
-            if self.program.dim == (1 << self.n_qubits):
-                # prebuilt full-space GateProgram: project it
-                self.program, self.sector_basis = _sector.project_program(
-                    self.program, ncas, nelecas)
-            else:
+            from ..ops import grid as _grid
+            if direct_grid:
                 self.sector_basis = sector_dets
-            if self.up_then_down:
-                # the sector basis convention is interleaved; keep the
-                # historical flat-map behavior (which rejects utd) rather
-                # than silently mixing conventions
-                self.sector_maps = _sector.sector_epq_maps(
-                    ncas, nelecas, self.up_then_down)
-            else:
-                # string-factorized grid maps: 2-20x faster kernels at
-                # ~500x less map memory (ops/grid.py); the flat
-                # (2, n2, D) tables remain available on demand for the
-                # GSPMD-sharded paths via _flat_maps()
-                from ..ops import grid as _grid
                 self.sector_maps = _grid.build_grid_maps(
                     ncas, nelecas, self.up_then_down)
-                # ... and the circuit itself as row-block rotations on
-                # the string grid (simulator/grid_program.py), replacing
-                # the flat pair-gather scan on every state build
-                from . import grid_program as _gp
-                self.grid_program = _gp.factorize_program(
-                    self.program, self.sector_basis, ncas,
-                    self.up_then_down)
+                from . import grid_gates as _gg
+                self.grid_program = _gg.build_direct(
+                    ncas, nelecas, ansatz, n_layers=n_layers,
+                    add_singles=add_singles,
+                    k=(k if k is not None else n_layers),
+                    up_then_down=self.up_then_down)
+            else:
+                if self.program.dim == (1 << self.n_qubits):
+                    # prebuilt full-space GateProgram: project it
+                    self.program, self.sector_basis = \
+                        _sector.project_program(self.program, ncas,
+                                                nelecas)
+                else:
+                    self.sector_basis = sector_dets
+                if self.up_then_down:
+                    # the sector basis convention is interleaved; keep
+                    # the historical flat-map behavior (which rejects
+                    # utd) rather than silently mixing conventions
+                    self.sector_maps = _sector.sector_epq_maps(
+                        ncas, nelecas, self.up_then_down)
+                else:
+                    # string-factorized grid maps + a grid program
+                    # FACTORIZED from the prebuilt flat program (its
+                    # golden-calibrated tables are the input here)
+                    self.sector_maps = _grid.build_grid_maps(
+                        ncas, nelecas, self.up_then_down)
+                    from . import grid_program as _gp
+                    self.grid_program = _gp.factorize_program(
+                        self.program, self.sector_basis, ncas,
+                        self.up_then_down)
 
         _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
         self._rdms_jit = jax.jit(self._rdms_impl)
         self._rdms_u_jit = jax.jit(self._rdms_unrestricted_impl)
 
+    @property
+    def program(self):
+        """The flat pair-table GateProgram — LAZY in direct grid mode
+        (sector + built-in ansatz), where the string-grid program serves
+        every hot path and this one costs O(n_gates * D) to build."""
+        if self._program is None and self._program_builder is not None:
+            self._program = self._program_builder()
+            self._program_builder = None
+        return self._program
+
+    @program.setter
+    def program(self, value):
+        self._program = value
+        self._program_builder = None
+
+    @property
+    def state_dim(self):
+        """Statevector dimension WITHOUT touching the lazy flat program:
+        C(n,na)*C(n,nb) in sector mode, else 4^ncas."""
+        if self.grid_program is not None:
+            return self.grid_program.dim
+        if self.sector:
+            return len(self.sector_basis)
+        if self._program is not None:
+            return self._program.dim
+        return 1 << self.n_qubits
+
     def _build_ansatz_program(self, ansatz, ncas, nelecas, n_layers,
-                              add_singles, k, theta_shape, sector_dets):
+                              add_singles, k, theta_shape, sector_dets,
+                              defer=False):
+        def emit(builder):
+            if defer:
+                self._program_builder = builder
+            else:
+                self.program = builder()
+
         if ansatz == "ucc":
             self.singles, self.doubles = A.excitations(nelecas,
                                                        self.n_qubits)
             self.theta_shape = (len(self.doubles)
                                 + (len(self.singles) if add_singles else 0))
             self.hfstate = A.hf_state(nelecas, self.n_qubits)
-            self.program = A.uccd_program(ncas, nelecas,
-                                          add_singles=add_singles,
-                                          dets=sector_dets)
+            emit(lambda: A.uccd_program(ncas, nelecas,
+                                        add_singles=add_singles,
+                                        dets=sector_dets))
         elif ansatz == "np_fabric":
             self.n_layers = n_layers
             self.hfstate = A.hf_state(nelecas, self.n_qubits)
@@ -140,16 +183,16 @@ class Parameterized_circuit:
             self.params_idx = np.array(
                 [x for x in range(nfull) if x not in self.redundant_idx])
             self.theta_shape = len(self.params_idx)
-            self.program = A.gatefabric_program(ncas, nelecas, n_layers,
-                                                dets=sector_dets)
+            emit(lambda: A.gatefabric_program(ncas, nelecas, n_layers,
+                                              dets=sector_dets))
         elif ansatz == "kupccd":
             self.k = k if k is not None else n_layers
             self.hfstate = A.hf_state(nelecas, self.n_qubits)
             self.d_wires = A.generalized_pair_doubles(
                 list(range(self.n_qubits)))
             self.theta_shape = self.k * len(self.d_wires)
-            self.program = A.kupccd_program(ncas, nelecas, k=self.k,
-                                            dets=sector_dets)
+            emit(lambda: A.kupccd_program(ncas, nelecas, k=self.k,
+                                          dets=sector_dets))
         elif isinstance(ansatz, GateProgram):
             self.program = ansatz
             self.theta_shape = ansatz.n_params
@@ -229,11 +272,13 @@ class Parameterized_circuit:
         ``flat_sector_maps`` substitutes the flat gather tables for the
         string-grid maps (sharded-path consumers)."""
         has_grid = getattr(self, "grid_program", None) is not None
-        # grid mode defers the flat pair-table upload entirely (the grid
+        # grid mode skips the flat pair tables entirely (the grid
         # program covers every state build); only the sharded consumers
-        # that explicitly ask for flat maps trigger it
-        want_flat_gates = (self.program is not None
-                           and (not has_grid or flat_sector_maps))
+        # that explicitly ask for flat maps trigger the LAZY build +
+        # upload (order matters: touching self.program builds it)
+        want_flat_gates = ((not has_grid or flat_sector_maps)
+                           and (self._program is not None
+                                or self._program_builder is not None))
         return {
             "gates": (self.program.device_arrays()
                       if want_flat_gates else None),

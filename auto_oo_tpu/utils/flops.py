@@ -37,6 +37,15 @@ def _pairs_per_apply(program):
     return int(program.ia.shape[0] * program.ia.shape[1])
 
 
+def _pairs_per_apply_grid(grid_program):
+    """Rotated-pair count of a string-grid program: sum over gates of
+    ka * kb (no padding in the grid representation).  Used instead of
+    the flat count so FLOP accounting never triggers the LAZY flat
+    pair-table build (simulator/circuit.py program property)."""
+    return int(sum(ka * kb for (_, ka), (_, kb)
+                   in zip(grid_program._a_off, grid_program._b_off)))
+
+
 def grad_hess_flops(ncas, D, nt, nk, nao, ns, pairs_per_apply):
     """Algorithmic f64 FLOPs of one fused grad+Hessian program
     (models/oo_pqc.py grad_hess; identical math for the staged path)."""
@@ -99,12 +108,15 @@ def nr_iteration_flops(pqc, oo, n_trials=1):
     """Total algorithmic f64 FLOPs of one NR iteration for an OO_pqc
     problem instance (grad_hess + update programs)."""
     ncas = pqc.ncas
-    D = pqc.program.dim
+    D = pqc.state_dim
     nt = int(pqc.theta_shape)
     nk = int(oo.n_kappa)
     nao = int(oo.nao)
     ns = len(oo._occ) + len(oo._act)
-    P = _pairs_per_apply(pqc.program)
+    if getattr(pqc, "grid_program", None) is not None:
+        P = _pairs_per_apply_grid(pqc.grid_program)
+    else:
+        P = _pairs_per_apply(pqc.program)
     method = getattr(oo, "newton_method", None) or "iterative"
     g = grad_hess_flops(ncas, D, nt, nk, nao, ns, P)
     u = update_flops(ncas, D, nt, nk, nao, ns, P,

@@ -85,7 +85,7 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     log(f"setup ({nelecas}e,{ncas}o) {basis}"
         f"{' sector' if sector else ''}: {time.time() - t0:.1f}s "
         f"(n_theta={pqc.theta_shape}, n_kappa={oo.n_kappa}, "
-        f"D={pqc.program.dim})")
+        f"D={pqc.state_dim})")
 
     t0 = time.time()
     out = oo._nr_iteration_jit(theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6,

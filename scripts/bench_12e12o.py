@@ -36,7 +36,7 @@ def main():
                 precision=precision)
     theta = pqc.init_zeros()
     print(f"setup: {time.time() - t0:.1f}s (n_theta={pqc.theta_shape}, "
-          f"n_kappa={oo.n_kappa}, D={pqc.program.dim}, "
+          f"n_kappa={oo.n_kappa}, D={pqc.state_dim}, "
           f"precision={precision})", flush=True)
     times = []
     for it in range(n_iters):

@@ -1,0 +1,102 @@
+"""(14e,14o) on ONE chip: full-valence H14 chain, D = C(14,7)^2 = 11.78M.
+
+The flat-table sector machinery cannot represent this scale (the pair
+tables alone would be ~18 GB host / ~4.7 GB device; the full 2^28 space
+is 268M amplitudes).  The string-grid stack can: direct grid gate
+construction (simulator/grid_gates.py, O(Na+Nb) per gate), grid E_pq
+maps (ops/grid.py) and pair-axis-streamed kernels (ham_apply_chunked /
+rdms_chunked) that never materialize an (n2, D) block.
+
+Measures on the current device: circuit state build, chunked RDM
+extraction (trace + partial-trace sum rule), spin purity <S^2>, and the
+variational energy E = c0 + <psi|H|psi> against the RHF energy.
+
+Run: python scripts/demo_14e14o.py [n_layers]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    n_layers = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+    from auto_oo_tpu import Moldata
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    ncas = nelecas = 14
+    geom = "; ".join(f"H 0 0 {0.9 * i:.2f}" for i in range(14))
+
+    t0 = time.time()
+    mol = Moldata(geom, "sto-3g")
+    mol.run_rhf()
+    print(f"H14 chain RHF: {mol.hf.e_tot:.8f} Ha "
+          f"({time.time() - t0:.1f}s, nao={mol.nao})", flush=True)
+
+    t0 = time.time()
+    pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+                                n_layers=n_layers, sector=True)
+    print(f"circuit setup: {time.time() - t0:.1f}s "
+          f"(D={pqc.state_dim:,}, n_theta={pqc.theta_shape}, "
+          f"gates={len(pqc.grid_program.gates)})", flush=True)
+    assert pqc._program is None, "flat tables must never be built here"
+
+    theta = 0.02 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+
+    t0 = time.time()
+    psi = pqc.state(theta)
+    jax.device_get(psi[:1])
+    print(f"state build (compile+1st): {time.time() - t0:.1f}s",
+          flush=True)
+    t0 = time.time()
+    psi = pqc.state(theta)
+    jax.device_get(psi[:1])
+    nrm = float(jnp.vdot(psi, psi))
+    print(f"state build warm: {time.time() - t0:.2f}s  |psi|^2 = "
+          f"{nrm:.12f}", flush=True)
+
+    t0 = time.time()
+    g1, G2 = pqc.get_rdms(theta)
+    jax.device_get(g1[0, :1])
+    print(f"RDMs (chunked gram, compile+1st): {time.time() - t0:.1f}s",
+          flush=True)
+    t0 = time.time()
+    g1, G2 = pqc.get_rdms(theta)
+    jax.device_get(g1[0, :1])
+    t_rdm = time.time() - t0
+    tr = float(jnp.trace(g1))
+    part = jnp.einsum("pqrr->pq", G2)
+    sum_err = float(jnp.max(jnp.abs(part - (nelecas - 1) * g1)))
+    print(f"RDMs warm: {t_rdm:.2f}s  tr gamma = {tr:.10f}  "
+          f"sum-rule err = {sum_err:.1e}", flush=True)
+    assert abs(tr - nelecas) < 1e-8 and sum_err < 1e-8
+
+    t0 = time.time()
+    s2 = float(pqc.s2_expectation(theta))
+    print(f"<S^2> = {s2:.2e} ({time.time() - t0:.1f}s incl. cross-sector "
+          f"map build)", flush=True)
+    assert abs(s2) < 1e-8
+
+    # variational energy through the OO_pqc machinery (energy program:
+    # grid state + chunked RDMs + integral transform)
+    t0 = time.time()
+    oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True)
+    e = float(oo.energy_from_parameters(theta))
+    print(f"E(theta) = {e:.8f} Ha (compile+1st {time.time() - t0:.1f}s)",
+          flush=True)
+    t0 = time.time()
+    e0 = float(oo.energy_from_parameters(pqc.init_zeros()))
+    print(f"E(0) = {e0:.8f} Ha (warm {time.time() - t0:.2f}s) — "
+          f"HF determinant in the active space", flush=True)
+    assert abs(e0 - mol.hf.e_tot) < 1e-6, (e0, mol.hf.e_tot)
+    print("DEMO OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,7 @@ def main():
                 precision=precision)
     theta = pqc.init_zeros()
     log(f"setup: {time.time() - t0:.1f}s (n_theta={pqc.theta_shape}, "
-        f"n_kappa={oo.n_kappa}, D={pqc.program.dim}, {precision})")
+        f"n_kappa={oo.n_kappa}, D={pqc.state_dim}, {precision})")
 
     tables = pqc._tables()
     maps = pqc._maps_from(tables)

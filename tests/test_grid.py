@@ -155,6 +155,98 @@ def test_grid_program_matches_sector_program(name, builder, ncas, nelec):
                                np.asarray(Js.T), atol=1e-12)
 
 
+@pytest.mark.parametrize("name,kw,builder,ncas,nelec", [
+    ("ucc", dict(ansatz="ucc", add_singles=True),
+     lambda d: __import__("auto_oo_tpu.simulator.ansatze",
+                          fromlist=["x"]).uccd_program(
+         4, 4, add_singles=True, dets=d), 4, 4),
+    ("np_fabric", dict(ansatz="np_fabric", n_layers=2),
+     lambda d: __import__("auto_oo_tpu.simulator.ansatze",
+                          fromlist=["x"]).gatefabric_program(
+         4, 4, 2, dets=d), 4, 4),
+    ("kupccd", dict(ansatz="kupccd", k=2),
+     lambda d: __import__("auto_oo_tpu.simulator.ansatze",
+                          fromlist=["x"]).kupccd_program(
+         4, 4, k=2, dets=d), 4, 4),
+    ("ucc_open", dict(ansatz="ucc", add_singles=True),
+     lambda d: __import__("auto_oo_tpu.simulator.ansatze",
+                          fromlist=["x"]).uccd_program(
+         4, (3, 1), add_singles=True, dets=d), 4, (3, 1)),
+])
+def test_direct_grid_gates_match_factorized(name, kw, builder, ncas,
+                                            nelec):
+    """simulator/grid_gates.build_direct (no flat tables at any point)
+    produces bit-identical circuits to factorize_program(flat program)
+    — the (14e,14o)-scale construction path is certified against the
+    golden-calibrated one."""
+    from auto_oo_tpu.ops import fermion
+    from auto_oo_tpu.simulator import grid_program as GP
+    from auto_oo_tpu.simulator import grid_gates as GG
+
+    dets = fermion.sector_basis(ncas, nelec)
+    prog = builder(dets)
+    gfac = GP.factorize_program(prog, dets, ncas)
+    gdir = GG.build_direct(ncas, nelec, **kw)
+    assert gdir.n_params == gfac.n_params
+    assert gdir.init_idx == gfac.init_idx
+    assert len(gdir.gates) == len(gfac.gates)
+    rng = np.random.default_rng(11)
+    theta = jnp.asarray(rng.standard_normal(prog.n_params) * 0.3)
+    np.testing.assert_array_equal(np.asarray(gdir.apply(theta)),
+                                  np.asarray(gfac.apply(theta)))
+
+
+def test_chunked_kernels_match_full():
+    """Pair-axis-streamed ham_apply / RDM kernels (the (14e,14o) memory
+    path) equal the full-materialization kernels at any chunk size."""
+    ncas, nelec = 4, 4
+    gm = G.build_grid_maps(ncas, nelec)
+    rng = np.random.default_rng(13)
+    c1 = rng.standard_normal((ncas, ncas))
+    c1 = jnp.asarray(c1 + c1.T)
+    c2 = rng.standard_normal((ncas,) * 4)
+    c2 = jnp.asarray(c2 + np.transpose(c2, (1, 0, 3, 2)))
+    c1eff = _ham.c1_effective(c1, c2)
+    x = jnp.asarray(rng.standard_normal((2, gm.dim)))
+    full = _ham.ham_apply(c1eff, c2, x, ncas, maps=gm)
+    n2 = gm.n2
+    C2g = c2.reshape(n2, n2)
+    c1f = c1eff.reshape(n2)
+    for chunk in (1, 3, 7, n2):
+        got = G.ham_apply_chunked(c1f, C2g, x, gm, chunk)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=0, atol=1e-12)
+    psi = jnp.asarray(rng.standard_normal(gm.dim))
+    psi = psi / jnp.linalg.norm(psi)
+    g_full, G_full = _rdms.rdms_from_state(psi, ncas, maps=gm,
+                                           grid_order=True)
+    for chunk in (1, 5, n2):
+        g_c, G_c = G.rdms_chunked(psi, gm, ncas, chunk)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_full),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(G_c), np.asarray(G_full),
+                                   atol=1e-13)
+
+
+def test_lazy_flat_program_in_direct_grid_mode():
+    """Sector + built-in ansatz never builds the flat pair tables unless
+    a consumer explicitly asks (sharded paths / draw_circuit)."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    assert pqc._program is None and pqc._program_builder is not None
+    assert pqc.state_dim == 36
+    theta = pqc.init_zeros() + 0.1
+    pqc.state(theta)
+    pqc.get_rdms(theta)
+    assert pqc._program is None, "hot paths must not build the flat " \
+                                 "program"
+    # explicit request builds it lazily, and it agrees with the grid one
+    tabs = pqc._tables(flat_sector_maps=True)
+    assert tabs["gates"] is not None and pqc._program is not None
+
+
 def test_state_public_api_canonical_order():
     """Parameterized_circuit.state still returns canonical-order sector
     vectors with the grid program underneath."""
