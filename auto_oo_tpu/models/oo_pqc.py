@@ -575,6 +575,58 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                                            hess_oo)
         return e0, grad, hess
 
+    # ---- gradient-only pipeline (beyond-Hessian scales) ---------------
+    # At (14e,14o) (D = 11.78M) even ONE (n2, D) buffer exceeds HBM, so
+    # the quadratic-form Hessian (nt such buffers worth of tangent
+    # traffic) is out of reach on a single chip; the energy+gradient is
+    # not: forward state, one streamed Hamiltonian apply, one VJP
+    # (reverse pass, O(n_gates * D) residuals) for the circuit gradient
+    # — no (nt, D) Jacobian — and streamed RDMs for the orbital
+    # gradient.  Drives OO_pqc.gradient_optimization.
+
+    def _state_only(theta, tables):
+        maps = pqc._maps_from(tables)
+        from ..ops.grid import GridMaps as _GM, to_grid as _tg
+        is_grid = isinstance(maps, _GM)
+        if is_grid and pqc.grid_program is not None:
+            return pqc._state_impl_grid(theta, tables)
+        s = pqc._state_impl(theta, tables)
+        return _tg(s, maps) if is_grid else s
+
+    def _rdms_streamed(psi, tables):
+        maps = pqc._maps_from(tables)
+        from ..ops.grid import GridMaps as _GM
+        if isinstance(maps, _GM):
+            return _rdms.rdms_from_state(psi, ncas, utd, maps,
+                                         grid_order=True)
+        phi = _rdms.apply_epq_all(psi, ncas, utd, maps)
+        return _rdms_of(phi, psi)
+
+    def _grad_c_vjp(theta, c0, psi, Hpsi, tables):
+        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
+        w = 2.0 * Hpsi
+
+        def g(th):
+            return jnp.real(_state_only(th, tables) @ jnp.conj(w))
+
+        return e0, jax.grad(g)(theta)
+
+    def _pack_only(h1, g2, g1, G2):
+        return _pack(h1, g2, g1, G2)
+
+    def energy_gradient_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff,
+                               nuc, tables):
+        h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
+            oao, int1e_ao, int2e_ao, oao_coeff, nuc)
+        psi = _sj("state_g", _state_only)(theta, tables)
+        Hpsi = _sj("hrow", _hrow)(c1eff, c2, psi, tables)
+        e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
+                                               tables)
+        g1, G2 = _sj("rdms_g", _rdms_streamed)(psi, tables)
+        grad_o = (_sj("orb_g", _pack_only)(h1, g2, g1, G2) if n_kappa
+                  else jnp.zeros((0,), dtype=theta.dtype))
+        return e0, jnp.concatenate([grad_c, grad_o]), (g1, G2)
+
     _STAGED_MIN_D = 1 << 19
     D_static = pqc.state_dim
     use_staged = mesh is None and D_static >= _STAGED_MIN_D
@@ -677,6 +729,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         "grad_hess_jit": grad_hess_jit,
         "grad_hess_fused_jit": grad_hess_fused_jit,
         "grad_hess_staged": grad_hess_staged,
+        "energy_gradient_staged": energy_gradient_staged,
         "newton_update_fused": newton_update,
         "newton_update_staged": newton_update_staged,
         "newton_update_jit": newton_update_jit,
@@ -822,6 +875,62 @@ class OO_pqc(OO_energy):
         return full_circuit_hessian.reshape(size, size)
 
     # -- the optimizer loop ----------------------------------------------
+
+    def energy_and_gradient(self, theta):
+        """(E, full [circuit, orbital] gradient, (gamma, Gamma)) WITHOUT
+        any Hessian work: forward state + one streamed Hamiltonian apply
+        + one VJP + streamed RDMs.  The only derivative path that fits
+        (14e,14o) (D = 11.78M) on a single chip — no (n2, D) or (nt, D)
+        buffer is ever materialized (see energy_gradient_staged)."""
+        e0, grad, rdms = self._core["energy_gradient_staged"](
+            jnp.asarray(theta), self.oao_mo_coeff, *self._mol_args)
+        return e0, grad, rdms
+
+    def gradient_optimization(self, theta_init, max_iterations=200,
+                              learning_rate=0.05, conv_tol=1e-8,
+                              orbital_every=10, orbital_kwargs=None,
+                              verbose=0, flush=True, monitor=None):
+        """Two-step first-order OO-VQE for beyond-Hessian scales: Adam on
+        the circuit parameters (analytic gradient, no Hessian), with a
+        damped-Newton ORBITAL relaxation at the current RDMs every
+        ``orbital_every`` steps (the orbital Hessian is nao-space and
+        cheap at any D — the classic two-step CASSCF split, here with the
+        circuit in the CI role).  Returns (energy_l, theta).
+
+        This is the optimizer for (14e,14o)-class problems where
+        full_optimization's quadratic-form Hessian cannot fit; at small D
+        prefer full_optimization (second-order, far fewer iterations)."""
+        import optax
+
+        theta = jnp.asarray(theta_init)
+        opt = optax.adam(learning_rate)
+        opt_state = opt.init(theta)
+        orbital_kwargs = dict(orbital_kwargs or {})
+        orbital_kwargs.setdefault("max_iterations", 20)
+        orbital_kwargs.setdefault("verbose", 0)
+        nt = self._nt
+        energy_l = []
+        for n in range(max_iterations):
+            e, grad, (g1, G2) = self.energy_and_gradient(theta)
+            energy_l.append(float(e))
+            if monitor is not None:
+                monitor.log(n, energy_l[-1])
+            if verbose is not None and verbose:
+                print(f"iter = {n:03}, energy = {energy_l[-1]:.12f}",
+                      flush=flush)
+            updates, opt_state = opt.update(grad[:nt], opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            if orbital_every and (n + 1) % orbital_every == 0 \
+                    and self.n_kappa:
+                orb_l = self.orbital_optimization(g1, G2,
+                                                  **orbital_kwargs)
+                if orb_l and verbose is not None and verbose:
+                    print(f"  orbital relaxation -> {orb_l[-1]:.12f}",
+                          flush=flush)
+            if n > 2 and abs(energy_l[-1] - energy_l[-2]) < conv_tol \
+                    and abs(energy_l[-2] - energy_l[-3]) < conv_tol:
+                break
+        return energy_l, theta
 
     def full_optimization(self, theta_init, max_iterations=50,
                           conv_tol=1e-10, verbose=0, flush=True,

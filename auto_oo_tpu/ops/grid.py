@@ -307,6 +307,101 @@ def rdms_chunked(psi, gm, ncas, chunk):
     return gamma, Gamma
 
 
+def phi_rows(x, gm, r0, r1):
+    """Phi restricted to grid A-rows [r0, r1): the (..., n2, rows, Nb)
+    block of E_pq x for every pair, computed straight from the FULL
+    grid-ordered x — each Phi element is produced exactly once.
+
+    Works because both spin components are row-local in their output:
+    the alpha part of output row i reads x at row srcA[pq, i] (full x is
+    resident — it is only D amplitudes), and the beta part reads columns
+    of the SAME row i.  This is what makes D-axis streaming one-pass,
+    unlike the pair-axis streaming of ham_apply_chunked which rebuilds
+    Phi blocks O(n2/chunk) times."""
+    xg = _as_grid2d(x, gm)
+    dt = x.dtype
+    pa = (xg[..., gm.srcA[:, r0:r1], :]
+          * gm.sgnA[:, r0:r1].astype(dt)[:, :, None]
+          * gm.tB.astype(dt)[:, None, :])
+    xc = xg[..., r0:r1, :]
+    # xc[..., i, srcB[pq, j]] -> gather last axis, then put the pair
+    # axis in front of the row axis
+    pb = jnp.take(xc, gm.srcB, axis=-1)           # (..., rows, n2, Nb)
+    pb = jnp.moveaxis(pb, -2, -3)                 # (..., n2, rows, Nb)
+    pb = (pb * gm.tA[:, r0:r1].astype(dt)[:, :, None]
+          * gm.sgnB.astype(dt)[:, None, :])
+    return pa + pb
+
+
+# full-Y ceiling for the row-streamed Hamiltonian apply: one (n2, D)
+# buffer only (Phi never materializes).  10 GB admits the f32/mixed
+# (14e,14o) Y (9.2 GB) inside 15.75 GB HBM next to the state and output;
+# the f64 Y (18.5 GB) falls through to the pair-streamed kernel.
+_Y_BUDGET_BYTES = 10 << 30
+
+
+def _row_chunk(B, n2, Nb, itemsize):
+    per_row = B * n2 * Nb * itemsize
+    return max(1, int(_PAIR_CHUNK_BYTES // max(1, per_row)))
+
+
+def ham_apply_rows(c1eff_flat, C2, x, gm, row_chunk, pair_block=None):
+    """sum_pq E_pq [sum_rs C2 E_rs + c1eff] x with Phi streamed over
+    grid A-rows: each Phi block is built once per pair block and
+    contracted immediately on the MXU, so the gather traffic is
+    ceil(n2/pair_block) full-Phi passes (vs O(n2/chunk) for the
+    pair-streamed ham_apply_chunked).  Y is materialized only as a
+    (..., pair_block, D) buffer; ``pair_block=None`` means all n2 pairs
+    (one pass, one full Y — requires _Y_BUDGET_BYTES of headroom).
+    At (14e,14o): f32 runs one pass (Y = 9.2 GB), f64 two passes
+    (pair_block ~ 106, Y blocks ~ 10 GB)."""
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    if pair_block is None:
+        pair_block = n2
+    xg = _as_grid2d(x, gm)
+    C2x = C2.astype(x.dtype)
+    c1x = c1eff_flat.astype(x.dtype)
+    out = jnp.zeros_like(x)
+    for lo in range(0, n2, pair_block):
+        hi = min(n2, lo + pair_block)
+        parts = []
+        for r0 in range(0, Na, row_chunk):
+            r1 = min(Na, r0 + row_chunk)
+            phi_c = phi_rows(x, gm, r0, r1)       # (..., n2, rows, Nb)
+            parts.append(
+                jnp.einsum("pr,...rij->...pij", C2x[lo:hi], phi_c)
+                + c1x[lo:hi, None, None] * xg[..., None, r0:r1, :])
+        Y = jnp.concatenate(parts, axis=-2)       # (..., blk, Na, Nb)
+        Y = Y.reshape(x.shape[:-1] + (hi - lo, gm.dim))
+        out = out + epq_sum(Y, pair_slice(gm, lo, hi))
+    return out
+
+
+def rdms_rows(psi, gm, ncas, row_chunk):
+    """(gamma, Gamma) of a GRID-ordered state with Phi streamed over
+    grid A-rows: each Phi element is built exactly once and consumed by
+    an (n2, L) x (L, n2) MXU gram — peak extra memory one Phi block,
+    total gather traffic ONE full-Phi pass (the pair-streamed
+    rdms_chunked pays O(n2/chunk) passes)."""
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    psig = _as_grid2d(psi, gm)
+    rdt = jnp.zeros((), dtype=psi.dtype).real.dtype
+    gamma = jnp.zeros((n2,), dtype=rdt)
+    corr = jnp.zeros((n2, n2), dtype=rdt)
+    for r0 in range(0, Na, row_chunk):
+        r1 = min(Na, r0 + row_chunk)
+        phi_c = phi_rows(psi, gm, r0, r1).reshape(n2, -1)
+        bra_c = jnp.conj(psig[r0:r1, :]).reshape(-1)
+        gamma = gamma + jnp.real(phi_c @ bra_c)
+        corr = corr + jnp.real(jnp.conj(phi_c) @ phi_c.T)
+    gamma = gamma.reshape(ncas, ncas)
+    corr = corr.reshape(ncas, ncas, ncas, ncas)
+    epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
+    delta = jnp.eye(ncas, dtype=gamma.dtype)
+    Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
+    return gamma, Gamma
+
+
 def epq_sum(Y, gm):
     """out = sum_pq E_pq Y[..., pq, :] — the reduction half of the
     Hamiltonian apply.  Y (..., n2, Ds) and the result (..., Ds) are

@@ -55,15 +55,24 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None,
         # string-factorized sector path: x, phi_pre and the result are
         # GRID-ordered (ops/grid.py); same three-stage structure with
         # row gathers replacing the flat element gathers
-        from .grid import _pair_chunk, ham_apply_chunked
+        from .grid import (_pair_chunk, _row_chunk, _Y_BUDGET_BYTES,
+                           ham_apply_rows)
 
         C2g = c2.reshape(n2, n2).astype(x.dtype)
         c1f = c1eff.reshape(n2).astype(x.dtype)
-        chunk = _pair_chunk(B, D, n2, jnp.dtype(x.dtype).itemsize)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        chunk = _pair_chunk(B, D, n2, itemsize)
         if phi_pre is None and chunk < n2:
-            # (14e,14o)-scale: stream the pair axis, never holding a
-            # (n2, D) block (ops/grid.ham_apply_chunked)
-            out = ham_apply_chunked(c1f, C2g, x, maps, chunk)
+            # (14e,14o)-scale: Phi cannot be materialized.  Stream Phi
+            # over grid A-rows (each element built once per pass) into
+            # pair-blocked Y buffers sized to the HBM budget — one pass
+            # when the full Y fits (f32), two at f64
+            # (ops/grid.ham_apply_rows).
+            pair_block = max(1, int(_Y_BUDGET_BYTES
+                                    // max(1, B * D * itemsize)))
+            out = ham_apply_rows(c1f, C2g, x, maps,
+                                 _row_chunk(B, n2, maps.Nb, itemsize),
+                                 pair_block=min(n2, pair_block))
             return out if batched else out[0]
         phi = phi_pre if phi_pre is not None else phi_all(x, maps)
         Y = _rdms.small_matmul_free_last(C2g, phi)

@@ -281,16 +281,18 @@ def rdms_from_state(psi, ncas, up_then_down=False, maps=None,
     order and is converted once (the gram and dot below are invariant
     under any common permutation of both operands).
     """
-    from .grid import GridMaps, to_grid, _pair_chunk, rdms_chunked
+    from .grid import (GridMaps, to_grid, _pair_chunk, _row_chunk,
+                       rdms_rows)
 
     if isinstance(maps, GridMaps):
         if not grid_order:
             psi = to_grid(psi, maps)
-        chunk = _pair_chunk(1, psi.shape[-1], maps.n2,
-                            jnp.dtype(psi.dtype).itemsize)
-        if chunk < maps.n2:
-            # (14e,14o)-scale: stream the Phi gram's pair axis
-            return rdms_chunked(psi, maps, ncas, chunk)
+        itemsize = jnp.dtype(psi.dtype).itemsize
+        if _pair_chunk(1, psi.shape[-1], maps.n2, itemsize) < maps.n2:
+            # (14e,14o)-scale: stream Phi over grid A-rows — one full
+            # gather pass, gram blocks on the MXU (ops/grid.rdms_rows)
+            return rdms_rows(psi, maps, ncas,
+                             _row_chunk(1, maps.n2, maps.Nb, itemsize))
     phi = apply_epq_all(psi, ncas, up_then_down, maps)   # (ncas^2, D)
     gamma = jnp.real(phi @ jnp.conj(psi)).reshape(ncas, ncas)
     # corr[(q,p),(r,s)] = <E_qp psi|E_rs psi> = <psi|E_pq E_rs|psi>

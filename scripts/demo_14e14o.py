@@ -95,6 +95,27 @@ def main():
     print(f"E(0) = {e0:.8f} Ha (warm {time.time() - t0:.2f}s) — "
           f"HF determinant in the active space", flush=True)
     assert abs(e0 - mol.hf.e_tot) < 1e-6, (e0, mol.hf.e_tot)
+
+    # full analytic gradient (VJP + streamed kernels) and three Adam
+    # steps of the two-step first-order OO-VQE — the derivative path
+    # that fits this scale (models/oo_pqc.energy_gradient_staged)
+    t0 = time.time()
+    e_g, grad, _ = oo.energy_and_gradient(theta)
+    jax.device_get(grad[:1])
+    print(f"energy+gradient (compile+1st): {time.time() - t0:.1f}s  "
+          f"|grad| = {float(jnp.linalg.norm(grad)):.3e}", flush=True)
+    t0 = time.time()
+    e_g, grad, _ = oo.energy_and_gradient(theta)
+    jax.device_get(grad[:1])
+    print(f"energy+gradient warm: {time.time() - t0:.2f}s", flush=True)
+    assert abs(float(e_g) - e) < 1e-9
+    t0 = time.time()
+    energy_l, _ = oo.gradient_optimization(
+        pqc.init_zeros(), max_iterations=3, learning_rate=0.05,
+        orbital_every=0, verbose=1)
+    print(f"3 Adam steps: {time.time() - t0:.1f}s  "
+          f"dE = {energy_l[-1] - energy_l[0]:+.2e} Ha", flush=True)
+    assert energy_l[-1] <= energy_l[0] + 1e-10
     print("DEMO OK", flush=True)
 
 

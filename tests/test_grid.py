@@ -228,6 +228,76 @@ def test_chunked_kernels_match_full():
                                    atol=1e-13)
 
 
+def test_row_streamed_kernels_match_full():
+    """A-row-streamed (D-axis) kernels — phi_rows / ham_apply_rows /
+    rdms_rows, the one-gather-pass (14e,14o) path — equal the full
+    kernels at any row chunk, batched and complex included."""
+    ncas, nelec = 4, (3, 1)
+    gm = G.build_grid_maps(ncas, nelec)
+    rng = np.random.default_rng(17)
+    c1 = rng.standard_normal((ncas, ncas))
+    c1 = jnp.asarray(c1 + c1.T)
+    c2 = rng.standard_normal((ncas,) * 4)
+    c2 = jnp.asarray(c2 + np.transpose(c2, (1, 0, 3, 2)))
+    c1eff = _ham.c1_effective(c1, c2)
+    n2 = gm.n2
+    C2g = c2.reshape(n2, n2)
+    c1f = c1eff.reshape(n2)
+    x = jnp.asarray(rng.standard_normal((2, gm.dim)))
+    full = _ham.ham_apply(c1eff, c2, x, ncas, maps=gm)
+    phi_full = G.phi_all(x, gm)
+    for rc in (1, 3, gm.Na):
+        blocks = [G.phi_rows(x, gm, r0, min(gm.Na, r0 + rc))
+                  for r0 in range(0, gm.Na, rc)]
+        phi_r = jnp.concatenate(blocks, axis=-2).reshape(phi_full.shape)
+        np.testing.assert_allclose(np.asarray(phi_r),
+                                   np.asarray(phi_full), atol=1e-13)
+        for pb in (None, 1, 5):
+            got = G.ham_apply_rows(c1f, C2g, x, gm, rc, pair_block=pb)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                       rtol=0, atol=1e-12)
+    psi_c = rng.standard_normal(gm.dim) + 1j * rng.standard_normal(gm.dim)
+    psi_c = jnp.asarray(psi_c / np.linalg.norm(psi_c))
+    g_full, G_full = _rdms.rdms_from_state(psi_c, ncas, maps=gm,
+                                           grid_order=True)
+    for rc in (1, 4, gm.Na):
+        g_r, G_r = G.rdms_rows(psi_c, gm, ncas, rc)
+        np.testing.assert_allclose(np.asarray(g_r), np.asarray(g_full),
+                                   atol=1e-13)
+        np.testing.assert_allclose(np.asarray(G_r), np.asarray(G_full),
+                                   atol=1e-13)
+
+
+def test_auto_dispatch_streamed_paths(monkeypatch):
+    """Forcing tiny byte budgets engages the streamed kernels through
+    the PUBLIC ham_apply / rdms_from_state dispatch — both tiers (rows
+    within Y budget, pair-streamed above it) — with unchanged results."""
+    ncas, nelec = 4, 4
+    gm = G.build_grid_maps(ncas, nelec)
+    rng = np.random.default_rng(19)
+    c1 = rng.standard_normal((ncas, ncas))
+    c1 = jnp.asarray(c1 + c1.T)
+    c2 = rng.standard_normal((ncas,) * 4)
+    c2 = jnp.asarray(c2 + np.transpose(c2, (1, 0, 3, 2)))
+    c1eff = _ham.c1_effective(c1, c2)
+    x = jnp.asarray(rng.standard_normal(gm.dim))
+    psi = x / jnp.linalg.norm(x)
+    full = _ham.ham_apply(c1eff, c2, x, ncas, maps=gm)
+    g_full, G_full = _rdms.rdms_from_state(psi, ncas, maps=gm,
+                                           grid_order=True)
+    monkeypatch.setattr(G, "_PAIR_CHUNK_BYTES", 4096)
+    for ybudget in (1 << 40, 0):   # one-pass Y / pair-blocked Y
+        monkeypatch.setattr(G, "_Y_BUDGET_BYTES", ybudget)
+        got = _ham.ham_apply(c1eff, c2, x, ncas, maps=gm)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=0, atol=1e-12)
+    g_s, G_s = _rdms.rdms_from_state(psi, ncas, maps=gm, grid_order=True)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_full),
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(G_s), np.asarray(G_full),
+                               atol=1e-13)
+
+
 def test_lazy_flat_program_in_direct_grid_mode():
     """Sector + built-in ansatz never builds the flat pair tables unless
     a consumer explicitly asks (sharded paths / draw_circuit)."""

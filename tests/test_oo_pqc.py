@@ -157,3 +157,44 @@ def test_staged_newton_update_equals_fused():
                        atol=1e-12)
     assert np.allclose(np.asarray(out_f[2]), np.asarray(out_s[2]),
                        atol=1e-12)
+
+
+def test_energy_gradient_staged_equals_hessian_path():
+    """The gradient-only pipeline (forward + streamed H-apply + VJP +
+    streamed RDMs — the only derivative path that fits (14e,14o))
+    reproduces the quadratic-form grad_hess energy and gradient exactly,
+    full-space and sector."""
+    import jax.numpy as jnp
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    for sector in (False, True):
+        pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                    sector=sector)
+        oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+        theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+        core, margs = oo._core, oo._mol_args
+        e_f, g_f, _ = core["grad_hess_fused_jit"](
+            theta, oo.oao_mo_coeff, *margs)
+        e_g, g_g, (g1, G2) = core["energy_gradient_staged"](
+            theta, oo.oao_mo_coeff, *margs)
+        assert abs(float(e_f) - float(e_g)) < 1e-12
+        assert np.allclose(np.asarray(g_f), np.asarray(g_g), atol=1e-11)
+        g1_ref, G2_ref = pqc.get_rdms(theta)
+        assert np.allclose(np.asarray(g1), np.asarray(g1_ref), atol=1e-11)
+        assert np.allclose(np.asarray(G2), np.asarray(G2_ref), atol=1e-11)
+
+
+def test_gradient_optimization_converges_toward_casscf():
+    """Two-step first-order OO-VQE (Adam circuit steps + periodic
+    orbital Newton relaxations) drives the (2e,2o) formaldimine energy
+    toward the CASSCF oracle."""
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol.run_casscf(2, 2)
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+    oo = OO_pqc(pqc, mol, 2, 2)
+    e_start = float(oo.energy_from_parameters(pqc.init_zeros()))
+    energy_l, theta = oo.gradient_optimization(
+        pqc.init_zeros(), max_iterations=60, learning_rate=0.1,
+        orbital_every=5, conv_tol=0)
+    e_ref = float(mol.casscf.e_tot)
+    assert energy_l[-1] < e_start - 1e-4
+    assert energy_l[-1] - e_ref < 2e-4, (energy_l[-1], e_ref)
