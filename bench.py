@@ -129,8 +129,34 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     return st, compile_s, float(energy), flop_info
 
 
+def _probe_backend(timeout_s=300):
+    """Fail fast (with a parseable JSON line) when the device backend is
+    hung: jax.devices() on a wedged remote tunnel blocks forever inside
+    the plugin, which would otherwise turn a driver bench run into a
+    silent multi-hour hang.  A subprocess is the only reliable timeout
+    around a blocking C++ init."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print('BACKEND-OK', len(d))"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if "BACKEND-OK" in (r.stdout or ""):
+            return True
+        log(f"backend probe failed: {r.stdout!r} {r.stderr[-400:]!r}")
+    except subprocess.TimeoutExpired:
+        log(f"backend probe timed out after {timeout_s}s")
+    print(json.dumps({
+        "metric": "nr_iteration_wall_s", "value": None, "unit": "s",
+        "vs_baseline": None,
+        "error": "device backend unreachable (probe timeout)"}))
+    return False
+
+
 def main():
     os.makedirs(_CACHE, exist_ok=True)
+    if not _probe_backend():
+        return
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", _CACHE)
