@@ -889,7 +889,8 @@ class OO_pqc(OO_energy):
     def gradient_optimization(self, theta_init, max_iterations=200,
                               learning_rate=0.05, conv_tol=1e-8,
                               orbital_every=10, orbital_kwargs=None,
-                              verbose=0, flush=True, monitor=None):
+                              verbose=0, flush=True, monitor=None,
+                              optimizer=None):
         """Two-step first-order OO-VQE for beyond-Hessian scales: Adam on
         the circuit parameters (analytic gradient, no Hessian), with a
         damped-Newton ORBITAL relaxation at the current RDMs every
@@ -903,7 +904,9 @@ class OO_pqc(OO_energy):
         import optax
 
         theta = jnp.asarray(theta_init)
-        opt = optax.adam(learning_rate)
+        # any optax GradientTransformation may be substituted (the
+        # update consumes only grad[:nt])
+        opt = optax.adam(learning_rate) if optimizer is None else optimizer
         opt_state = opt.init(theta)
         orbital_kwargs = dict(orbital_kwargs or {})
         orbital_kwargs.setdefault("max_iterations", 20)
