@@ -49,9 +49,14 @@ def _replicated_mol_args(oo, mesh, flat_sector_maps=False):
     (models/oo_pqc.py:25-30).
 
     ``flat_sector_maps`` swaps the string-grid sector maps for the flat
-    (2, n2, D) gather tables: the mesh cores shard the flat determinant
-    axis, which the grid kernels' permutations/reshapes would turn into
-    unprofiled collectives."""
+    (2, n2, D) gather tables — required when the STATE dimension itself
+    is sharded (the mesh cores then shard the flat determinant axis,
+    which the grid kernels' permutations/reshapes would turn into
+    unprofiled collectives).  With tangent-only sharding the string-grid
+    kernels partition cleanly over the batch axis and stay the default:
+    they are 4-22x faster on chip and their (n2, Na)+(n2, Nb) tables stay
+    kilobytes where the flat (2, n2, D) tables reach GBs (18.5 GB at
+    (14e,14o) — memory-infeasible)."""
     repl = NamedSharding(mesh, P())
     mol_args = oo._mol_args
     if flat_sector_maps and getattr(oo.pqc, "sector", False):
@@ -59,6 +64,31 @@ def _replicated_mol_args(oo, mesh, flat_sector_maps=False):
             oo.pqc._tables(flat_sector_maps=True),)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), mol_args)
+
+
+def _want_flat_maps(oo, state_axis, sector_maps):
+    """Resolve the ``sector_maps`` choice ('auto' | 'grid' | 'flat') to
+    the flat_sector_maps flag of _replicated_mol_args.  'auto' keeps the
+    string-grid kernels whenever the pqc carries grid maps and the state
+    dimension is not sharded; explicit 'grid' asserts availability."""
+    from ..ops.grid import GridMaps
+
+    if sector_maps not in ("auto", "grid", "flat"):
+        raise ValueError(f"sector_maps must be 'auto', 'grid' or 'flat', "
+                         f"got {sector_maps!r}")
+    has_grid = isinstance(getattr(oo.pqc, "sector_maps", None), GridMaps)
+    if sector_maps == "grid":
+        if not has_grid:
+            raise ValueError("sector_maps='grid' but the circuit has no "
+                             "string-grid sector maps")
+        if state_axis is not None:
+            raise ValueError("sector_maps='grid' requires state_axis=None "
+                             "(the grid kernels shard the tangent batch, "
+                             "not the determinant axis)")
+        return False
+    if sector_maps == "flat":
+        return True
+    return not (has_grid and state_axis is None)
 
 
 def sharded_full_hessian_fn(oo, mesh, axis="tp"):
@@ -108,19 +138,26 @@ def sharded_full_hessian_fn(oo, mesh, axis="tp"):
     return full_hessian
 
 
-def sharded_grad_hess_fn(oo, mesh, axis="tp", state_axis=None):
+def sharded_grad_hess_fn(oo, mesh, axis="tp", state_axis=None,
+                         sector_maps="auto"):
     """(theta, oao) -> (energy, gradient, Hessian) — THE fast
     quadratic-form formulation (models/oo_pqc.py grad_hess: batched
     Hamiltonian-apply + transition RDMs, the 167x-vs-torch path) with the
     tangent batch sharded over `axis` and the statevector dimension
     optionally sharded over `state_axis`.  Molecule arrays and gate
-    tables are runtime arguments replicated over the mesh."""
+    tables are runtime arguments replicated over the mesh.
+
+    ``sector_maps``: 'auto' (string-grid kernels when available and
+    state_axis is None — the fast, memory-light path that scales to
+    (14e,14o) sectors where flat tables cannot exist), 'grid', 'flat'."""
     from ..models.oo_pqc import _nr_core_for
 
     core = _nr_core_for(oo.pqc, oo.nao, oo._occ, oo._act, oo.params_idx,
                         mesh=mesh, tangent_axis=axis,
                         state_axis=state_axis)
-    mol_args = _replicated_mol_args(oo, mesh, flat_sector_maps=True)
+    mol_args = _replicated_mol_args(
+        oo, mesh,
+        flat_sector_maps=_want_flat_maps(oo, state_axis, sector_maps))
 
     def run(theta, oao):
         return core["grad_hess_jit"](jnp.ravel(theta), oao, *mol_args)
@@ -129,19 +166,25 @@ def sharded_grad_hess_fn(oo, mesh, axis="tp", state_axis=None):
 
 
 def sharded_nr_step_fn(oo, mesh, axis="tp", state_axis=None, alpha=1e-4,
-                       beta=0.5, mu=1e-6, rho=1.1, lambda_min=1e-6):
+                       beta=0.5, mu=1e-6, rho=1.1, lambda_min=1e-6,
+                       sector_maps="auto"):
     """Jitted multi-device Newton-Raphson step running the FAST
     quadratic-form core (not the pure-AD HVP formulation): sharded
     grad+Hessian, then the replicated augmented solve + Armijo line
     search + MO update.  Returns
     (theta, oao) -> (new_theta, new_kappa, new_oao, energy, lowest_eig),
-    bit-matching the single-device OO_pqc._nr_iteration_jit."""
+    bit-matching the single-device OO_pqc._nr_iteration_jit.
+
+    ``sector_maps`` as in sharded_grad_hess_fn: 'auto' keeps the
+    string-grid kernels under tangent-only sharding."""
     from ..models.oo_pqc import _nr_core_for
 
     core = _nr_core_for(oo.pqc, oo.nao, oo._occ, oo._act, oo.params_idx,
                         mesh=mesh, tangent_axis=axis,
                         state_axis=state_axis)
-    mol_args = _replicated_mol_args(oo, mesh, flat_sector_maps=True)
+    mol_args = _replicated_mol_args(
+        oo, mesh,
+        flat_sector_maps=_want_flat_maps(oo, state_axis, sector_maps))
 
     def run(theta, oao):
         return core["nr_iteration_jit"](

@@ -175,6 +175,50 @@ def test_sector_sharded_composition():
     assert abs(e_fwd - float(oo_s.energy_from_parameters(theta))) < 1e-11
 
 
+def test_sector_grid_sharded_nr():
+    """Tangent-only sharding keeps the string-grid sector kernels
+    (sector_maps='auto'): the sharded quadratic-form grad+Hessian and the
+    full sharded NR step match the single-device grid core, with NO flat
+    (2, n2, D) tables ever built — the configuration that scales the
+    multi-chip Hessian to (14e,14o) sectors where flat tables are
+    memory-infeasible (18.5 GB)."""
+    from auto_oo_tpu.parallel import sharded_grad_hess_fn
+    from auto_oo_tpu.parallel.sharding import _want_flat_maps
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+
+    # 'auto' with tangent-only sharding resolves to grid, never
+    # touching the lazy flat program
+    assert _want_flat_maps(oo, None, "auto") is False
+    assert _want_flat_maps(oo, "tp", "auto") is True
+    with pytest.raises(ValueError):
+        _want_flat_maps(oo, "tp", "grid")
+
+    e_s, g_s, h_s = sharded_grad_hess_fn(oo, mesh, axis="tp")(
+        theta, oo.oao_mo_coeff)
+    assert pqc._program is None, "grid-sharded path built the flat program"
+    e_r, g_r, h_r = oo._grad_hess_jit(theta, oo.oao_mo_coeff)
+    assert abs(float(e_s) - float(e_r)) < 1e-11
+    assert np.allclose(np.asarray(g_s), np.asarray(g_r), atol=1e-11)
+    assert np.allclose(np.asarray(h_s), np.asarray(h_r), atol=1e-11)
+
+    step = sharded_nr_step_fn(oo, mesh, axis="tp")
+    new_theta, new_kappa, new_oao, energy, lowest = step(
+        theta, oo.oao_mo_coeff)
+    ref = oo._nr_iteration_jit(theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6,
+                               1.1, 1e-6)
+    assert abs(float(energy) - float(ref[3])) < 1e-11
+    assert np.allclose(np.asarray(new_theta), np.asarray(ref[0]),
+                       atol=1e-9)
+    assert np.allclose(np.asarray(new_oao), np.asarray(ref[2]),
+                       atol=1e-9)
+
+
 def test_sharded_statevector_equals_single_device(setup):
     """Statevector sharded over the 8-device mesh equals the single-device
     state bit-for-bit (GSPMD preserves semantics)."""
