@@ -1,0 +1,177 @@
+"""Pallas TPU kernels for the string-grid gather primitives.
+
+The grid E_pq kernels (ops/grid.py) are HBM-gather bound: XLA lowers
+``x[..., src, :]`` row gathers at a fraction of HBM bandwidth, and
+profiling at (10e,10o)-(12e,12o) shows the Phi build and the
+sum_pq E_pq reduction dominating the mixed-precision NR iteration once
+the MXU grams are fused.  These kernels issue the row gathers as
+explicit HBM->VMEM DMAs (one DMA per gathered row, R rows in flight per
+program) and fuse the rank-1 sign scaling into the VMEM block before
+write-back, so the gather traffic runs at DMA speed and the scaled Phi
+block never makes an extra HBM round trip.
+
+Two primitives cover both grid ops (each used once per spin component,
+with the transposed operand for the beta half exactly as in ops/grid.py):
+
+  gather_rows_scaled(x, src, s, t) : out[k,i,j] = x[src[k,i], j]*s[k,i]*t[k,j]
+  gather_reduce(Y, src, s, t)      : out[i,j] = sum_k Y[k, src[k,i], j]*s[k,i]*t[k,j]
+
+f32 only (pallas has no f64 on TPU; the mixed-precision mode is the
+production performance path).  CPU correctness runs through
+``interpret=True`` (tests/test_pallas_grid.py); on-chip use is gated by
+config.pallas_enabled() until measured faster (scripts/microbench_pallas.py).
+
+No reference counterpart: the reference's hot loop was ncas^4 scipy
+sparse matvecs in Python (reference pqc.py:192-218); this is the
+TPU-native endpoint of that workload's redesign.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per program: R gathered rows ride in flight per grid step.  8 rows
+# of 924-3432 f32 lanes = 30-110 KB VMEM per block -- small against the
+# 16 MB budget, large enough that per-DMA overhead amortizes.
+_R = 8
+
+
+def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem):
+    """One (pair k, row block r) program: DMA R source rows of x into the
+    output block, then scale rows by s[k, i] and lanes by t[k, :]."""
+    ns = x_ref.shape[0]
+    R = o_ref.shape[1]
+    for r in range(R):
+        i = jnp.clip(src_ref[0, r], 0, ns - 1)
+        pltpu.make_async_copy(x_ref.at[i], o_ref.at[0, r], sem.at[r]).start()
+    for r in range(R):
+        pltpu.make_async_copy(x_ref.at[0], o_ref.at[0, r], sem.at[r]).wait()
+        o_ref[0, r, :] = o_ref[0, r, :] * (s_ref[0, r] * t_ref[0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_rows_scaled(x, src, s, t, interpret=False):
+    """out[k, i, j] = x[src[k, i], j] * s[k, i] * t[k, j].
+
+    x (Ns, Nb) f32; src (n2, Na) int32; s (n2, Na) f32; t (n2, Nb) f32
+    -> out (n2, Na, Nb) f32.  Invalid src entries must carry s == 0
+    (the grid-map convention: src 0 / sgn 0), which zeroes the garbage row.
+    """
+    n2, na = src.shape
+    nb = x.shape[1]
+    grid = (n2, pl.cdiv(na, _R))
+    return pl.pallas_call(
+        _gather_rows_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _R), lambda k, r: (k, r),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _R), lambda k, r: (k, r),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb), lambda k, r: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, _R, nb), lambda k, r: (k, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n2, na, nb), x.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_R,))],
+        interpret=interpret,
+    )(src, s, t, x)
+
+
+def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf, sem):
+    """Grid (row blocks, n2) with k fastest: the output block stays
+    resident across the k sweep; each step DMAs R rows of the k-th Y slab
+    and accumulates the scaled block."""
+    k = pl.program_id(1)
+    ns = y_ref.shape[1]
+    R = buf.shape[0]
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    for r in range(R):
+        i = jnp.clip(src_ref[0, r], 0, ns - 1)
+        pltpu.make_async_copy(y_ref.at[k, i], buf.at[r], sem.at[r]).start()
+    for r in range(R):
+        pltpu.make_async_copy(y_ref.at[k, 0], buf.at[r], sem.at[r]).wait()
+        o_ref[r, :] = o_ref[r, :] + buf[r, :] * (s_ref[0, r] * t_ref[0, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_reduce(Y, src, s, t, interpret=False):
+    """out[i, j] = sum_k Y[k, src[k, i], j] * s[k, i] * t[k, j].
+
+    Y (n2, Ns, Nb) f32; src/s (n2, Na); t (n2, Nb) -> out (Na, Nb) f32.
+    The reduction half of the Hamiltonian apply: Y is read exactly once,
+    the (n2, Na, Nb) gathered intermediate never materializes.
+    """
+    n2, na = src.shape
+    nb = Y.shape[2]
+    grid = (pl.cdiv(na, _R), n2)
+    return pl.pallas_call(
+        _gather_reduce_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _R), lambda r, k: (k, r),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _R), lambda r, k: (k, r),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb), lambda r, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((_R, nb), lambda r, k: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((na, nb), Y.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_R, nb), Y.dtype),
+            pltpu.SemaphoreType.DMA((_R,)),
+        ],
+        interpret=interpret,
+    )(src, s, t, Y)
+
+
+def _f32(a):
+    return a.astype(jnp.float32)
+
+
+def phi_all_pallas(x, gm, interpret=False):
+    """ops.grid.phi_all on the pallas gather kernel: both spin components
+    as row gathers (beta via the transposed grid), signs fused.  x is a
+    GRID-ordered flat f32 vector (or batch); returns (..., n2, Ds)."""
+    if x.ndim > 1:
+        fn = lambda v: phi_all_pallas(v, gm, interpret=interpret)
+        for _ in range(x.ndim - 1):
+            fn = jax.vmap(fn)
+        return fn(x)
+    xg = x.reshape(gm.Na, gm.Nb)
+    pa = gather_rows_scaled(xg, gm.srcA, _f32(gm.sgnA), _f32(gm.tB),
+                            interpret=interpret)
+    pb = gather_rows_scaled(xg.T, gm.srcB, _f32(gm.sgnB), _f32(gm.tA),
+                            interpret=interpret)
+    phi = pa + jnp.swapaxes(pb, -1, -2)
+    return phi.reshape(gm.n2, gm.dim)
+
+
+def epq_sum_pallas(Y, gm, interpret=False):
+    """ops.grid.epq_sum on the pallas gather-reduce kernel: Y (..., n2, Ds)
+    grid-ordered -> (..., Ds), Y read once per spin component, the scaled
+    gathered intermediate never materialized."""
+    if Y.ndim > 2:
+        fn = lambda v: epq_sum_pallas(v, gm, interpret=interpret)
+        for _ in range(Y.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(Y)
+    Yg = Y.reshape(gm.n2, gm.Na, gm.Nb)
+    outA = gather_reduce(Yg, gm.srcA, _f32(gm.sgnA), _f32(gm.tB),
+                         interpret=interpret)
+    Yt = jnp.swapaxes(Yg, -1, -2)
+    outBt = gather_reduce(Yt, gm.srcB, _f32(gm.sgnB), _f32(gm.tA),
+                          interpret=interpret)
+    return (outA + outBt.T).reshape(gm.dim)
