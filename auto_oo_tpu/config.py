@@ -10,12 +10,33 @@ blocks on the MXU in f32, energy/gradient in f64 (models/oo_pqc.py;
 validated in tests/test_mixed_precision.py).
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
 
 #: Default floating point dtype for energies / integrals / parameters.
 DEFAULT_DTYPE = "float64"
+
+# Pallas DMA-gather kernels for the f32 string-grid path
+# (ops/pallas_grid.py).  Off by default until measured faster on the
+# target chip (scripts/microbench_pallas.py); enable per-process with
+# AUTO_OO_TPU_PALLAS=1 or set_pallas(True).  The kernels are f32-only,
+# so f64 operands always take the XLA grid path regardless.
+_PALLAS = os.environ.get("AUTO_OO_TPU_PALLAS", "0") not in ("0", "", "false")
+
+
+def set_pallas(enabled):
+    """Toggle the pallas grid kernels (f32 sector path) at runtime.
+    Takes effect at the next trace; already-jitted programs keep the
+    path they compiled with."""
+    global _PALLAS
+    _PALLAS = bool(enabled)
+
+
+def pallas_enabled():
+    return _PALLAS
 
 #: CODATA-2010 Bohr radius in Angstrom (matches PySCF's param.BOHR so that
 #: geometries specified in Angstrom reproduce reference energies to 1e-10 Ha).

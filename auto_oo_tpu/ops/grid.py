@@ -204,12 +204,32 @@ def _as_grid2d(x, gm):
     return x.reshape(x.shape[:-1] + (gm.Na, gm.Nb))
 
 
+def _pallas_dispatch(dtype):
+    """True when the pallas DMA-gather kernels should take this op:
+    opted in via config and an f32 operand (the kernels are f32-only).
+    On CPU they run interpreted — correct but slow, useful only for
+    pinning the dispatch path in tests."""
+    from .. import config
+
+    return config.pallas_enabled() and jnp.dtype(dtype) == jnp.float32
+
+
+def _pallas_interpret():
+    import jax as _jax
+
+    return _jax.default_backend() == "cpu"
+
+
 def phi_all(x, gm, spin=None):
     """Phi[..., pq, :] = E_pq x for all ncas^2 pairs; x and the result
     are GRID-ordered flat vectors ((..., Ds) -> (..., n2, Ds)).
 
     ``spin`` restricts to one spin component (for unrestricted 1-RDMs);
     None sums both."""
+    if spin is None and _pallas_dispatch(x.dtype):
+        from .pallas_grid import phi_all_pallas
+
+        return phi_all_pallas(x, gm, interpret=_pallas_interpret())
     xg = _as_grid2d(x, gm)
     dt = x.dtype
     parts = []
@@ -407,6 +427,10 @@ def epq_sum(Y, gm):
     Hamiltonian apply.  Y (..., n2, Ds) and the result (..., Ds) are
     grid-ordered.  Per-pair row gathers on the (Na, Nb) grid; 18-22x
     faster on chip than the flat row-specific element gathers."""
+    if _pallas_dispatch(Y.dtype):
+        from .pallas_grid import epq_sum_pallas
+
+        return epq_sum_pallas(Y, gm, interpret=_pallas_interpret())
     Yg = Y.reshape(Y.shape[:-1] + (gm.Na, gm.Nb))
     dt = Y.dtype
     rows = jnp.arange(gm.n2)[:, None]

@@ -141,15 +141,7 @@ def _f32(a):
     return a.astype(jnp.float32)
 
 
-def phi_all_pallas(x, gm, interpret=False):
-    """ops.grid.phi_all on the pallas gather kernel: both spin components
-    as row gathers (beta via the transposed grid), signs fused.  x is a
-    GRID-ordered flat f32 vector (or batch); returns (..., n2, Ds)."""
-    if x.ndim > 1:
-        fn = lambda v: phi_all_pallas(v, gm, interpret=interpret)
-        for _ in range(x.ndim - 1):
-            fn = jax.vmap(fn)
-        return fn(x)
+def _phi_impl(x, gm, interpret):
     xg = x.reshape(gm.Na, gm.Nb)
     pa = gather_rows_scaled(xg, gm.srcA, _f32(gm.sgnA), _f32(gm.tB),
                             interpret=interpret)
@@ -159,15 +151,7 @@ def phi_all_pallas(x, gm, interpret=False):
     return phi.reshape(gm.n2, gm.dim)
 
 
-def epq_sum_pallas(Y, gm, interpret=False):
-    """ops.grid.epq_sum on the pallas gather-reduce kernel: Y (..., n2, Ds)
-    grid-ordered -> (..., Ds), Y read once per spin component, the scaled
-    gathered intermediate never materialized."""
-    if Y.ndim > 2:
-        fn = lambda v: epq_sum_pallas(v, gm, interpret=interpret)
-        for _ in range(Y.ndim - 2):
-            fn = jax.vmap(fn)
-        return fn(Y)
+def _epq_impl(Y, gm, interpret):
     Yg = Y.reshape(gm.n2, gm.Na, gm.Nb)
     outA = gather_reduce(Yg, gm.srcA, _f32(gm.sgnA), _f32(gm.tB),
                          interpret=interpret)
@@ -175,3 +159,56 @@ def epq_sum_pallas(Y, gm, interpret=False):
     outBt = gather_reduce(Yt, gm.srcB, _f32(gm.sgnB), _f32(gm.tA),
                           interpret=interpret)
     return (outA + outBt.T).reshape(gm.dim)
+
+
+def _pair_transpose(n2):
+    """Static (p,q) -> (q,p) pair-index involution: E_pq^T = E_qp, so the
+    adjoints of the two grid ops are each other with pair-permuted maps."""
+    import numpy as np
+
+    ncas = int(round(n2 ** 0.5))
+    k = np.arange(n2)
+    return jnp.asarray((k % ncas) * ncas + k // ncas, jnp.int32)
+
+
+def _linear_pair(gm, interpret):
+    """(phi, epq_sum) closures with mutual custom VJPs.  Both ops are
+    linear in their tensor operand; VJP(phi)(ct) = sum_k E_k^T ct_k =
+    epq_sum(ct[perm]) and VJP(epq_sum)(g) = phi(g)[perm] with perm the
+    pair-transpose involution — so the gradient-only optimizer path
+    (jax.grad through rdms_from_state) works on the pallas kernels."""
+    perm = _pair_transpose(gm.n2)
+
+    @jax.custom_vjp
+    def phi(x):
+        return _phi_impl(x, gm, interpret)
+
+    @jax.custom_vjp
+    def esum(Y):
+        return _epq_impl(Y, gm, interpret)
+
+    phi.defvjp(lambda x: (phi(x), None),
+               lambda _, ct: (esum(ct[perm]),))
+    esum.defvjp(lambda Y: (esum(Y), None),
+                lambda _, g: (phi(g)[perm],))
+    return phi, esum
+
+
+def phi_all_pallas(x, gm, interpret=False):
+    """ops.grid.phi_all on the pallas gather kernel: both spin components
+    as row gathers (beta via the transposed grid), signs fused.  x is a
+    GRID-ordered flat f32 vector (or batch); returns (..., n2, Ds)."""
+    fn, _ = _linear_pair(gm, interpret)
+    for _ in range(x.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(x)
+
+
+def epq_sum_pallas(Y, gm, interpret=False):
+    """ops.grid.epq_sum on the pallas gather-reduce kernel: Y (..., n2, Ds)
+    grid-ordered -> (..., Ds), Y read once per spin component, the scaled
+    gathered intermediate never materialized."""
+    _, fn = _linear_pair(gm, interpret)
+    for _ in range(Y.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(Y)

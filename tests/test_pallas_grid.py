@@ -78,6 +78,61 @@ def test_gather_rows_partial_block():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-6)
 
 
+def test_linearity_vjps():
+    """The mutual custom VJPs (E_pq^T = E_qp pair transpose) match AD
+    through the XLA grid kernels — the gradient-only optimizer path."""
+    import jax
+
+    gm = _maps(3, 2)
+    x = _rand((gm.dim,), seed=5)
+    w = _rand((gm.n2, gm.dim), seed=6)
+
+    def loss_pallas(v):
+        return jnp.sum(phi_all_pallas(v, gm, interpret=True) * w)
+
+    def loss_ref(v):
+        return jnp.sum(grid.phi_all(v, gm) * w)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_pallas)(x)),
+                               np.asarray(jax.grad(loss_ref)(x)),
+                               rtol=0, atol=1e-5)
+
+    g = _rand((gm.dim,), seed=7)
+    Y = _rand((gm.n2, gm.dim), seed=8)
+
+    def sloss_pallas(v):
+        return jnp.sum(epq_sum_pallas(v, gm, interpret=True) * g)
+
+    def sloss_ref(v):
+        return jnp.sum(grid.epq_sum(v, gm) * g)
+
+    np.testing.assert_allclose(np.asarray(jax.grad(sloss_pallas)(Y)),
+                               np.asarray(jax.grad(sloss_ref)(Y)),
+                               rtol=0, atol=1e-5)
+
+
+def test_config_dispatch():
+    """config.set_pallas routes the f32 grid ops through the pallas
+    kernels (interpreted on CPU) and leaves f64 on the XLA path."""
+    from auto_oo_tpu import config
+
+    gm = _maps(3, 2)
+    x32 = _rand((gm.dim,), seed=9)
+    x64 = x32.astype(jnp.float64)
+    ref32 = grid.phi_all(x32, gm)
+    ref64 = grid.phi_all(x64, gm)
+    config.set_pallas(True)
+    try:
+        out32 = grid.phi_all(x32, gm)
+        out64 = grid.phi_all(x64, gm)
+    finally:
+        config.set_pallas(False)
+    np.testing.assert_allclose(np.asarray(out32), np.asarray(ref32),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out64), np.asarray(ref64),
+                               rtol=0, atol=0)
+
+
 def test_gather_reduce_partial_block():
     rng = np.random.default_rng(8)
     ns, na, nb, n2 = 9, 13, 17, 5
