@@ -220,16 +220,26 @@ def _pallas_interpret():
     return _jax.default_backend() == "cpu"
 
 
-def phi_all(x, gm, spin=None):
+def phi_all(x, gm, spin=None, full_pairs=True):
     """Phi[..., pq, :] = E_pq x for all ncas^2 pairs; x and the result
     are GRID-ordered flat vectors ((..., Ds) -> (..., n2, Ds)).
 
     ``spin`` restricts to one spin component (for unrestricted 1-RDMs);
-    None sums both."""
+    None sums both.  ``full_pairs=False`` marks pair_slice'd maps (the
+    streamed kernels): the pallas path then derives its VJP from the XLA
+    kernels instead of the pair-transpose identity, which only holds for
+    the full square pair set."""
     if spin is None and _pallas_dispatch(x.dtype):
         from .pallas_grid import phi_all_pallas
 
-        return phi_all_pallas(x, gm, interpret=_pallas_interpret())
+        return phi_all_pallas(x, gm, interpret=_pallas_interpret(),
+                              full_pairs=full_pairs)
+    return _phi_all_xla(x, gm, spin)
+
+
+def _phi_all_xla(x, gm, spin=None):
+    """XLA gather implementation of phi_all (also the adjoint oracle for
+    the pallas path on sliced maps)."""
     xg = _as_grid2d(x, gm)
     dt = x.dtype
     parts = []
@@ -287,10 +297,12 @@ def ham_apply_chunked(c1eff_flat, C2, x, gm, chunk):
         Y = c1eff_flat[lo:hi][None, :, None] * x[:, None, :]
         for lo2 in range(0, n2, chunk):
             hi2 = min(n2, lo2 + chunk)
-            phi_c = phi_all(x, pair_slice(gm, lo2, hi2))
+            phi_c = phi_all(x, pair_slice(gm, lo2, hi2),
+                            full_pairs=False)
             Y = Y + _rdms_mod().small_matmul_free_last(
                 C2[lo:hi, lo2:hi2], phi_c)
-        out = out + epq_sum(Y, pair_slice(gm, lo, hi))
+        out = out + epq_sum(Y, pair_slice(gm, lo, hi),
+                            full_pairs=False)
     return out
 
 
@@ -311,12 +323,13 @@ def rdms_chunked(psi, gm, ncas, chunk):
     corr = jnp.zeros((n2, n2), dtype=rdt)
     for lo in range(0, n2, chunk):
         hi = min(n2, lo + chunk)
-        phi_a = phi_all(psi, pair_slice(gm, lo, hi))
+        phi_a = phi_all(psi, pair_slice(gm, lo, hi), full_pairs=False)
         gamma_rows.append(jnp.real(phi_a @ bra))
         for lo2 in range(0, n2, chunk):
             hi2 = min(n2, lo2 + chunk)
             phi_b = (phi_a if lo2 == lo
-                     else phi_all(psi, pair_slice(gm, lo2, hi2)))
+                     else phi_all(psi, pair_slice(gm, lo2, hi2),
+                                  full_pairs=False))
             blk = jnp.real(gram(jnp.conj(phi_a), phi_b))
             corr = jax.lax.dynamic_update_slice(corr, blk, (lo, lo2))
     gamma = jnp.concatenate(gamma_rows).reshape(ncas, ncas)
@@ -338,6 +351,17 @@ def phi_rows(x, gm, r0, r1):
     of the SAME row i.  This is what makes D-axis streaming one-pass,
     unlike the pair-axis streaming of ham_apply_chunked which rebuilds
     Phi blocks O(n2/chunk) times."""
+    if _pallas_dispatch(x.dtype):
+        from .pallas_grid import phi_rows_pallas
+
+        return phi_rows_pallas(x, gm, r0, r1,
+                               interpret=_pallas_interpret())
+    return _phi_rows_xla(x, gm, r0, r1)
+
+
+def _phi_rows_xla(x, gm, r0, r1):
+    """XLA gather implementation of phi_rows (adjoint oracle for the
+    pallas path)."""
     xg = _as_grid2d(x, gm)
     dt = x.dtype
     pa = (xg[..., gm.srcA[:, r0:r1], :]
@@ -393,7 +417,8 @@ def ham_apply_rows(c1eff_flat, C2, x, gm, row_chunk, pair_block=None):
                 + c1x[lo:hi, None, None] * xg[..., None, r0:r1, :])
         Y = jnp.concatenate(parts, axis=-2)       # (..., blk, Na, Nb)
         Y = Y.reshape(x.shape[:-1] + (hi - lo, gm.dim))
-        out = out + epq_sum(Y, pair_slice(gm, lo, hi))
+        out = out + epq_sum(Y, pair_slice(gm, lo, hi),
+                            full_pairs=False)
     return out
 
 
@@ -422,15 +447,23 @@ def rdms_rows(psi, gm, ncas, row_chunk):
     return gamma, Gamma
 
 
-def epq_sum(Y, gm):
+def epq_sum(Y, gm, full_pairs=True):
     """out = sum_pq E_pq Y[..., pq, :] — the reduction half of the
     Hamiltonian apply.  Y (..., n2, Ds) and the result (..., Ds) are
     grid-ordered.  Per-pair row gathers on the (Na, Nb) grid; 18-22x
-    faster on chip than the flat row-specific element gathers."""
+    faster on chip than the flat row-specific element gathers.
+    ``full_pairs`` as in phi_all."""
     if _pallas_dispatch(Y.dtype):
         from .pallas_grid import epq_sum_pallas
 
-        return epq_sum_pallas(Y, gm, interpret=_pallas_interpret())
+        return epq_sum_pallas(Y, gm, interpret=_pallas_interpret(),
+                              full_pairs=full_pairs)
+    return _epq_sum_xla(Y, gm)
+
+
+def _epq_sum_xla(Y, gm):
+    """XLA gather implementation of epq_sum (adjoint oracle for the
+    pallas path on sliced maps)."""
     Yg = Y.reshape(Y.shape[:-1] + (gm.Na, gm.Nb))
     dt = Y.dtype
     rows = jnp.arange(gm.n2)[:, None]

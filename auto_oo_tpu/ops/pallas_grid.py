@@ -171,13 +171,27 @@ def _pair_transpose(n2):
     return jnp.asarray((k % ncas) * ncas + k // ncas, jnp.int32)
 
 
-def _linear_pair(gm, interpret):
-    """(phi, epq_sum) closures with mutual custom VJPs.  Both ops are
-    linear in their tensor operand; VJP(phi)(ct) = sum_k E_k^T ct_k =
+def _xla_vjp(xla_fn, operand_sd):
+    """Backward of a LINEAR op derived from its XLA implementation
+    (correct for any pair subset; the base point is irrelevant)."""
+    def bwd(_, ct):
+        zero = jnp.zeros(operand_sd.shape, operand_sd.dtype)
+        return (jax.vjp(xla_fn, zero)[1](ct)[0],)
+
+    return bwd
+
+
+def _linear_pair(gm, interpret, full_pairs=True):
+    """(phi, epq_sum) closures with custom VJPs, so the gradient-only
+    optimizer path (jax.grad through rdms_from_state) works on the
+    pallas kernels.  Both ops are linear in their tensor operand; for
+    the FULL square pair set, VJP(phi)(ct) = sum_k E_k^T ct_k =
     epq_sum(ct[perm]) and VJP(epq_sum)(g) = phi(g)[perm] with perm the
-    pair-transpose involution — so the gradient-only optimizer path
-    (jax.grad through rdms_from_state) works on the pallas kernels."""
-    perm = _pair_transpose(gm.n2)
+    pair-transpose involution (E_pq^T = E_qp) — the backward then also
+    runs the pallas kernels.  For pair_slice'd maps (full_pairs=False)
+    the involution does not hold and the backward is derived from the
+    XLA grid kernels instead."""
+    from . import grid as _grid
 
     @jax.custom_vjp
     def phi(x):
@@ -187,28 +201,71 @@ def _linear_pair(gm, interpret):
     def esum(Y):
         return _epq_impl(Y, gm, interpret)
 
-    phi.defvjp(lambda x: (phi(x), None),
-               lambda _, ct: (esum(ct[perm]),))
-    esum.defvjp(lambda Y: (esum(Y), None),
-                lambda _, g: (phi(g)[perm],))
+    if full_pairs:
+        perm = _pair_transpose(gm.n2)
+        phi.defvjp(lambda x: (phi(x), None),
+                   lambda _, ct: (esum(ct[perm]),))
+        esum.defvjp(lambda Y: (esum(Y), None),
+                    lambda _, g: (phi(g)[perm],))
+    else:
+        x_sd = jax.ShapeDtypeStruct((gm.dim,), jnp.float32)
+        y_sd = jax.ShapeDtypeStruct((gm.n2, gm.dim), jnp.float32)
+        phi.defvjp(
+            lambda x: (phi(x), None),
+            _xla_vjp(lambda v: _grid._phi_all_xla(v, gm), x_sd))
+        esum.defvjp(
+            lambda Y: (esum(Y), None),
+            _xla_vjp(lambda v: _grid._epq_sum_xla(v, gm), y_sd))
     return phi, esum
 
 
-def phi_all_pallas(x, gm, interpret=False):
+def phi_rows_pallas(x, gm, r0, r1, interpret=False):
+    """ops.grid.phi_rows on the pallas gather kernel: the (n2, rows, Nb)
+    block of E_pq x for grid A-rows [r0, r1).  The alpha part gathers
+    full rows of x with row-sliced tables; the beta part gathers rows of
+    the transposed row block (the lane gather of the XLA version becomes
+    a row gather after one small (rows, Nb) transpose).  Linear; VJP
+    derived from the XLA implementation (scatter-add adjoint)."""
+    from . import grid as _grid
+
+    if x.ndim > 1:
+        fn = lambda v: phi_rows_pallas(v, gm, r0, r1, interpret=interpret)
+        for _ in range(x.ndim - 1):
+            fn = jax.vmap(fn)
+        return fn(x)
+
+    @jax.custom_vjp
+    def f(v):
+        vg = v.reshape(gm.Na, gm.Nb)
+        pa = gather_rows_scaled(vg, gm.srcA[:, r0:r1],
+                                _f32(gm.sgnA[:, r0:r1]), _f32(gm.tB),
+                                interpret=interpret)
+        zT = vg[r0:r1, :].T
+        pb = gather_rows_scaled(zT, gm.srcB, _f32(gm.sgnB),
+                                _f32(gm.tA[:, r0:r1]), interpret=interpret)
+        return pa + jnp.swapaxes(pb, -1, -2)
+
+    x_sd = jax.ShapeDtypeStruct((gm.dim,), jnp.float32)
+    f.defvjp(lambda v: (f(v), None),
+             _xla_vjp(lambda v: _grid._phi_rows_xla(v, gm, r0, r1), x_sd))
+    return f(x)
+
+
+def phi_all_pallas(x, gm, interpret=False, full_pairs=True):
     """ops.grid.phi_all on the pallas gather kernel: both spin components
     as row gathers (beta via the transposed grid), signs fused.  x is a
     GRID-ordered flat f32 vector (or batch); returns (..., n2, Ds)."""
-    fn, _ = _linear_pair(gm, interpret)
+    fn, _ = _linear_pair(gm, interpret, full_pairs)
     for _ in range(x.ndim - 1):
         fn = jax.vmap(fn)
     return fn(x)
 
 
-def epq_sum_pallas(Y, gm, interpret=False):
+def epq_sum_pallas(Y, gm, interpret=False, full_pairs=True):
     """ops.grid.epq_sum on the pallas gather-reduce kernel: Y (..., n2, Ds)
     grid-ordered -> (..., Ds), Y read once per spin component, the scaled
     gathered intermediate never materialized."""
-    _, fn = _linear_pair(gm, interpret)
+    _, fn = _linear_pair(gm, interpret, full_pairs)
     for _ in range(Y.ndim - 2):
         fn = jax.vmap(fn)
     return fn(Y)

@@ -63,6 +63,35 @@ def test_epq_sum_batched():
                                rtol=0, atol=1e-5)
 
 
+def test_nr_core_with_pallas_flag():
+    """Mixed-precision sector grad+Hessian with the pallas kernels
+    enabled (interpreted on CPU) matches the XLA grid path — the f32
+    Hessian stages dispatch to pallas, the f64 energy/gradient stay XLA."""
+    from auto_oo_tpu import config
+    from auto_oo_tpu.moldata import Moldata
+    from auto_oo_tpu.utils.misc import get_formal_geo
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(3, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 3, 4, freeze_active=True, precision="mixed")
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    e_r, g_r, h_r = oo._grad_hess_jit(theta, oo.oao_mo_coeff)
+    config.set_pallas(True)
+    try:
+        oo2 = OO_pqc(pqc, mol, 3, 4, freeze_active=True,
+                     precision="mixed")
+        e_p, g_p, h_p = oo2._grad_hess_jit(theta, oo2.oao_mo_coeff)
+    finally:
+        config.set_pallas(False)
+    assert abs(float(e_p) - float(e_r)) < 1e-12
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=0, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r),
+                               rtol=0, atol=1e-5)
+
+
 def test_gather_rows_partial_block():
     """Na not a multiple of the row-block size: clipped DMAs, dropped
     out-of-bounds writes."""
@@ -108,6 +137,62 @@ def test_linearity_vjps():
 
     np.testing.assert_allclose(np.asarray(jax.grad(sloss_pallas)(Y)),
                                np.asarray(jax.grad(sloss_ref)(Y)),
+                               rtol=0, atol=1e-5)
+
+
+def test_sliced_maps_vjp():
+    """pair_slice'd maps: forward on the pallas kernels, backward via
+    the XLA adjoint (the pair-transpose identity does not hold for a
+    pair subset)."""
+    import jax
+
+    gm = _maps(3, 2)
+    sl = grid.pair_slice(gm, 2, 7)
+    x = _rand((gm.dim,), seed=11)
+    w = _rand((5, gm.dim), seed=12)
+    out = phi_all_pallas(x, sl, interpret=True, full_pairs=False)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(grid.phi_all(x, sl)),
+                               rtol=0, atol=1e-6)
+    g_p = jax.grad(lambda v: jnp.sum(
+        phi_all_pallas(v, sl, interpret=True, full_pairs=False) * w))(x)
+    g_r = jax.grad(lambda v: jnp.sum(grid.phi_all(v, sl) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
+                               rtol=0, atol=1e-5)
+
+    Y = _rand((5, gm.dim), seed=13)
+    gv = _rand((gm.dim,), seed=14)
+    s_p = jax.grad(lambda v: jnp.sum(
+        epq_sum_pallas(v, sl, interpret=True, full_pairs=False) * gv))(Y)
+    s_r = jax.grad(lambda v: jnp.sum(grid.epq_sum(v, sl) * gv))(Y)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_r),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("ncas,nelecas,r0,r1", [
+    (3, 4, 0, 3), (4, 4, 2, 6), (4, (3, 1), 1, 4)])
+def test_phi_rows_matches_grid(ncas, nelecas, r0, r1):
+    from auto_oo_tpu.ops.pallas_grid import phi_rows_pallas
+
+    gm = _maps(ncas, nelecas)
+    x = _rand((gm.dim,), seed=15)
+    ref = grid.phi_rows(x, gm, r0, r1)
+    out = phi_rows_pallas(x, gm, r0, r1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=1e-6)
+
+    # batched + VJP (gradient through streamed RDMs)
+    import jax
+
+    xb = _rand((2, gm.dim), seed=16)
+    np.testing.assert_allclose(
+        np.asarray(phi_rows_pallas(xb, gm, r0, r1, interpret=True)),
+        np.asarray(grid.phi_rows(xb, gm, r0, r1)), rtol=0, atol=1e-6)
+    w = _rand((gm.n2, r1 - r0, gm.Nb), seed=17)
+    g_p = jax.grad(lambda v: jnp.sum(
+        phi_rows_pallas(v, gm, r0, r1, interpret=True) * w))(x)
+    g_r = jax.grad(lambda v: jnp.sum(grid.phi_rows(v, gm, r0, r1) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
                                rtol=0, atol=1e-5)
 
 
