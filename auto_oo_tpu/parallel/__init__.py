@@ -3,11 +3,12 @@ from .sharding import (make_mesh, sharded_full_hessian_fn,
                        GeometryBatch)
 from .statevector import (sharded_state_fn, sharded_rdms_fn,
                           sharded_int2e_transform_fn, sharded_energy_fn)
-from .grid_sharded import row_sharded_sector_fns
+from .grid_sharded import (row_sharded_sector_fns,
+                           row_sharded_gradient_optimization)
 from .distributed import initialize_distributed, global_mesh
 
 __all__ = ["make_mesh", "sharded_full_hessian_fn", "sharded_grad_hess_fn",
            "sharded_nr_step_fn", "GeometryBatch", "sharded_state_fn",
            "sharded_rdms_fn", "sharded_int2e_transform_fn",
-           "sharded_energy_fn", "row_sharded_sector_fns",
+           "sharded_energy_fn", "row_sharded_sector_fns", "row_sharded_gradient_optimization",
            "initialize_distributed", "global_mesh"]

@@ -219,10 +219,18 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
     # on the mesh.
     if getattr(pqc, "grid_program", None) is not None:
         gates_dev = jax.device_put(pqc.grid_program.device_tables(), repl)
+        sh_flat = NamedSharding(mesh, P(axis))
 
         def _state_grid(theta, gates):
-            return pqc.grid_program.apply(
-                pqc._expand_theta(jnp.ravel(theta)), tables=gates)
+            # the state build itself is GSPMD-partitioned over the flat
+            # grid vector (alpha gates become row exchanges, beta gates
+            # stay local) — per-device state memory is D/n_dev, so even
+            # the state never needs one device's full HBM
+            psi0 = jax.lax.with_sharding_constraint(
+                pqc.grid_program.initial_state(jnp.float64), sh_flat)
+            out = pqc.grid_program.apply(
+                pqc._expand_theta(jnp.ravel(theta)), psi0, tables=gates)
+            return jax.lax.with_sharding_constraint(out, sh_flat)
 
         def _ham_grid_padded(c1f, C2, xg_pad, t):
             return jax.shard_map(
@@ -252,4 +260,70 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
         fns["energy_gradient"] = lambda c0, c1eff, c2, theta: eg_jit(
             c0, c1eff, c2, theta, gates_dev, t_dev)
 
+        def state(theta, gates, s2g_):
+            return _state_grid(theta, gates)[s2g_]
+
+        state_jit = jax.jit(state, out_shardings=repl)
+        fns["state"] = lambda theta: state_jit(theta, gates_dev, s2g)
+
     return fns
+
+
+def row_sharded_gradient_optimization(oo, mesh, axis="tp",
+                                      theta_init=None, max_iterations=200,
+                                      learning_rate=0.05, conv_tol=1e-8,
+                                      orbital_every=10, orbital_kwargs=None,
+                                      verbose=0, monitor=None,
+                                      optimizer=None):
+    """OO_pqc.gradient_optimization with every large-D stage on the
+    mesh: the two-step first-order OO-VQE (optax on theta, damped-Newton
+    orbital relaxation at the current RDMs every ``orbital_every``
+    steps) where the state build, the Hamiltonian apply, the circuit
+    gradient VJP and the RDM extraction all run row-sharded
+    (row_sharded_sector_fns).  The orbital stages stay nao-space (cheap
+    at any D).  Returns (energy_l, theta); oo.oao_mo_coeff is updated in
+    place exactly as the single-device driver does."""
+    import optax
+
+    from ..ops import hamiltonian as _ham
+
+    eng = row_sharded_sector_fns(oo.pqc, mesh, axis)
+    if "energy_gradient" not in eng:
+        raise ValueError("row-sharded gradient optimization needs a "
+                         "grid gate program (sector=True circuit)")
+    theta = (oo.pqc.init_zeros() if theta_init is None
+             else jnp.asarray(theta_init))
+    opt = optax.adam(learning_rate) if optimizer is None else optimizer
+    opt_state = opt.init(theta)
+    orbital_kwargs = dict(orbital_kwargs or {})
+    orbital_kwargs.setdefault("max_iterations", 20)
+    orbital_kwargs.setdefault("verbose", 0)
+    energy_l = []
+    for n in range(max_iterations):
+        c0, c1, c2 = oo.get_active_integrals(oo.mo_coeff)
+        c1eff = _ham.c1_effective(c1, c2)
+        e, grad_c = eng["energy_gradient"](c0, c1eff, c2, theta)
+        energy_l.append(float(e))
+        if monitor is not None:
+            monitor.log(n, energy_l[-1])
+        if verbose:
+            print(f"iter = {n:03}, energy = {energy_l[-1]:.12f}",
+                  flush=True)
+        relax = (orbital_every and (n + 1) % orbital_every == 0
+                 and oo.n_kappa)
+        if relax:
+            # RDMs at the PRE-update theta — the same point the gradient
+            # was evaluated at (matches OO_pqc.gradient_optimization,
+            # which relaxes on the RDMs returned WITH the gradient)
+            g1, G2 = eng["rdms"](eng["state"](theta))
+        updates, opt_state = opt.update(grad_c, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        if relax:
+            orb_l = oo.orbital_optimization(g1, G2, **orbital_kwargs)
+            if orb_l and verbose:
+                print(f"  orbital relaxation -> {orb_l[-1]:.12f}",
+                      flush=True)
+        if n > 2 and abs(energy_l[-1] - energy_l[-2]) < conv_tol \
+                and abs(energy_l[-2] - energy_l[-3]) < conv_tol:
+            break
+    return energy_l, theta

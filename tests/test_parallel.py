@@ -262,6 +262,34 @@ def test_row_sharded_sector_engine(ncas, nelecas):
     assert abs(float(e0) - e_ref) < 1e-12
     assert np.allclose(np.asarray(grad), np.asarray(g_ref), atol=1e-10)
 
+    # the GSPMD-partitioned state build itself is bit-exact
+    assert np.allclose(np.asarray(eng["state"](theta)), np.asarray(psi),
+                       atol=0)
+
+
+def test_row_sharded_gradient_optimization():
+    """The mesh-wide first-order OO-VQE driver tracks the single-device
+    gradient_optimization trajectory (short horizon: psum reduction
+    order perturbs gradients at 1e-15, which optax trajectories amplify
+    over long runs — both descend to the same minimum)."""
+    from auto_oo_tpu.parallel import row_sharded_gradient_optimization
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4)
+    e_l, theta = row_sharded_gradient_optimization(
+        oo, mesh, max_iterations=8, learning_rate=0.05, orbital_every=5,
+        verbose=0)
+    oo2 = OO_pqc(pqc, mol, 4, 4)
+    e_ref, _ = oo2.gradient_optimization(
+        pqc.init_zeros(), max_iterations=8, learning_rate=0.05,
+        orbital_every=5, verbose=0)
+    assert len(e_l) == len(e_ref)
+    assert max(abs(a - b) for a, b in zip(e_l, e_ref)) < 1e-8
+    assert e_l[-1] < e_l[0]
+
 
 def test_sharded_statevector_equals_single_device(setup):
     """Statevector sharded over the 8-device mesh equals the single-device
