@@ -78,6 +78,14 @@ def _padded_tables(gm, n_dev, dtype):
     }, Na_pad
 
 
+def _slice_rows(t, r0, r1):
+    """Row-axis sub-slice of a device's local tables (static bounds)."""
+    out = dict(t)
+    for k in ("srcA", "sgnA", "tA", "dstA", "dsgnA"):
+        out[k] = t[k][:, r0:r1]
+    return out
+
+
 def _local_phi(x_full, x_loc, t):
     """Phi for this device's row slab: (n2, rows, Nb).  Alpha gathers
     global rows of the all-gathered x; beta is a row gather of the local
@@ -90,24 +98,39 @@ def _local_phi(x_full, x_loc, t):
     return pa + jnp.swapaxes(pbT, -1, -2)
 
 
-def _local_epq_sum(Y, t, axis, Na_pad):
-    """sum_pq E_pq Y over the mesh: beta half local (transpose + row
-    gather of the local slab), alpha half scattered through the inverse
-    maps into a full-height accumulator and reduced with ONE
-    psum_scatter."""
+# per-device ceiling on the materialized (n2, rows, Nb) Phi/Y blocks:
+# above it the local row slab is streamed in sub-chunks (static python
+# loop, one full gather pass — the ops/grid.py D-axis streaming pattern
+# applied per device).  1 GB keeps the (16e,16o) engine inside a v5e's
+# HBM: per device the resident set is then x_full + the (Na_pad, Nb)
+# alpha accumulator + one bounded block.
+_LOCAL_BLOCK_BYTES = 1 << 30
+
+
+def _local_row_chunk(n2, rows, nb, itemsize):
+    per_row = n2 * nb * itemsize
+    if rows * per_row <= _LOCAL_BLOCK_BYTES:
+        return rows
+    return max(1, int(_LOCAL_BLOCK_BYTES // per_row))
+
+
+def _beta_reduce(Y, t):
+    """Row-local beta half of sum_pq E_pq Y for a (n2, rows, Nb) block:
+    transpose + row gather of the block (lane work on-device)."""
     n2 = Y.shape[0]
     rows2 = jnp.arange(n2)[:, None]
     Yt = jnp.swapaxes(Y, -1, -2)                      # (n2, Nb, rows)
     Gb = Yt[rows2, t["srcB"], :]
     outBt = jnp.sum(Gb * t["sgnB"][:, :, None] * t["tA"][:, None, :],
                     axis=0)                           # (Nb, rows)
-    out_loc = outBt.T
+    return outBt.T
+
+
+def _alpha_scatter(acc, Y, t):
+    """Scatter a (n2, rows, Nb) Y block's alpha contributions through
+    the inverse row maps into the full-height accumulator."""
     contrib = Y * t["dsgnA"][:, :, None] * t["tB"][:, None, :]
-    full = jnp.zeros((Na_pad, Y.shape[-1]), Y.dtype)
-    full = full.at[t["dstA"]].add(contrib)
-    out_loc = out_loc + jax.lax.psum_scatter(
-        full, axis, scatter_dimension=0, tiled=True)
-    return out_loc
+    return acc.at[t["dstA"]].add(contrib)
 
 
 def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
@@ -146,15 +169,24 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
         xg = psi[g2s_].reshape(Na, Nb)
         return jnp.pad(xg, ((0, Na_pad - Na), (0, 0)))
 
+    rows_loc = Na_pad // n_dev
+    itemsize = jnp.dtype(dtype).itemsize
+    row_chunk = _local_row_chunk(n2, rows_loc, Nb, itemsize)
+
     # ---- RDMs ----------------------------------------------------------
     def _rdms_local(x_pad, t):
         x_full = jax.lax.all_gather(x_pad, axis, tiled=True)
-        phi = _local_phi(x_full, x_pad, t)
-        phi_f = phi.reshape(n2, -1)
-        gamma_p = phi_f @ jnp.conj(x_pad.reshape(-1))
-        corr_p = jnp.conj(phi_f) @ phi_f.T
-        return (jax.lax.psum(jnp.real(gamma_p), axis),
-                jax.lax.psum(jnp.real(corr_p), axis))
+        gamma_p = jnp.zeros((n2,), dtype)
+        corr_p = jnp.zeros((n2, n2), dtype)
+        for r0 in range(0, rows_loc, row_chunk):
+            r1 = min(rows_loc, r0 + row_chunk)
+            ts = _slice_rows(t, r0, r1)
+            phi_c = _local_phi(x_full, x_pad[r0:r1], ts).reshape(n2, -1)
+            gamma_p = gamma_p + jnp.real(
+                phi_c @ jnp.conj(x_pad[r0:r1].reshape(-1)))
+            corr_p = corr_p + jnp.real(jnp.conj(phi_c) @ phi_c.T)
+        return (jax.lax.psum(gamma_p, axis),
+                jax.lax.psum(corr_p, axis))
 
     def rdms(psi, g2s_, t):
         x = jax.lax.with_sharding_constraint(
@@ -176,10 +208,20 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
     # ---- Hamiltonian apply / energy ------------------------------------
     def _ham_local(c1f, C2, x_pad, t):
         x_full = jax.lax.all_gather(x_pad, axis, tiled=True)
-        phi = _local_phi(x_full, x_pad, t)
-        Y = (jnp.einsum("pr,rij->pij", C2, phi)
-             + c1f[:, None, None] * x_pad[None])
-        return _local_epq_sum(Y, t, axis, Na_pad)
+        beta_parts = []
+        acc = jnp.zeros((Na_pad, Nb), dtype)
+        for r0 in range(0, rows_loc, row_chunk):
+            r1 = min(rows_loc, r0 + row_chunk)
+            ts = _slice_rows(t, r0, r1)
+            phi_c = _local_phi(x_full, x_pad[r0:r1], ts)
+            Y_c = (jnp.einsum("pr,rij->pij", C2, phi_c)
+                   + c1f[:, None, None] * x_pad[None, r0:r1])
+            beta_parts.append(_beta_reduce(Y_c, ts))
+            acc = _alpha_scatter(acc, Y_c, ts)
+        out_loc = (beta_parts[0] if len(beta_parts) == 1
+                   else jnp.concatenate(beta_parts, axis=0))
+        return out_loc + jax.lax.psum_scatter(
+            acc, axis, scatter_dimension=0, tiled=True)
 
     def ham_apply(c1eff, c2, psi, g2s_, s2g_, t):
         c1f = c1eff.reshape(n2).astype(dtype)

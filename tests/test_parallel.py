@@ -267,6 +267,40 @@ def test_row_sharded_sector_engine(ncas, nelecas):
                        atol=0)
 
 
+def test_row_sharded_streamed_chunks():
+    """A tiny per-device block budget forces the row-slab sub-chunk
+    streaming (the (16e,16o) memory regime): results must stay equal."""
+    from auto_oo_tpu.parallel import grid_sharded as gs
+    from auto_oo_tpu.ops import hamiltonian as _ham
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = 0.07 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    psi = pqc.state(theta)
+    c0, c1, c2 = oo.get_active_integrals(oo.mo_coeff)
+    c1eff = _ham.c1_effective(c1, c2)
+
+    saved = gs._LOCAL_BLOCK_BYTES
+    gs._LOCAL_BLOCK_BYTES = 1024          # ~1 row per chunk
+    try:
+        eng = gs.row_sharded_sector_fns(pqc, mesh, axis="tp")
+        g_s, G_s = eng["rdms"](psi)
+        h_s = eng["ham_apply"](c1eff, c2, psi)
+    finally:
+        gs._LOCAL_BLOCK_BYTES = saved
+    g_r, G_r = pqc.get_rdms_from_state(psi)
+    assert np.allclose(np.asarray(g_s), np.asarray(g_r), atol=1e-13)
+    assert np.allclose(np.asarray(G_s), np.asarray(G_r), atol=1e-13)
+    from auto_oo_tpu.ops.grid import to_grid, from_grid
+    gm = pqc.sector_maps
+    h_ref = from_grid(
+        _ham.ham_apply(c1eff, c2, to_grid(psi, gm), 4, False, gm), gm)
+    assert np.allclose(np.asarray(h_s), np.asarray(h_ref), atol=1e-12)
+
+
 def test_row_sharded_gradient_optimization():
     """The mesh-wide first-order OO-VQE driver tracks the single-device
     gradient_optimization trajectory (short horizon: psum reduction
