@@ -56,21 +56,27 @@ def _stats(times):
 
 def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
                   basis="sto-3g", sync_per_program=False,
-                  precision="f64"):
+                  precision="f64", pallas=False):
     """Time NR iterations; returns (stats, compile_s, energy, flop_info).
 
     sync_per_program=True inserts a block_until_ready between the two NR
     programs (grad_hess, then update) — the controlled experiment from
     BASELINE.md: back-to-back async dispatch through the remote-device
     link occasionally stalls 0.5-1 s, while synced dispatch is flat.
+
+    pallas=True routes the f32 grid gathers through the DMA kernels
+    (ops/pallas_grid.py) for the duration of this tier — the A/B against
+    XLA's gather lowering; only meaningful with precision='mixed'.
     """
     import jax
     import jax.numpy as jnp
 
-    from auto_oo_tpu import Moldata, get_formal_geo
+    from auto_oo_tpu import Moldata, get_formal_geo, config
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
     from auto_oo_tpu.utils import flops as _flops
 
+    if pallas:
+        config.set_pallas(True)
     t0 = time.time()
     # one trivial executable first: the first compile+load on a fresh
     # device session carries tens of seconds of one-time warmup that is
@@ -126,6 +132,8 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
         s2 = float(pqc.s2_expectation(th))
         flop_info["s2_final"] = round(s2, 10)
         assert abs(s2) < 1e-6, f"spin contamination: <S^2> = {s2}"
+    if pallas:
+        config.set_pallas(False)
     return st, compile_s, float(energy), flop_info
 
 
@@ -178,6 +186,8 @@ def main():
             extra[f"flops_{label}"] = f
         except Exception as exc:
             log(f"{label} tier skipped: {exc}")
+            from auto_oo_tpu import config
+            config.set_pallas(False)    # never leak into later tiers
 
     tier("4e3o", 3, 4, 1)
     # (8e,8o): full space (the reference architecture's ceiling) AND the
@@ -195,6 +205,12 @@ def main():
     # is higher than printed.
     tier("10e10o_sector_mixed", 10, 10, 2, n_iters=3, sector=True,
          precision="mixed")
+    # pallas-kernel variant of the mixed tier: the f32 grid gathers run
+    # through the DMA kernels (ops/pallas_grid.py) — the A/B against
+    # XLA's gather lowering; logs 'tier skipped' if Mosaic lowering is
+    # unavailable on this backend
+    tier("10e10o_sector_mixed_pallas", 10, 10, 2, n_iters=3, sector=True,
+         precision="mixed", pallas=True)
     # synced-dispatch variant of the same tier: per-program
     # block_until_ready removes the async-dispatch stalls of the remote
     # device link (BASELINE.md variance diagnosis), so ratio_max_min on
