@@ -24,7 +24,8 @@ DEFAULT_DTYPE = "float64"
 # target chip (scripts/microbench_pallas.py); enable per-process with
 # AUTO_OO_TPU_PALLAS=1 or set_pallas(True).  The kernels are f32-only,
 # so f64 operands always take the XLA grid path regardless.
-_PALLAS = os.environ.get("AUTO_OO_TPU_PALLAS", "0") not in ("0", "", "false")
+_PALLAS = os.environ.get("AUTO_OO_TPU_PALLAS", "").strip().lower() in (
+    "1", "true", "yes", "on")
 
 
 def set_pallas(enabled):

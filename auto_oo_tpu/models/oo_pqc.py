@@ -741,8 +741,14 @@ def _nr_core_for(pqc, nao, occ, act, params_idx, mesh=None,
                  tangent_axis="tp", state_axis=None, newton_method=None,
                  precision="f64"):
     """Spec-keyed cache of compiled cores, stored on the (shared) pqc."""
+    from .. import config
+
+    # the pallas toggle changes what the traced programs contain, so it
+    # must be part of the cache key — otherwise set_pallas after a core
+    # was built silently keeps serving the old path
     key = (nao, tuple(occ), tuple(act), tuple(int(i) for i in params_idx),
-           mesh, tangent_axis, state_axis, newton_method, precision)
+           mesh, tangent_axis, state_axis, newton_method, precision,
+           config.pallas_enabled())
     cache = getattr(pqc, "_nr_core_cache", None)
     if cache is None:
         cache = pqc._nr_core_cache = {}
@@ -890,7 +896,7 @@ class OO_pqc(OO_energy):
                               learning_rate=0.05, conv_tol=1e-8,
                               orbital_every=10, orbital_kwargs=None,
                               verbose=0, flush=True, monitor=None,
-                              optimizer=None):
+                              optimizer=None, eval_fn=None):
         """Two-step first-order OO-VQE for beyond-Hessian scales: Adam on
         the circuit parameters (analytic gradient, no Hessian), with a
         damped-Newton ORBITAL relaxation at the current RDMs every
@@ -900,31 +906,46 @@ class OO_pqc(OO_energy):
 
         This is the optimizer for (14e,14o)-class problems where
         full_optimization's quadratic-form Hessian cannot fit; at small D
-        prefer full_optimization (second-order, far fewer iterations)."""
+        prefer full_optimization (second-order, far fewer iterations).
+
+        ``eval_fn`` overrides the per-iteration evaluation:
+        theta -> (energy, circuit_gradient, rdms_thunk) where rdms_thunk
+        is a zero-arg callable returning (gamma, Gamma) at the SAME
+        theta, invoked only on orbital-relaxation iterations — the hook
+        through which parallel.row_sharded_gradient_optimization runs
+        this exact loop with every large-D stage on a device mesh."""
         import optax
 
         theta = jnp.asarray(theta_init)
         # any optax GradientTransformation may be substituted (the
-        # update consumes only grad[:nt])
+        # update consumes only the circuit gradient)
         opt = optax.adam(learning_rate) if optimizer is None else optimizer
         opt_state = opt.init(theta)
         orbital_kwargs = dict(orbital_kwargs or {})
         orbital_kwargs.setdefault("max_iterations", 20)
         orbital_kwargs.setdefault("verbose", 0)
         nt = self._nt
+        if eval_fn is None:
+            def eval_fn(th):
+                e, grad, rdms = self.energy_and_gradient(th)
+                return e, grad[:nt], (lambda: rdms)
         energy_l = []
         for n in range(max_iterations):
-            e, grad, (g1, G2) = self.energy_and_gradient(theta)
+            e, grad_c, rdms_thunk = eval_fn(theta)
             energy_l.append(float(e))
             if monitor is not None:
                 monitor.log(n, energy_l[-1])
             if verbose is not None and verbose:
                 print(f"iter = {n:03}, energy = {energy_l[-1]:.12f}",
                       flush=flush)
-            updates, opt_state = opt.update(grad[:nt], opt_state, theta)
+            relax = (orbital_every and (n + 1) % orbital_every == 0
+                     and self.n_kappa)
+            if relax:
+                # RDMs at the PRE-update theta (the gradient's point)
+                g1, G2 = rdms_thunk()
+            updates, opt_state = opt.update(grad_c, opt_state, theta)
             theta = optax.apply_updates(theta, updates)
-            if orbital_every and (n + 1) % orbital_every == 0 \
-                    and self.n_kappa:
+            if relax:
                 orb_l = self.orbital_optimization(g1, G2,
                                                   **orbital_kwargs)
                 if orb_l and verbose is not None and verbose:

@@ -108,8 +108,10 @@ def gather_reduce(Y, src, s, t, interpret=False):
     """out[i, j] = sum_k Y[k, src[k, i], j] * s[k, i] * t[k, j].
 
     Y (n2, Ns, Nb) f32; src/s (n2, Na); t (n2, Nb) -> out (Na, Nb) f32.
-    The reduction half of the Hamiltonian apply: Y is read exactly once,
-    the (n2, Na, Nb) gathered intermediate never materializes.
+    One spin half of the Hamiltonian-apply reduction: this kernel reads
+    Y once and the (n2, Na, Nb) gathered-and-scaled intermediate of the
+    XLA path never materializes.  (The CALLER still pays one transposed
+    copy of Y for the other spin half — see epq_sum_pallas.)
     """
     n2, na = src.shape
     nb = Y.shape[2]
@@ -263,8 +265,12 @@ def phi_all_pallas(x, gm, interpret=False, full_pairs=True):
 
 def epq_sum_pallas(Y, gm, interpret=False, full_pairs=True):
     """ops.grid.epq_sum on the pallas gather-reduce kernel: Y (..., n2, Ds)
-    grid-ordered -> (..., Ds), Y read once per spin component, the scaled
-    gathered intermediate never materialized."""
+    grid-ordered -> (..., Ds).  The (n2, Na, Nb) gathered-and-scaled
+    intermediate of the XLA path never materializes; the beta half does
+    still read through one explicit transposed copy of Y (as the XLA
+    path does) — Mosaic has no lane-gather, so the remaining traffic is
+    gather(Y) + transpose(Y) + gather(Yt) instead of the XLA path's two
+    slow gathers + the same transpose."""
     _, fn = _linear_pair(gm, interpret, full_pairs)
     for _ in range(Y.ndim - 2):
         fn = jax.vmap(fn)

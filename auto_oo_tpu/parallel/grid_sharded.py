@@ -188,10 +188,9 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
         return (jax.lax.psum(gamma_p, axis),
                 jax.lax.psum(corr_p, axis))
 
-    def rdms(psi, g2s_, t):
+    def _rdms_padded(x, t):
         x = jax.lax.with_sharding_constraint(
-            to_padded_grid(psi.astype(dtype), g2s_),
-            NamedSharding(mesh, P(axis, None)))
+            x, NamedSharding(mesh, P(axis, None)))
         gamma, corr = jax.shard_map(
             lambda xl, tl: _rdms_local(xl, tl),
             mesh=mesh, in_specs=(P(axis, None), t_specs),
@@ -203,7 +202,18 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
         Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
         return gamma, Gamma
 
+    def rdms(psi, g2s_, t):
+        return _rdms_padded(to_padded_grid(psi.astype(dtype), g2s_), t)
+
+    def rdms_grid(psi_g, t):
+        # GRID-ordered input (e.g. the state returned alongside
+        # energy_gradient) — skips the canonical<->grid permutations
+        xg = jnp.pad(psi_g.reshape(Na, Nb).astype(dtype),
+                     ((0, Na_pad - Na), (0, 0)))
+        return _rdms_padded(xg, t)
+
     rdms_jit = jax.jit(rdms, out_shardings=(repl, repl))
+    rdms_grid_jit = jax.jit(rdms_grid, out_shardings=(repl, repl))
 
     # ---- Hamiltonian apply / energy ------------------------------------
     def _ham_local(c1f, C2, x_pad, t):
@@ -245,6 +255,7 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
 
     fns = {
         "rdms": lambda psi: rdms_jit(psi, g2s, t_dev),
+        "rdms_grid": lambda psi_g: rdms_grid_jit(psi_g, t_dev),
         "ham_apply": lambda c1eff, c2, psi: ham_jit(
             c1eff, c2, psi, g2s, s2g, t_dev),
         "energy": lambda c0, c1eff, c2, psi: energy_jit(
@@ -296,11 +307,23 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
             def overlap(th):
                 return jnp.real(_state_grid(th, gates) @ jnp.conj(w))
 
-            return e0, jax.grad(overlap)(theta)
+            return e0, jax.grad(overlap)(theta), psi_g
 
-        eg_jit = jax.jit(energy_gradient, out_shardings=(repl, repl))
-        fns["energy_gradient"] = lambda c0, c1eff, c2, theta: eg_jit(
-            c0, c1eff, c2, theta, gates_dev, t_dev)
+        eg_jit = jax.jit(energy_gradient,
+                         out_shardings=(repl, repl, repl))
+
+        def _eg(c0, c1eff, c2, theta):
+            e0, grad, _ = eg_jit(c0, c1eff, c2, theta, gates_dev, t_dev)
+            return e0, grad
+
+        fns["energy_gradient"] = _eg
+        # ... and the variant that also hands back the grid-order state
+        # (device-resident, already computed) so callers can reuse it —
+        # e.g. rdms_grid for orbital relaxation without a second
+        # gate-program pass
+        fns["energy_gradient_psi"] = (
+            lambda c0, c1eff, c2, theta: eg_jit(
+                c0, c1eff, c2, theta, gates_dev, t_dev))
 
         def state(theta, gates, s2g_):
             return _state_grid(theta, gates)[s2g_]
@@ -312,60 +335,29 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
 
 
 def row_sharded_gradient_optimization(oo, mesh, axis="tp",
-                                      theta_init=None, max_iterations=200,
-                                      learning_rate=0.05, conv_tol=1e-8,
-                                      orbital_every=10, orbital_kwargs=None,
-                                      verbose=0, monitor=None,
-                                      optimizer=None):
+                                      theta_init=None, **kwargs):
     """OO_pqc.gradient_optimization with every large-D stage on the
-    mesh: the two-step first-order OO-VQE (optax on theta, damped-Newton
-    orbital relaxation at the current RDMs every ``orbital_every``
-    steps) where the state build, the Hamiltonian apply, the circuit
-    gradient VJP and the RDM extraction all run row-sharded
-    (row_sharded_sector_fns).  The orbital stages stay nao-space (cheap
-    at any D).  Returns (energy_l, theta); oo.oao_mo_coeff is updated in
-    place exactly as the single-device driver does."""
-    import optax
-
+    mesh: the state build, the Hamiltonian apply, the circuit-gradient
+    VJP and the RDM extraction run row-sharded (row_sharded_sector_fns);
+    the optimizer loop itself IS OO_pqc.gradient_optimization, driven
+    through its eval_fn hook — one loop, two execution backends.  The
+    orbital-relaxation RDMs reuse the grid-order state computed with the
+    gradient (no second gate-program pass).  Accepts the same kwargs as
+    gradient_optimization; returns (energy_l, theta)."""
     from ..ops import hamiltonian as _ham
 
     eng = row_sharded_sector_fns(oo.pqc, mesh, axis)
-    if "energy_gradient" not in eng:
+    if "energy_gradient_psi" not in eng:
         raise ValueError("row-sharded gradient optimization needs a "
                          "grid gate program (sector=True circuit)")
-    theta = (oo.pqc.init_zeros() if theta_init is None
-             else jnp.asarray(theta_init))
-    opt = optax.adam(learning_rate) if optimizer is None else optimizer
-    opt_state = opt.init(theta)
-    orbital_kwargs = dict(orbital_kwargs or {})
-    orbital_kwargs.setdefault("max_iterations", 20)
-    orbital_kwargs.setdefault("verbose", 0)
-    energy_l = []
-    for n in range(max_iterations):
+
+    def eval_fn(theta):
         c0, c1, c2 = oo.get_active_integrals(oo.mo_coeff)
         c1eff = _ham.c1_effective(c1, c2)
-        e, grad_c = eng["energy_gradient"](c0, c1eff, c2, theta)
-        energy_l.append(float(e))
-        if monitor is not None:
-            monitor.log(n, energy_l[-1])
-        if verbose:
-            print(f"iter = {n:03}, energy = {energy_l[-1]:.12f}",
-                  flush=True)
-        relax = (orbital_every and (n + 1) % orbital_every == 0
-                 and oo.n_kappa)
-        if relax:
-            # RDMs at the PRE-update theta — the same point the gradient
-            # was evaluated at (matches OO_pqc.gradient_optimization,
-            # which relaxes on the RDMs returned WITH the gradient)
-            g1, G2 = eng["rdms"](eng["state"](theta))
-        updates, opt_state = opt.update(grad_c, opt_state, theta)
-        theta = optax.apply_updates(theta, updates)
-        if relax:
-            orb_l = oo.orbital_optimization(g1, G2, **orbital_kwargs)
-            if orb_l and verbose:
-                print(f"  orbital relaxation -> {orb_l[-1]:.12f}",
-                      flush=True)
-        if n > 2 and abs(energy_l[-1] - energy_l[-2]) < conv_tol \
-                and abs(energy_l[-2] - energy_l[-3]) < conv_tol:
-            break
-    return energy_l, theta
+        e, grad_c, psi_g = eng["energy_gradient_psi"](c0, c1eff, c2,
+                                                      theta)
+        return e, grad_c, (lambda: eng["rdms_grid"](psi_g))
+
+    theta0 = (oo.pqc.init_zeros() if theta_init is None
+              else jnp.asarray(theta_init))
+    return oo.gradient_optimization(theta0, eval_fn=eval_fn, **kwargs)

@@ -77,6 +77,24 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
 
     if pallas:
         config.set_pallas(True)
+    try:
+        return _time_nr_iters_body(
+            ncas, nelecas, n_layers, n_iters, sector, basis,
+            sync_per_program, precision)
+    finally:
+        if pallas:
+            config.set_pallas(False)
+
+
+def _time_nr_iters_body(ncas, nelecas, n_layers, n_iters, sector, basis,
+                        sync_per_program, precision):
+    import jax
+    import jax.numpy as jnp
+
+    from auto_oo_tpu import Moldata, get_formal_geo
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.utils import flops as _flops
+
     t0 = time.time()
     # one trivial executable first: the first compile+load on a fresh
     # device session carries tens of seconds of one-time warmup that is
@@ -132,8 +150,6 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
         s2 = float(pqc.s2_expectation(th))
         flop_info["s2_final"] = round(s2, 10)
         assert abs(s2) < 1e-6, f"spin contamination: <S^2> = {s2}"
-    if pallas:
-        config.set_pallas(False)
     return st, compile_s, float(energy), flop_info
 
 
@@ -186,8 +202,6 @@ def main():
             extra[f"flops_{label}"] = f
         except Exception as exc:
             log(f"{label} tier skipped: {exc}")
-            from auto_oo_tpu import config
-            config.set_pallas(False)    # never leak into later tiers
 
     tier("4e3o", 3, 4, 1)
     # (8e,8o): full space (the reference architecture's ceiling) AND the

@@ -60,12 +60,18 @@ def main():
         print(line, file=sys.stderr)
         return out, med
 
-    ref_phi, t_x = timed("xla phi_all", lambda v: grid.phi_all(v, gm), x)
+    # baselines call the XLA implementations DIRECTLY — grid.phi_all /
+    # grid.epq_sum dispatch through the global pallas toggle, which
+    # would silently time pallas against pallas under
+    # AUTO_OO_TPU_PALLAS=1 (the very flag this script's verdict governs)
+    ref_phi, t_x = timed("xla phi_all",
+                         lambda v: grid._phi_all_xla(v, gm), x)
     _, t_p = timed("pallas phi_all",
                    lambda v: pg.phi_all_pallas(v, gm), x, ref=ref_phi)
     print(f"phi speedup: {t_x / t_p:.2f}x", file=sys.stderr)
 
-    ref_s, t_xs = timed("xla epq_sum", lambda y: grid.epq_sum(y, gm), Y)
+    ref_s, t_xs = timed("xla epq_sum",
+                        lambda y: grid._epq_sum_xla(y, gm), Y)
     _, t_ps = timed("pallas epq_sum",
                     lambda y: pg.epq_sum_pallas(y, gm), Y, ref=ref_s)
     print(f"epq_sum speedup: {t_xs / t_ps:.2f}x", file=sys.stderr)

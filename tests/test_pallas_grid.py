@@ -66,11 +66,15 @@ def test_epq_sum_batched():
 def test_nr_core_with_pallas_flag():
     """Mixed-precision sector grad+Hessian with the pallas kernels
     enabled (interpreted on CPU) matches the XLA grid path — the f32
-    Hessian stages dispatch to pallas, the f64 energy/gradient stay XLA."""
+    Hessian stages dispatch to pallas, the f64 energy/gradient stay XLA.
+    A dispatch counter proves the pallas path is actually traced (the
+    nr-core cache key includes the flag; a flag-blind cache would
+    silently serve the XLA core and make this test vacuous)."""
     from auto_oo_tpu import config
     from auto_oo_tpu.moldata import Moldata
     from auto_oo_tpu.utils.misc import get_formal_geo
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    import auto_oo_tpu.ops.pallas_grid as pg
 
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     pqc = Parameterized_circuit(3, 4, ansatz="np_fabric", n_layers=1,
@@ -78,13 +82,24 @@ def test_nr_core_with_pallas_flag():
     oo = OO_pqc(pqc, mol, 3, 4, freeze_active=True, precision="mixed")
     theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
     e_r, g_r, h_r = oo._grad_hess_jit(theta, oo.oao_mo_coeff)
+
+    calls = {"phi": 0}
+    orig = pg.phi_all_pallas
+
+    def counting(*a, **k):
+        calls["phi"] += 1
+        return orig(*a, **k)
+
     config.set_pallas(True)
+    pg.phi_all_pallas = counting
     try:
         oo2 = OO_pqc(pqc, mol, 3, 4, freeze_active=True,
                      precision="mixed")
         e_p, g_p, h_p = oo2._grad_hess_jit(theta, oo2.oao_mo_coeff)
     finally:
+        pg.phi_all_pallas = orig
         config.set_pallas(False)
+    assert calls["phi"] > 0, "pallas path never traced"
     assert abs(float(e_p) - float(e_r)) < 1e-12
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_r),
                                rtol=0, atol=1e-10)
