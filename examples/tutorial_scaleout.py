@@ -8,7 +8,11 @@ capability layer.  Three parallel axes are demonstrated:
 2. statevector + ERI-transform sharding — the memory-scaling axes
    (4^ncas and nao^4);
 3. geometry batching ("dp") — PES scans / Berry-phase loops evaluate the
-   same functional over many molecules at once.
+   same functional over many molecules at once;
+4. the ROW-SHARDED string-grid sector engine — the (Na, Nb) determinant
+   grid partitioned over alpha-string rows (distributed FCI-style), the
+   axis that scales past single-chip HBM ((16e,16o): one (n2, D) Phi is
+   339 GB f64).
 
 Runs anywhere: on a real TPU slice the mesh spans the chips (call
 `initialize_distributed()` first on multi-host pods); on CPU set
@@ -91,6 +95,18 @@ def main():
     energies = batch.energies(thetas, kappas, oaos)
     print("geometry batch energies:",
           np.round(np.asarray(energies), 8))
+
+    # --- 4. row-sharded string-grid sector engine ---------------------------
+    from auto_oo_tpu.parallel import row_sharded_gradient_optimization
+
+    pqc_s = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=4,
+                                  sector=True)
+    oo_s = OO_pqc(pqc_s, mol, 4, 4)
+    e_l, theta_s = row_sharded_gradient_optimization(
+        oo_s, mesh, max_iterations=25, learning_rate=0.05,
+        orbital_every=10, verbose=0)
+    print(f"row-sharded first-order OO-VQE: {len(e_l)} iters, "
+          f"E = {e_l[-1]:.10f} (every large-D stage on the mesh)")
 
 
 if __name__ == "__main__":
