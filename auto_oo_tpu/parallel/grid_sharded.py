@@ -143,6 +143,14 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
       ham_apply(c1eff, c2, psi)  -> H|psi> (canonical order, replicated)
       energy(c0, c1eff, c2, psi) -> scalar  E = c0 + <psi|H|psi>
 
+    and, when the circuit carries a grid gate program, GRID-order /
+    theta-driven entry points:
+
+      rdms_grid(psi_g)                        -> (gamma, Gamma)
+      state(theta)                            -> canonical |psi(theta)>
+      energy_gradient(c0, c1eff, c2, theta)   -> (E, dE/dtheta)
+      energy_gradient_psi(...)                -> (E, dE/dtheta, psi_g)
+
     All grid tables ride as runtime arguments, sharded on their row axis
     by shard_map in_specs; psi is padded/permuted inside the jit.
     """
@@ -264,12 +272,11 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
 
     # ---- energy + circuit gradient (grid gate program) ------------------
     # The gradient-only optimizer step at row-sharded scale: state from
-    # the grid gate program (replicated — the state is the SMALL object
-    # by design), ONE row-sharded Hamiltonian apply, then the circuit
-    # gradient as a single VJP through the gate program with the
-    # constant cotangent w = 2 H|psi> (E = <psi|H|psi> is quadratic and
-    # H theta-independent).  Mirrors models/oo_pqc.energy_gradient_staged
-    # on the mesh.
+    # the grid gate program under a GSPMD row partition, ONE row-sharded
+    # Hamiltonian apply, then the circuit gradient as a single VJP
+    # through the gate program with the constant cotangent w = 2 H|psi>
+    # (E = <psi|H|psi> is quadratic and H theta-independent).  Mirrors
+    # models/oo_pqc.energy_gradient_staged on the mesh.
     if getattr(pqc, "grid_program", None) is not None:
         gates_dev = jax.device_put(pqc.grid_program.device_tables(), repl)
         sh_flat = NamedSharding(mesh, P(axis))
