@@ -52,17 +52,79 @@ def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem):
         o_ref[0, r, :] = o_ref[0, r, :] * (s_ref[0, r] * t_ref[0, :])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_rows_scaled(x, src, s, t, interpret=False):
+def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
+    """Double-buffered gather_rows: row DMAs for the next block start
+    before the current block's rows are scaled into the output, hiding
+    DMA latency.  src/s arrive as the FULL (1, Na) pair row in SMEM so
+    the next block's indices are addressable; DMAs land in scratch and
+    are scaled on the copy into the output block."""
+    r = pl.program_id(1)
+    nr = pl.num_programs(1)
+    ns = x_ref.shape[0]
+    na = src_ref.shape[1]
+    R = buf.shape[1]
+
+    def start(rb, slot):
+        for j in range(R):
+            col = jnp.minimum(rb * R + j, na - 1)
+            i = jnp.clip(src_ref[0, col], 0, ns - 1)
+            pltpu.make_async_copy(x_ref.at[i], buf.at[slot, j],
+                                  sem.at[slot, j]).start()
+
+    @pl.when(r == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(r + 1 < nr)
+    def _():
+        start(r + 1, (r + 1) % 2)
+
+    cur = r % 2
+    for j in range(R):
+        pltpu.make_async_copy(x_ref.at[0], buf.at[cur, j],
+                              sem.at[cur, j]).wait()
+        col = jnp.minimum(r * R + j, na - 1)
+        o_ref[0, j, :] = buf[cur, j, :] * (s_ref[0, col] * t_ref[0, :])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "double_buffer"))
+def gather_rows_scaled(x, src, s, t, interpret=False, double_buffer=True):
     """out[k, i, j] = x[src[k, i], j] * s[k, i] * t[k, j].
 
     x (Ns, Nb) f32; src (n2, Na) int32; s (n2, Na) f32; t (n2, Nb) f32
     -> out (n2, Na, Nb) f32.  Invalid src entries must carry s == 0
     (the grid-map convention: src 0 / sgn 0), which zeroes the garbage row.
+
+    ``double_buffer`` prefetches the next row block's DMAs while the
+    current block is scaled out (the default; the serial variant exists
+    for A/B measurement, scripts/microbench_pallas.py).
     """
     n2, na = src.shape
     nb = x.shape[1]
     grid = (n2, pl.cdiv(na, _R))
+    if double_buffer:
+        return pl.pallas_call(
+            _gather_rows_db_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, na), lambda k, r: (k, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, na), lambda k, r: (k, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nb), lambda k, r: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, _R, nb), lambda k, r: (k, r, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n2, na, nb), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, _R, nb), x.dtype),
+                pltpu.SemaphoreType.DMA((2, _R)),
+            ],
+            interpret=interpret,
+        )(src, s, t, x)
     return pl.pallas_call(
         _gather_rows_kernel,
         grid=grid,
@@ -103,8 +165,45 @@ def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf, sem):
         o_ref[r, :] = o_ref[r, :] + buf[r, :] * (s_ref[0, r] * t_ref[0, :])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def gather_reduce(Y, src, s, t, interpret=False):
+def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
+                             sem):
+    """Double-buffered gather_reduce: the k+1 slab's row DMAs start
+    before the k slab is consumed, hiding DMA latency behind the
+    accumulate (v1 serializes start -> wait -> accumulate per step, so
+    per-row latency dominates the ~0.1 us transfer of each row).  The
+    src/s tables arrive as FULL (n2, R) column blocks in SMEM so the
+    next step's indices are addressable."""
+    k = pl.program_id(1)
+    n2 = pl.num_programs(1)
+    ns = y_ref.shape[1]
+    R = buf.shape[1]
+
+    def start(kk, slot):
+        for r in range(R):
+            i = jnp.clip(src_ref[kk, r], 0, ns - 1)
+            pltpu.make_async_copy(y_ref.at[kk, i], buf.at[slot, r],
+                                  sem.at[slot, r]).start()
+
+    @pl.when(k == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        start(0, 0)
+
+    @pl.when(k + 1 < n2)
+    def _():
+        start(k + 1, (k + 1) % 2)
+
+    cur = k % 2
+    for r in range(R):
+        pltpu.make_async_copy(y_ref.at[0, 0], buf.at[cur, r],
+                              sem.at[cur, r]).wait()
+        o_ref[r, :] = (o_ref[r, :]
+                       + buf[cur, r, :] * (s_ref[k, r] * t_ref[0, :]))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "double_buffer"))
+def gather_reduce(Y, src, s, t, interpret=False, double_buffer=True):
     """out[i, j] = sum_k Y[k, src[k, i], j] * s[k, i] * t[k, j].
 
     Y (n2, Ns, Nb) f32; src/s (n2, Na); t (n2, Nb) -> out (Na, Nb) f32.
@@ -112,10 +211,36 @@ def gather_reduce(Y, src, s, t, interpret=False):
     Y once and the (n2, Na, Nb) gathered-and-scaled intermediate of the
     XLA path never materializes.  (The CALLER still pays one transposed
     copy of Y for the other spin half — see epq_sum_pallas.)
+
+    ``double_buffer`` prefetches the next slab's rows while the current
+    slab accumulates (the default; the serial variant exists for A/B
+    measurement, scripts/microbench_pallas.py).
     """
     n2, na = src.shape
     nb = Y.shape[2]
     grid = (pl.cdiv(na, _R), n2)
+    if double_buffer:
+        return pl.pallas_call(
+            _gather_reduce_db_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n2, _R), lambda r, k: (0, r),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n2, _R), lambda r, k: (0, r),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nb), lambda r, k: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((_R, nb), lambda r, k: (r, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((na, nb), Y.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, _R, nb), Y.dtype),
+                pltpu.SemaphoreType.DMA((2, _R)),
+            ],
+            interpret=interpret,
+        )(src, s, t, Y)
     return pl.pallas_call(
         _gather_reduce_kernel,
         grid=grid,

@@ -76,14 +76,28 @@ def main():
                     lambda y: pg.epq_sum_pallas(y, gm), Y, ref=ref_s)
     print(f"epq_sum speedup: {t_xs / t_ps:.2f}x", file=sys.stderr)
 
-    # raw row-gather bandwidth ceiling probe: contiguous copy for scale
+    # raw row-gather bandwidth probes: XLA gather vs the serial pallas
+    # kernel vs the double-buffered one (DMA-latency hiding); same for
+    # the reduce.  These decide the kernels' default variants.
     xf = x[0].reshape(gm.Na, gm.Nb)
     sA = gm.sgnA.astype(jnp.float32)
     tB = gm.tB.astype(jnp.float32)
     timed("xla row gather (alpha)",
           lambda v: v[gm.srcA, :] * sA[:, :, None] * tB[:, None, :], xf)
-    timed("pallas row gather (alpha)",
-          lambda v: pg.gather_rows_scaled(v, gm.srcA, sA, tB), xf)
+    ref_g, _ = timed(
+        "pallas row gather v1",
+        lambda v: pg.gather_rows_scaled(v, gm.srcA, sA, tB,
+                                        double_buffer=False), xf)
+    timed("pallas row gather DB",
+          lambda v: pg.gather_rows_scaled(v, gm.srcA, sA, tB), xf,
+          ref=ref_g)
+    Yf = Y.reshape(gm.n2, gm.Na, gm.Nb)
+    ref_r, _ = timed(
+        "pallas reduce v1",
+        lambda v: pg.gather_reduce(v, gm.srcA, sA, tB,
+                                   double_buffer=False), Yf)
+    timed("pallas reduce DB",
+          lambda v: pg.gather_reduce(v, gm.srcA, sA, tB), Yf, ref=ref_r)
 
 
 if __name__ == "__main__":

@@ -107,16 +107,18 @@ def test_nr_core_with_pallas_flag():
                                rtol=0, atol=1e-5)
 
 
-def test_gather_rows_partial_block():
+@pytest.mark.parametrize("db", [False, True])
+def test_gather_rows_partial_block(db):
     """Na not a multiple of the row-block size: clipped DMAs, dropped
-    out-of-bounds writes."""
+    out-of-bounds writes — serial AND double-buffered kernels."""
     rng = np.random.default_rng(7)
     ns, na, nb, n2 = 11, 13, 17, 5
     x = jnp.asarray(rng.standard_normal((ns, nb)), jnp.float32)
     src = jnp.asarray(rng.integers(0, ns, size=(n2, na)), jnp.int32)
     s = jnp.asarray(rng.standard_normal((n2, na)), jnp.float32)
     t = jnp.asarray(rng.standard_normal((n2, nb)), jnp.float32)
-    out = gather_rows_scaled(x, src, s, t, interpret=True)
+    out = gather_rows_scaled(x, src, s, t, interpret=True,
+                             double_buffer=db)
     ref = (np.asarray(x)[np.asarray(src)]
            * np.asarray(s)[:, :, None] * np.asarray(t)[:, None, :])
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-6)
@@ -233,14 +235,15 @@ def test_config_dispatch():
                                rtol=0, atol=0)
 
 
-def test_gather_reduce_partial_block():
+@pytest.mark.parametrize("db", [False, True])
+def test_gather_reduce_partial_block(db):
     rng = np.random.default_rng(8)
     ns, na, nb, n2 = 9, 13, 17, 5
     Y = jnp.asarray(rng.standard_normal((n2, ns, nb)), jnp.float32)
     src = jnp.asarray(rng.integers(0, ns, size=(n2, na)), jnp.int32)
     s = jnp.asarray(rng.standard_normal((n2, na)), jnp.float32)
     t = jnp.asarray(rng.standard_normal((n2, nb)), jnp.float32)
-    out = gather_reduce(Y, src, s, t, interpret=True)
+    out = gather_reduce(Y, src, s, t, interpret=True, double_buffer=db)
     yn = np.asarray(Y)
     ref = np.zeros((na, nb), np.float32)
     for k in range(n2):
