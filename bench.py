@@ -68,12 +68,7 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     (ops/pallas_grid.py) for the duration of this tier — the A/B against
     XLA's gather lowering; only meaningful with precision='mixed'.
     """
-    import jax
-    import jax.numpy as jnp
-
-    from auto_oo_tpu import Moldata, get_formal_geo, config
-    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
-    from auto_oo_tpu.utils import flops as _flops
+    from auto_oo_tpu import config
 
     if pallas:
         config.set_pallas(True)
