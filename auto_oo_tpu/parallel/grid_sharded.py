@@ -173,9 +173,11 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
     g2s = jax.device_put(gm.g2s, repl)
     s2g = jax.device_put(gm.s2g, repl)
 
+    def _pad_grid(xg):
+        return jnp.pad(xg.astype(dtype), ((0, Na_pad - Na), (0, 0)))
+
     def to_padded_grid(psi, g2s_):
-        xg = psi[g2s_].reshape(Na, Nb)
-        return jnp.pad(xg, ((0, Na_pad - Na), (0, 0)))
+        return _pad_grid(psi[g2s_].reshape(Na, Nb))
 
     rows_loc = Na_pad // n_dev
     itemsize = jnp.dtype(dtype).itemsize
@@ -211,14 +213,12 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
         return gamma, Gamma
 
     def rdms(psi, g2s_, t):
-        return _rdms_padded(to_padded_grid(psi.astype(dtype), g2s_), t)
+        return _rdms_padded(to_padded_grid(psi, g2s_), t)
 
     def rdms_grid(psi_g, t):
         # GRID-ordered input (e.g. the state returned alongside
         # energy_gradient) — skips the canonical<->grid permutations
-        xg = jnp.pad(psi_g.reshape(Na, Nb).astype(dtype),
-                     ((0, Na_pad - Na), (0, 0)))
-        return _rdms_padded(xg, t)
+        return _rdms_padded(_pad_grid(psi_g.reshape(Na, Nb)), t)
 
     rdms_jit = jax.jit(rdms, out_shardings=(repl, repl))
     rdms_grid_jit = jax.jit(rdms_grid, out_shardings=(repl, repl))
@@ -245,7 +245,7 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
         c1f = c1eff.reshape(n2).astype(dtype)
         C2 = c2.reshape(n2, n2).astype(dtype)
         x = jax.lax.with_sharding_constraint(
-            to_padded_grid(psi.astype(dtype), g2s_),
+            to_padded_grid(psi, g2s_),
             NamedSharding(mesh, P(axis, None)))
         out = jax.shard_map(
             lambda xl, tl: _ham_local(c1f, C2, xl, tl),
@@ -303,8 +303,7 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
             C2 = c2.reshape(n2, n2).astype(dtype)
             psi_g = _state_grid(theta, gates)             # grid order
             xg = jax.lax.with_sharding_constraint(
-                jnp.pad(psi_g.reshape(Na, Nb).astype(dtype),
-                        ((0, Na_pad - Na), (0, 0))),
+                _pad_grid(psi_g.reshape(Na, Nb)),
                 NamedSharding(mesh, P(axis, None)))
             h_pad = _ham_grid_padded(c1f, C2, xg, t)
             hpsi = h_pad[:Na].reshape(-1)
@@ -316,8 +315,11 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
 
             return e0, jax.grad(overlap)(theta), psi_g
 
+        # psi_g's output sharding is left to XLA (rdms_grid re-shards it
+        # row-wise anyway); FORCING replication would add a D-sized
+        # all-gather per call just to discard it in the 2-output wrapper
         eg_jit = jax.jit(energy_gradient,
-                         out_shardings=(repl, repl, repl))
+                         out_shardings=(repl, repl, None))
 
         def _eg(c0, c1eff, c2, theta):
             e0, grad, _ = eg_jit(c0, c1eff, c2, theta, gates_dev, t_dev)

@@ -70,6 +70,7 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     """
     from auto_oo_tpu import config
 
+    prev = config.pallas_enabled()
     if pallas:
         config.set_pallas(True)
     try:
@@ -78,7 +79,7 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
             sync_per_program, precision)
     finally:
         if pallas:
-            config.set_pallas(False)
+            config.set_pallas(prev)   # restore (honor AUTO_OO_TPU_PALLAS=1)
 
 
 def _time_nr_iters_body(ncas, nelecas, n_layers, n_iters, sector, basis,

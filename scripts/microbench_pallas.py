@@ -42,7 +42,11 @@ def main():
     x = jnp.asarray(rng.standard_normal((B, gm.dim)), jnp.float32)
     Y = jnp.asarray(rng.standard_normal((gm.n2, gm.dim)), jnp.float32)
 
-    def timed(name, fn, *args, n=8, ref=None):
+    def timed(name, fn, *args, n=8, ref=None, moved_gb=None):
+        """moved_gb: actual HBM traffic of the op (in + out); defaults
+        to the OUTPUT size — correct for the phi probes (output
+        dominates) but ~n2x low for the reduce probes, whose output is
+        tiny against the Y read."""
         f = jax.jit(fn)
         out = f(*args)
         jax.device_get(jnp.ravel(out)[:1])
@@ -51,8 +55,9 @@ def main():
             out = f(*args)
         jax.device_get(jnp.ravel(out)[:1])
         med = (time.time() - t0) / n
-        gb = out.size * out.dtype.itemsize / 1e9
-        line = (f"{name:26s} {med * 1e3:9.2f} ms   out {gb:.3f} GB "
+        gb = (moved_gb if moved_gb is not None
+              else out.size * out.dtype.itemsize / 1e9)
+        line = (f"{name:26s} {med * 1e3:9.2f} ms   {gb:.3f} GB moved "
                 f"-> {gb / med:7.1f} GB/s eff")
         if ref is not None:
             err = float(jnp.max(jnp.abs(out - ref)))
@@ -92,12 +97,15 @@ def main():
           lambda v: pg.gather_rows_scaled(v, gm.srcA, sA, tB), xf,
           ref=ref_g)
     Yf = Y.reshape(gm.n2, gm.Na, gm.Nb)
+    y_gb = Yf.size * Yf.dtype.itemsize / 1e9   # the reduce READS all of Y
     ref_r, _ = timed(
         "pallas reduce v1",
         lambda v: pg.gather_reduce(v, gm.srcA, sA, tB,
-                                   double_buffer=False), Yf)
+                                   double_buffer=False), Yf,
+        moved_gb=y_gb)
     timed("pallas reduce DB",
-          lambda v: pg.gather_reduce(v, gm.srcA, sA, tB), Yf, ref=ref_r)
+          lambda v: pg.gather_reduce(v, gm.srcA, sA, tB), Yf, ref=ref_r,
+          moved_gb=y_gb)
 
 
 if __name__ == "__main__":
