@@ -343,6 +343,326 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
     return fns
 
 
+def grid2d_nr_fns(oo, mesh, t_axis="tp", r_axis="row",
+                  dtype=jnp.float64):
+    """2D-sharded quadratic-form Newton engine: TANGENT x ROW.
+
+    Composes the two scaling axes this package already has — the
+    tangent-batch partition of the quadratic-form Hessian
+    (parallel/sharding.py) and the alpha-row partition of the
+    string-grid kernels (row_sharded_sector_fns) — into one mesh:
+    device (i, j) holds tangent rows i of the Jacobian restricted to
+    alpha-string rows j of the grid.  This is the Hessian regime BEYOND
+    what either axis reaches alone: per-device memory for the dominant
+    (nt, n2, D) tangent intermediates shrinks by n_tp * n_row, so a
+    second-order OO-VQE step exists at (14e,14o)+ sectors where even one
+    (n2, D) buffer overflows a single chip's HBM.
+
+    Layout / collective budget per grad+Hessian call:
+      * state + Jacobian: GSPMD through the grid gate program, J rows
+        landing P(t_axis, r_axis) — XLA inserts the row exchanges of the
+        alpha gates.
+      * per tangent row: ONE all_gather of that row's D amplitudes over
+        r_axis (the alpha gathers read global rows) and ONE
+        psum_scatter of a D-sized accumulator — identical to the
+        row-sharded H-apply, vmapped over the LOCAL tangent block only.
+      * grams: the (nt, nt) circuit-circuit block needs cross-tangent
+        products, paid as ONE all_gather of the local HJ slab over
+        t_axis (nt * D / n_row elements); the transition-RDM grams
+        contract against the tangent-replicated phi slab and reduce with
+        psums of (n2, n2)-sized partials — no big-object traffic.
+
+    Returns jitted ``grad_hess(theta, oao)``, ``energy(theta, kappa,
+    oao)`` and a host-driven ``nr_step(theta, oao)`` mirroring the
+    staged single-device update (same Armijo trial sequence, same
+    augmentation), bit-compatible with OO_pqc._nr_iteration_jit to
+    solver precision.  Exactness is pinned on the virtual mesh
+    (tests/test_parallel.py); requires a string-grid sector circuit with
+    a grid gate program.  No reference counterpart (SURVEY §2.3)."""
+    from ..ops import transforms as _tr
+    from ..ops import fock as _fock
+    from ..ops import kappa as _kappa
+    from ..ops import hamiltonian as _ham
+    from ..ops.linalg import expm
+    from ..utils.newton_raphson import newton_step_pure
+
+    pqc = oo.pqc
+    gm = getattr(pqc, "sector_maps", None)
+    if not isinstance(gm, GridMaps) or pqc.grid_program is None:
+        raise ValueError("grid2d_nr_fns needs a string-grid sector "
+                         "circuit with a grid gate program "
+                         "(sector=True)")
+    n_tp = int(mesh.shape[t_axis])
+    n_row = int(mesh.shape[r_axis])
+    tabs, Na_pad = _padded_tables(gm, n_row, dtype)
+    ncas = pqc.ncas
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    nt = int(pqc.theta_shape)
+    nt_pad = -(-nt // n_tp) * n_tp
+    rows_loc = Na_pad // n_row
+    itemsize = jnp.dtype(dtype).itemsize
+    row_chunk = _local_row_chunk(n2, rows_loc, Nb, itemsize)
+    occ, act = oo._occ, oo._act
+    nao = oo.nao
+    params_idx = tuple(int(i) for i in oo.params_idx)
+    params_idx_dev = jnp.asarray(np.asarray(params_idx, dtype=np.int32))
+    n_kappa = len(params_idx)
+    tril_size = nao * (nao - 1) // 2
+    newton_method = getattr(oo, "newton_method", None)
+
+    repl = NamedSharding(mesh, P())
+    grid_sh = NamedSharding(mesh, P(r_axis, None))
+    sh_flat = NamedSharding(mesh, P(r_axis))
+    sharded_keys = ("srcA", "sgnA", "tA", "dstA", "dsgnA")
+    t_dev = {k: jax.device_put(
+        v, NamedSharding(mesh, P(None, r_axis))
+        if k in sharded_keys else repl) for k, v in tabs.items()}
+    t_specs = {k: (P(None, r_axis) if k in sharded_keys else P())
+               for k in tabs}
+    gates_dev = jax.device_put(pqc.grid_program.device_tables(), repl)
+    mol_dev = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl),
+        (oo.int1e_ao, oo.int2e_ao, oo.oao_coeff, jnp.asarray(oo.nuc)))
+
+    # line-search energy transforms integrals in the occ+act sub-basis
+    # (same O(nao^4 ns) trick as the single-device core)
+    sub = np.asarray(tuple(occ) + tuple(act), dtype=int)
+    occ_rel = tuple(range(len(occ)))
+    act_rel = tuple(range(len(occ), len(sub)))
+
+    def _pad_grid(xg):
+        return jnp.pad(xg.astype(dtype), ((0, Na_pad - Na), (0, 0)))
+
+    def k2m(kappa):
+        total = jnp.zeros(tril_size, dtype=kappa.dtype)
+        total = total.at[params_idx_dev].set(kappa)
+        return _kappa.vector_to_skew_symmetric(total, nao)
+
+    def _state_grid(theta, gates):
+        psi0 = jax.lax.with_sharding_constraint(
+            pqc.grid_program.initial_state(jnp.float64), sh_flat)
+        out = pqc.grid_program.apply(
+            pqc._expand_theta(jnp.ravel(theta)), psi0, tables=gates)
+        return jax.lax.with_sharding_constraint(out, sh_flat)
+
+    def _hpsi_local(c1f, C2, x_loc, t):
+        """One row-sharded H-apply (the _ham_local pattern, standalone
+        so both the line-search energy and grad_hess reuse it)."""
+        x_full = jax.lax.all_gather(x_loc, r_axis, tiled=True)
+        beta_parts = []
+        acc = jnp.zeros((Na_pad, Nb), dtype)
+        for r0 in range(0, rows_loc, row_chunk):
+            r1 = min(rows_loc, r0 + row_chunk)
+            ts = _slice_rows(t, r0, r1)
+            phi_c = _local_phi(x_full, x_loc[r0:r1], ts)
+            Y_c = (jnp.einsum("pr,rij->pij", C2, phi_c)
+                   + c1f[:, None, None] * x_loc[None, r0:r1])
+            beta_parts.append(_beta_reduce(Y_c, ts))
+            acc = _alpha_scatter(acc, Y_c, ts)
+        out_loc = (beta_parts[0] if len(beta_parts) == 1
+                   else jnp.concatenate(beta_parts, axis=0))
+        return out_loc + jax.lax.psum_scatter(
+            acc, r_axis, scatter_dimension=0, tiled=True)
+
+    def _hpsi_pad(c1f, C2, x_pad, t):
+        return jax.shard_map(
+            lambda xl, tl: _hpsi_local(c1f, C2, xl, tl),
+            mesh=mesh, in_specs=(P(r_axis, None), t_specs),
+            out_specs=P(r_axis, None))(x_pad, t)
+
+    def _coeffs(int1e_ao, int2e_ao, oao_coeff, nuc, oao):
+        mo = oao_coeff @ oao
+        h1 = _tr.int1e_transform(int1e_ao, mo)
+        g2 = _tr.int2e_transform(int2e_ao, mo)
+        c0, c1, c2 = _tr.molecular_hamiltonian_coefficients(
+            nuc, h1, g2, occ, act)
+        c1f = _ham.c1_effective(c1, c2).reshape(n2).astype(dtype)
+        C2 = c2.reshape(n2, n2).astype(dtype)
+        return h1, g2, c0, c1f, C2
+
+    def _pack(h1, g2, g1, G2):
+        grad4 = _fock.analytic_gradient_from_integrals(
+            h1, g2, g1, G2, occ, act)
+        return _kappa.skew_symmetric_to_vector(grad4)[params_idx_dev]
+
+    def grad_hess(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                  gates, t):
+        h1, g2, c0, c1f, C2 = _coeffs(int1e_ao, int2e_ao, oao_coeff,
+                                      nuc, oao)
+        psi_g = _state_grid(theta, gates)
+        Jg = jax.jacfwd(lambda th: _state_grid(th, gates))(theta).T
+        x_pad = jax.lax.with_sharding_constraint(
+            _pad_grid(psi_g.reshape(Na, Nb)), grid_sh)
+        J3 = jnp.pad(Jg.reshape(nt, Na, Nb).astype(dtype),
+                     ((0, nt_pad - nt), (0, Na_pad - Na), (0, 0)))
+        J3 = jax.lax.with_sharding_constraint(
+            J3, NamedSharding(mesh, P(t_axis, r_axis, None)))
+
+        h_pad = _hpsi_pad(c1f, C2, x_pad, t)
+        hpsi = h_pad[:Na].reshape(-1)
+        e0 = c0 + jnp.real(jnp.conj(psi_g) @ hpsi)
+        w = 2.0 * hpsi
+        w_pad = jax.lax.with_sharding_constraint(
+            _pad_grid(w.reshape(Na, Nb)), grid_sh)
+        # hess_cc re-differentiation term (GSPMD; nt x nt output)
+        term2 = jax.jacfwd(jax.grad(
+            lambda th: jnp.real(_state_grid(th, gates)
+                                @ jnp.conj(w))))(theta)
+
+        def tangent_local(J_loc, x_loc, w_loc, t):
+            # phi slab for THIS row shard (tangent-replicated): built
+            # once, reused by every local tangent's transition RDMs
+            x_full = jax.lax.all_gather(x_loc, r_axis, tiled=True)
+            phi_loc = _local_phi(x_full, x_loc, t)   # (n2, rows, Nb)
+            phiF = phi_loc.reshape(n2, -1)
+            xf = x_loc.reshape(-1)
+            gamma_p = jax.lax.psum(jnp.real(phiF @ jnp.conj(xf)),
+                                   r_axis)
+            corr_p = jax.lax.psum(
+                jnp.real(jnp.conj(phiF) @ phiF.T), r_axis)
+
+            def body(J_i):                           # (rows_loc, Nb)
+                Ji_full = jax.lax.all_gather(J_i, r_axis, tiled=True)
+                acc = jnp.zeros((Na_pad, Nb), dtype)
+                beta_parts = []
+                dgram_i = jnp.zeros((n2, n2), dtype)
+                dgamma_i = jnp.zeros((n2,), dtype)
+                for r0 in range(0, rows_loc, row_chunk):
+                    r1 = min(rows_loc, r0 + row_chunk)
+                    ts = _slice_rows(t, r0, r1)
+                    phiJ_c = _local_phi(Ji_full, J_i[r0:r1], ts)
+                    Y_c = (jnp.einsum("pr,rij->pij", C2, phiJ_c)
+                           + c1f[:, None, None] * J_i[None, r0:r1])
+                    beta_parts.append(_beta_reduce(Y_c, ts))
+                    acc = _alpha_scatter(acc, Y_c, ts)
+                    phiJf = phiJ_c.reshape(n2, -1)
+                    phiFc = phi_loc[:, r0:r1].reshape(n2, -1)
+                    dgram_i = dgram_i + jnp.real(
+                        jnp.conj(phiJf) @ phiFc.T
+                        + jnp.conj(phiFc) @ phiJf.T)
+                    dgamma_i = dgamma_i + jnp.real(
+                        phiJf @ jnp.conj(x_loc[r0:r1].reshape(-1))
+                        + phiFc @ jnp.conj(J_i[r0:r1].reshape(-1)))
+                HJ_i = ((beta_parts[0] if len(beta_parts) == 1
+                         else jnp.concatenate(beta_parts, axis=0))
+                        + jax.lax.psum_scatter(
+                            acc, r_axis, scatter_dimension=0,
+                            tiled=True))
+                gc_i = jnp.real(jnp.conj(J_i.reshape(-1))
+                                @ w_loc.reshape(-1))
+                return HJ_i, dgram_i, dgamma_i, gc_i
+
+            HJ_loc, dgram_l, dgamma_l, gc_l = jax.lax.map(body, J_loc)
+            grad_c_p = jax.lax.psum(gc_l, r_axis)
+            dgram = jax.lax.psum(dgram_l, r_axis)
+            dgamma = jax.lax.psum(dgamma_l, r_axis)
+            # cross-tangent gram: ONE all_gather of the HJ slab over the
+            # tangent axis, then an MXU contraction over local rows
+            HJ_all = jax.lax.all_gather(HJ_loc, t_axis, tiled=True)
+            G_rows = jax.lax.psum(
+                jnp.einsum("ikl,jkl->ij", jnp.conj(J_loc), HJ_all),
+                r_axis)
+            return grad_c_p, G_rows, dgram, dgamma, gamma_p, corr_p
+
+        (grad_c_pad, G_rows, dgram, dgamma, gamma_f,
+         corr_f) = jax.shard_map(
+            tangent_local, mesh=mesh,
+            in_specs=(P(t_axis, r_axis, None), P(r_axis, None),
+                      P(r_axis, None), t_specs),
+            out_specs=(P(t_axis), P(t_axis, None),
+                       P(t_axis, None, None), P(t_axis, None),
+                       P(), P()))(J3, x_pad, w_pad, t)
+
+        grad_c = jnp.real(grad_c_pad[:nt])
+        hess_cc = 2.0 * jnp.real(G_rows[:nt, :nt]) + term2
+        gamma = gamma_f.reshape(ncas, ncas)
+        corr = corr_f.reshape(ncas, ncas, ncas, ncas)
+        delta = jnp.eye(ncas, dtype=gamma.dtype)
+        Gamma = (jnp.transpose(corr, (1, 0, 2, 3))
+                 - jnp.einsum("qr,ps->pqrs", delta, gamma))
+        grad_o = _pack(h1, g2, gamma, Gamma)
+        if n_kappa:
+            G0 = _pack(h1, g2, jnp.zeros_like(gamma),
+                       jnp.zeros_like(Gamma))
+            dgamma2 = dgamma[:nt].reshape(nt, ncas, ncas)
+            dcorr = dgram[:nt].reshape(nt, ncas, ncas, ncas, ncas)
+            dGamma = (jnp.transpose(dcorr, (0, 2, 1, 3, 4))
+                      - jnp.einsum("qr,ips->ipqrs", delta, dgamma2))
+            oc = jax.vmap(lambda g1, G2: _pack(h1, g2, g1, G2))(
+                dgamma2, dGamma) - G0[None, :]
+            hess_oc = oc.T.reshape(n_kappa, nt)
+        else:
+            hess_oc = jnp.zeros((0, nt), dtype=jnp.float64)
+        hess4 = _fock.analytic_hessian_from_integrals(
+            h1, g2, gamma, Gamma, occ, act)
+        hess_oo = _fock.full_hessian_to_matrix(hess4, params_idx, nao)
+        grad = jnp.concatenate([grad_c, grad_o])
+        hess = jnp.block([[hess_cc.reshape(nt, nt), hess_oc.T],
+                          [hess_oc, hess_oo]])
+        return e0, grad, hess.astype(jnp.float64)
+
+    def energy(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+               gates, t):
+        mo = oao_coeff @ oao @ expm(-k2m(kappa))
+        mo_sub = mo[:, sub]
+        h1s = _tr.int1e_transform(int1e_ao, mo_sub)
+        g2s = _tr.int2e_transform(int2e_ao, mo_sub)
+        c0, c1, c2 = _tr.molecular_hamiltonian_coefficients(
+            nuc, h1s, g2s, occ_rel, act_rel)
+        c1f = _ham.c1_effective(c1, c2).reshape(n2).astype(dtype)
+        C2 = c2.reshape(n2, n2).astype(dtype)
+        psi_g = _state_grid(theta, gates)
+        x_pad = jax.lax.with_sharding_constraint(
+            _pad_grid(psi_g.reshape(Na, Nb)), grid_sh)
+        hpsi = _hpsi_pad(c1f, C2, x_pad, t)[:Na].reshape(-1)
+        return c0 + jnp.real(jnp.conj(psi_g) @ hpsi)
+
+    gh_jit = jax.jit(grad_hess, out_shardings=(repl, repl, repl))
+    e_jit = jax.jit(energy, out_shardings=repl)
+    solve_jit = jax.jit(lambda g, h, mu, rho, lm: newton_step_pure(
+        g, h, mu=mu, rho=rho, lambda_min=lm, method=newton_method))
+    fold_jit = jax.jit(lambda oao, kp: oao @ expm(-k2m(kp)))
+
+    def nr_step(theta, oao, alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1,
+                lambda_min=1e-6, lmax=20):
+        """Host-driven damped Newton update (the newton_update_staged
+        pattern: grad+Hessian and each Armijo trial are separate
+        modest-peak device programs — right for the large-D regime this
+        engine exists for)."""
+        theta = jnp.ravel(jnp.asarray(theta))
+        e0, grad, hess = gh_jit(theta, oao, *mol_dev, gates_dev, t_dev)
+        dp, lowest = solve_jit(grad, hess, mu, rho, lambda_min)
+        flat0 = jnp.concatenate(
+            [theta, jnp.zeros(n_kappa, dtype=theta.dtype)])
+        e0_f = float(e0)
+        gdp = float(grad @ dp)
+        slack = 64.0 * np.finfo(np.float64).eps * max(1.0, abs(e0_f))
+        t_step, e_t = 1.0, None
+        for _ in range(lmax):
+            trial = flat0 + t_step * dp
+            e_t = float(e_jit(trial[:nt], trial[nt:], oao, *mol_dev,
+                              gates_dev, t_dev))
+            if e_t <= e0_f + alpha * t_step * gdp + slack:
+                break
+            t_step *= beta
+        else:
+            t_step, e_t = 0.0, e0_f
+        new_flat = flat0 + t_step * dp
+        new_theta, new_kappa = new_flat[:nt], new_flat[nt:]
+        new_oao = fold_jit(oao, new_kappa)
+        return new_theta, new_kappa, new_oao, jnp.asarray(e_t), lowest
+
+    return {
+        "grad_hess": lambda theta, oao: gh_jit(
+            jnp.ravel(jnp.asarray(theta)), oao, *mol_dev, gates_dev,
+            t_dev),
+        "energy": lambda theta, kappa, oao: e_jit(
+            jnp.ravel(jnp.asarray(theta)), kappa, oao, *mol_dev,
+            gates_dev, t_dev),
+        "nr_step": nr_step,
+    }
+
+
 def row_sharded_gradient_optimization(oo, mesh, axis="tp",
                                       theta_init=None, **kwargs):
     """OO_pqc.gradient_optimization with every large-D stage on the

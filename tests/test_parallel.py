@@ -399,3 +399,40 @@ def test_sharded_state_large_dim_onthefly_maps():
     g_ref, G_ref = pqc.get_rdms(theta)
     assert np.allclose(np.asarray(g_sh), np.asarray(g_ref), atol=1e-12)
     assert np.allclose(np.asarray(G_sh), np.asarray(G_ref), atol=1e-12)
+
+
+def test_grid2d_nr_matches_single_device():
+    """2D-sharded (tangent x row) quadratic-form Newton engine
+    (parallel/grid_sharded.grid2d_nr_fns): energy, gradient, Hessian and
+    the full host-driven NR step over a 2x4 TANGENT x ROW mesh equal the
+    single-device grid core — the Hessian regime beyond what either axis
+    reaches alone ((14e,14o)+ second order)."""
+    from auto_oo_tpu.parallel import grid2d_nr_fns
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mesh = make_mesh(shape=(2, 4), names=("tp", "row"))
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+
+    eng = grid2d_nr_fns(oo, mesh, t_axis="tp", r_axis="row")
+    e_s, g_s, h_s = eng["grad_hess"](theta, oo.oao_mo_coeff)
+    e_r, g_r, h_r = oo._grad_hess_jit(theta, oo.oao_mo_coeff)
+    assert abs(float(e_s) - float(e_r)) < 1e-11
+    assert np.allclose(np.asarray(g_s), np.asarray(g_r), atol=1e-11)
+    assert np.allclose(np.asarray(h_s), np.asarray(h_r), atol=1e-10)
+
+    kappa = jnp.zeros(len(oo.params_idx), dtype=jnp.float64)
+    e_k = float(eng["energy"](theta, kappa, oo.oao_mo_coeff))
+    assert abs(e_k - float(oo.energy_from_parameters(theta))) < 1e-12
+
+    new_theta, new_kappa, new_oao, energy, lowest = eng["nr_step"](
+        theta, oo.oao_mo_coeff)
+    ref = oo._nr_iteration_jit(theta, oo.oao_mo_coeff, 1e-4, 0.5, 1e-6,
+                               1.1, 1e-6)
+    assert abs(float(energy) - float(ref[3])) < 1e-11
+    assert np.allclose(np.asarray(new_theta), np.asarray(ref[0]),
+                       atol=1e-9)
+    assert np.allclose(np.asarray(new_oao), np.asarray(ref[2]),
+                       atol=1e-9)
