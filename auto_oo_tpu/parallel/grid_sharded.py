@@ -136,6 +136,11 @@ def _alpha_scatter(acc, Y, t):
 def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
     """Build the row-sharded engine for a string-grid sector circuit.
 
+    ``dtype`` selects the engine's compute type: jnp.float64 (default)
+    for the built-in real ansatze, jnp.complex128 for custom complex
+    sector states (RDMs still come back f64 — they are real for any
+    state); a complex psi into a real engine raises TypeError.
+
     Returns a dict of jitted functions over CANONICAL-order
     statevectors (sorted-determinant, as pqc.state returns):
 
@@ -184,10 +189,15 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
     row_chunk = _local_row_chunk(n2, rows_loc, Nb, itemsize)
 
     # ---- RDMs ----------------------------------------------------------
+    # accumulate RDMs in the REAL dtype (gamma/corr are real for any
+    # statevector; keeps the complex128 engine's outputs f64 like the
+    # single-device kernels, ops/grid.py:322)
+    rdt = jnp.zeros((), dtype).real.dtype
+
     def _rdms_local(x_pad, t):
         x_full = jax.lax.all_gather(x_pad, axis, tiled=True)
-        gamma_p = jnp.zeros((n2,), dtype)
-        corr_p = jnp.zeros((n2, n2), dtype)
+        gamma_p = jnp.zeros((n2,), rdt)
+        corr_p = jnp.zeros((n2, n2), rdt)
         for r0 in range(0, rows_loc, row_chunk):
             r1 = min(rows_loc, r0 + row_chunk)
             ts = _slice_rows(t, r0, r1)
@@ -261,13 +271,23 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
 
     energy_jit = jax.jit(energy, out_shardings=repl)
 
+    def _chk(psi):
+        # a complex state through a real-dtype engine would be silently
+        # truncated by the _pad_grid cast — refuse loudly instead
+        if (jnp.iscomplexobj(psi)
+                and not jnp.issubdtype(dtype, jnp.complexfloating)):
+            raise TypeError(
+                "complex statevector into a real row-sharded engine; "
+                "build row_sharded_sector_fns(..., dtype=jnp.complex128)")
+        return psi
+
     fns = {
-        "rdms": lambda psi: rdms_jit(psi, g2s, t_dev),
-        "rdms_grid": lambda psi_g: rdms_grid_jit(psi_g, t_dev),
+        "rdms": lambda psi: rdms_jit(_chk(psi), g2s, t_dev),
+        "rdms_grid": lambda psi_g: rdms_grid_jit(_chk(psi_g), t_dev),
         "ham_apply": lambda c1eff, c2, psi: ham_jit(
-            c1eff, c2, psi, g2s, s2g, t_dev),
+            c1eff, c2, _chk(psi), g2s, s2g, t_dev),
         "energy": lambda c0, c1eff, c2, psi: energy_jit(
-            c0, c1eff, c2, psi, g2s, s2g, t_dev),
+            c0, c1eff, c2, _chk(psi), g2s, s2g, t_dev),
     }
 
     # ---- energy + circuit gradient (grid gate program) ------------------

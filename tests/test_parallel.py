@@ -401,19 +401,21 @@ def test_sharded_state_large_dim_onthefly_maps():
     assert np.allclose(np.asarray(G_sh), np.asarray(G_ref), atol=1e-12)
 
 
-def test_grid2d_nr_matches_single_device():
+@pytest.mark.parametrize("nelecas", [4, (3, 1)])
+def test_grid2d_nr_matches_single_device(nelecas):
     """2D-sharded (tangent x row) quadratic-form Newton engine
     (parallel/grid_sharded.grid2d_nr_fns): energy, gradient, Hessian and
     the full host-driven NR step over a 2x4 TANGENT x ROW mesh equal the
     single-device grid core — the Hessian regime beyond what either axis
-    reaches alone ((14e,14o)+ second order)."""
+    reaches alone ((14e,14o)+ second order).  Closed- and open-shell
+    (rectangular grid, padded rows)."""
     from auto_oo_tpu.parallel import grid2d_nr_fns
 
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     mesh = make_mesh(shape=(2, 4), names=("tp", "row"))
-    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
-                                sector=True)
-    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    pqc = Parameterized_circuit(4, nelecas, ansatz="np_fabric",
+                                n_layers=2, sector=True)
+    oo = OO_pqc(pqc, mol, 4, nelecas, freeze_active=True)
     theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
 
     eng = grid2d_nr_fns(oo, mesh, t_axis="tp", r_axis="row")
@@ -436,3 +438,47 @@ def test_grid2d_nr_matches_single_device():
                        atol=1e-9)
     assert np.allclose(np.asarray(new_oao), np.asarray(ref[2]),
                        atol=1e-9)
+
+
+def test_row_sharded_complex_statevector():
+    """Complex128 row-sharded engine (custom complex sector states):
+    RDMs (returned f64), Hamiltonian apply and energy over the mesh
+    equal the single-device complex grid kernels; a complex psi into the
+    default real engine raises instead of silently truncating."""
+    from auto_oo_tpu.parallel import row_sharded_sector_fns
+    from auto_oo_tpu.ops import hamiltonian as _ham
+    from auto_oo_tpu.ops.grid import to_grid, from_grid
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mesh = make_mesh(shape=(1, 8), names=("dp", "tp"))
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = 0.07 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    psi_r = pqc.state(theta)
+    psi = psi_r + 0.1j * jnp.roll(psi_r, 1)
+    psi = psi / jnp.linalg.norm(psi)
+
+    eng = row_sharded_sector_fns(pqc, mesh, axis="tp",
+                                 dtype=jnp.complex128)
+    g_s, G_s = eng["rdms"](psi)
+    g_r, G_r = pqc.get_rdms_from_state(psi)
+    assert g_s.dtype == jnp.float64
+    assert np.allclose(np.asarray(g_s), np.asarray(g_r), atol=1e-13)
+    assert np.allclose(np.asarray(G_s), np.asarray(G_r), atol=1e-13)
+
+    c0, c1, c2 = oo.get_active_integrals(oo.mo_coeff)
+    c1eff = _ham.c1_effective(c1, c2)
+    gm = pqc.sector_maps
+    h_ref = from_grid(
+        _ham.ham_apply(c1eff, c2, to_grid(psi, gm), 4, False, gm), gm)
+    h_s = eng["ham_apply"](c1eff, c2, psi)
+    assert np.allclose(np.asarray(h_s), np.asarray(h_ref), atol=1e-12)
+
+    e_s = complex(eng["energy"](c0, c1eff, c2, psi))
+    e_ref = float(c0) + float(jnp.real(jnp.conj(psi) @ h_ref))
+    assert abs(e_s - e_ref) < 1e-12
+
+    eng_real = row_sharded_sector_fns(pqc, mesh, axis="tp")
+    with pytest.raises(TypeError):
+        eng_real["rdms"](psi)
