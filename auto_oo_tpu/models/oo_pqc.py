@@ -589,7 +589,10 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         from ..ops.grid import GridMaps as _GM, to_grid as _tg
         is_grid = isinstance(maps, _GM)
         if is_grid and pqc.grid_program is not None:
-            return pqc._state_impl_grid(theta, tables)
+            # adjoint (reversible) backward: the VJP in _grad_c_vjp
+            # reconstructs states by inverse rotation — O(D) residuals
+            # instead of O(n_gates * D), the memory wall at (14e,14o)+
+            return pqc._state_impl_grid(theta, tables, adjoint=True)
         s = pqc._state_impl(theta, tables)
         return _tg(s, maps) if is_grid else s
 

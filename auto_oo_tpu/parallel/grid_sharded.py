@@ -305,10 +305,13 @@ def row_sharded_sector_fns(pqc, mesh, axis="tp", dtype=jnp.float64):
             # the state build itself is GSPMD-partitioned over the flat
             # grid vector (alpha gates become row exchanges, beta gates
             # stay local) — per-device state memory is D/n_dev, so even
-            # the state never needs one device's full HBM
+            # the state never needs one device's full HBM; the adjoint
+            # (reversible) VJP keeps the BACKWARD pass at O(D/n_dev)
+            # residuals per device too (this fn is reverse-mode only —
+            # grid2d's jacfwd engine has its own plain-apply state fn)
             psi0 = jax.lax.with_sharding_constraint(
                 pqc.grid_program.initial_state(jnp.float64), sh_flat)
-            out = pqc.grid_program.apply(
+            out = pqc.grid_program.apply_adjoint(
                 pqc._expand_theta(jnp.ravel(theta)), psi0, tables=gates)
             return jax.lax.with_sharding_constraint(out, sh_flat)
 

@@ -240,12 +240,18 @@ class Parameterized_circuit:
         return self.program.apply(self._expand_theta(jnp.ravel(theta)),
                                   tables=gates)
 
-    def _state_impl_grid(self, theta, tables=None):
-        """|psi(theta)> in GRID order (ops/grid.py layout contract)."""
+    def _state_impl_grid(self, theta, tables=None, adjoint=False):
+        """|psi(theta)> in GRID order (ops/grid.py layout contract).
+
+        ``adjoint=True`` routes through the reversible-backward program
+        (O(D) VJP residuals, grid_program.apply_adjoint) — for
+        reverse-mode gradient pipelines only; jacfwd paths must keep the
+        plain apply."""
         gates = (tables.get("gates_grid")
                  if isinstance(tables, dict) else None)
-        return self.grid_program.apply(
-            self._expand_theta(jnp.ravel(theta)), tables=gates)
+        f = (self.grid_program.apply_adjoint if adjoint
+             else self.grid_program.apply)
+        return f(self._expand_theta(jnp.ravel(theta)), tables=gates)
 
     def _flat_maps(self):
         """Flat (2, n2, D) sector E_pq gather maps, built lazily: the

@@ -185,6 +185,73 @@ class GridGateProgram:
         psi = jnp.zeros(self.dim, dtype=dtype)
         return psi.at[self.init_idx].set(1.0)
 
+    def _trig(self, theta):
+        # batched trig outside the gate sequence: single-element f64
+        # transcendentals take an f32-accuracy path on this backend
+        # (see program.py)
+        from ..ops.linalg import trig_f64
+
+        angles = (jnp.asarray(self._half).astype(theta.dtype)
+                  * theta[jnp.asarray(self._param)])
+        return trig_f64(jnp.cos, angles), trig_f64(jnp.sin, angles)
+
+    def _gate_step(self, Psi, gi, g, c, s, tabs):
+        """Apply gate ``gi`` with rotation (c, s) to the (Na, Nb) grid;
+        (c, -s) applies the INVERSE (the rotations are orthogonal)."""
+        Ai_src, Ai_dst, sA, Bj_src, Bj_dst, sB = \
+            self._gate_tables(tabs, gi)
+        dt = Psi.dtype
+        sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
+        if g.beta_identity:
+            # pure row rotation: sB is a full-width column sign
+            va = Psi[Ai_src]                       # (ka, Nb)
+            vb = Psi[Ai_dst]
+            Psi = Psi.at[Ai_src].set(c * va - sgn * s * vb)
+            Psi = Psi.at[Ai_dst].set(sgn * s * va + c * vb)
+        elif g.alpha_identity:
+            # pure column rotation (full rows, disjoint column sets);
+            # sA is a full-height row-sign vector here
+            va = Psi[:, Bj_src]                    # (Na, kb)
+            vb = Psi[:, Bj_dst]
+            Psi = Psi.at[:, Bj_src].set(c * va - sgn * s * vb)
+            Psi = Psi.at[:, Bj_dst].set(sgn * s * va + c * vb)
+        else:
+            # subgrid rotation: row gathers, small column ops,
+            # row scatter-adds (A_src/A_dst disjoint, or columns
+            # disjoint — delta-add is safe in every case)
+            ra = Psi[Ai_src]                       # (ka, Nb)
+            rb = Psi[Ai_dst]
+            va = ra[:, Bj_src]                     # (ka, kb)
+            vb = rb[:, Bj_dst]
+            da = (c - 1.0) * va - sgn * s * vb
+            db = sgn * s * va + (c - 1.0) * vb
+            DA = jnp.zeros_like(ra).at[:, Bj_src].set(da)
+            DB = jnp.zeros_like(rb).at[:, Bj_dst].set(db)
+            Psi = Psi.at[Ai_src].add(DA)
+            Psi = Psi.at[Ai_dst].add(DB)
+        return Psi
+
+    def _gate_blocks(self, Psi, gi, g, tabs):
+        """The (va, vb, sgn) blocks gate ``gi`` acts on — the only
+        elements its theta-derivative touches."""
+        Ai_src, Ai_dst, sA, Bj_src, Bj_dst, sB = \
+            self._gate_tables(tabs, gi)
+        dt = Psi.dtype
+        sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
+        if g.beta_identity:
+            return Psi[Ai_src], Psi[Ai_dst], sgn
+        if g.alpha_identity:
+            return Psi[:, Bj_src], Psi[:, Bj_dst], sgn
+        return (Psi[Ai_src][:, Bj_src], Psi[Ai_dst][:, Bj_dst], sgn)
+
+    def _apply_core(self, theta, psi, tabs):
+        cos_t, sin_t = self._trig(theta)
+        Psi = psi.reshape(self.Na, self.Nb)
+        for gi, g in enumerate(self.gates):
+            Psi = self._gate_step(Psi, gi, g, cos_t[gi], sin_t[gi],
+                                  tabs)
+        return Psi.reshape(-1)
+
     def apply(self, theta, psi=None, tables=None):
         """|psi(theta)> over the GRID-ordered sector basis."""
         if psi is None:
@@ -194,49 +261,76 @@ class GridGateProgram:
         if not self.gates:
             return psi
         tabs = tables if tables is not None else self.device_tables()
-        angles = (jnp.asarray(self._half).astype(theta.dtype)
-                  * theta[jnp.asarray(self._param)])
-        # batched trig outside the gate sequence: single-element f64
-        # transcendentals take an f32-accuracy path on this backend
-        # (see program.py)
-        from ..ops.linalg import trig_f64
+        return self._apply_core(theta, psi, tabs)
 
-        cos_t = trig_f64(jnp.cos, angles)
-        sin_t = trig_f64(jnp.sin, angles)
-        Psi = psi.reshape(self.Na, self.Nb)
-        dt = psi.dtype
-        for gi, g in enumerate(self.gates):
-            Ai_src, Ai_dst, sA, Bj_src, Bj_dst, sB = \
-                self._gate_tables(tabs, gi)
-            c, s = cos_t[gi], sin_t[gi]
-            if g.beta_identity:
-                # pure row rotation: sB is a full-width column sign
-                va = Psi[Ai_src]                       # (ka, Nb)
-                vb = Psi[Ai_dst]
-                sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
-                Psi = Psi.at[Ai_src].set(c * va - sgn * s * vb)
-                Psi = Psi.at[Ai_dst].set(sgn * s * va + c * vb)
-            elif g.alpha_identity:
-                # pure column rotation (full rows, disjoint column sets);
-                # sA is a full-height row-sign vector here
-                va = Psi[:, Bj_src]                    # (Na, kb)
-                vb = Psi[:, Bj_dst]
-                sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
-                Psi = Psi.at[:, Bj_src].set(c * va - sgn * s * vb)
-                Psi = Psi.at[:, Bj_dst].set(sgn * s * va + c * vb)
-            else:
-                # subgrid rotation: row gathers, small column ops,
-                # row scatter-adds (A_src/A_dst disjoint, or columns
-                # disjoint — delta-add is safe in every case)
-                ra = Psi[Ai_src]                       # (ka, Nb)
-                rb = Psi[Ai_dst]
-                va = ra[:, Bj_src]                     # (ka, kb)
-                vb = rb[:, Bj_dst]
-                sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
-                da = (c - 1.0) * va - sgn * s * vb
-                db = sgn * s * va + (c - 1.0) * vb
-                DA = jnp.zeros_like(ra).at[:, Bj_src].set(da)
-                DB = jnp.zeros_like(rb).at[:, Bj_dst].set(db)
-                Psi = Psi.at[Ai_src].add(DA)
-                Psi = Psi.at[Ai_dst].add(DB)
-        return Psi.reshape(-1)
+    def apply_adjoint(self, theta, psi=None, tables=None):
+        """``apply`` with ADJOINT (reversible) reverse-mode derivatives.
+
+        Same forward values; under jax.grad/vjp the backward pass
+        reconstructs each intermediate state by applying the INVERSE
+        rotations in reverse order instead of storing them — the gates
+        are orthogonal, so residual memory drops from O(n_gates * D)
+        (plain AD through apply) to O(D): at (14e,14o), ~94 MB per
+        intermediate times hundreds of gates vs three live grid buffers.
+        This is the statevector-simulator adjoint-differentiation method
+        expressed as a jax.custom_vjp; backward reconstruction roundoff
+        is O(sqrt(n_gates))*eps — negligible in f64.
+
+        Reverse-mode only (the gradient pipelines): jacfwd paths (the
+        quadratic-form Hessian) must keep plain ``apply``.  Real-dtype
+        statevectors only (the built-in ansatze — complex custom states
+        never run through grid programs)."""
+        if psi is None:
+            psi = self.initial_state(
+                theta.dtype if jnp.issubdtype(theta.dtype, jnp.floating)
+                else jnp.float64)
+        if not self.gates:
+            return psi
+        tabs = tables if tables is not None else self.device_tables()
+        return self._adjoint_fn()(theta, psi, tabs[0], tabs[1])
+
+    def _adjoint_fn(self):
+        if getattr(self, "_adjoint", None) is not None:
+            return self._adjoint
+        import jax
+        from jax import dtypes as _dtypes
+
+        param_static = [int(p) for p in self._param]
+
+        @jax.custom_vjp
+        def fn(theta, psi, a_cat, b_cat):
+            return self._apply_core(theta, psi, (a_cat, b_cat))
+
+        def fwd(theta, psi, a_cat, b_cat):
+            out = self._apply_core(theta, psi, (a_cat, b_cat))
+            return out, (theta, out, a_cat, b_cat)
+
+        def bwd(res, ct):
+            theta, out, a_cat, b_cat = res
+            tabs = (a_cat, b_cat)
+            cos_t, sin_t = self._trig(theta)
+            half_dev = jnp.asarray(self._half).astype(theta.dtype)
+            Psi = out.reshape(self.Na, self.Nb)
+            Ct = ct.reshape(self.Na, self.Nb)
+            dth = jnp.zeros(theta.shape, theta.dtype)
+            for gi in reversed(range(len(self.gates))):
+                g = self.gates[gi]
+                c, s = cos_t[gi], sin_t[gi]
+                # pre-gate state by inverse rotation (reversibility)
+                Psi = self._gate_step(Psi, gi, g, c, -s, tabs)
+                va, vb, sgn = self._gate_blocks(Psi, gi, g, tabs)
+                cta, ctb, _ = self._gate_blocks(Ct, gi, g, tabs)
+                # d(out)/d(theta_p) dotted with the cotangent: only the
+                # gate's own blocks contribute (angle = half * theta_p)
+                d = half_dev[gi] * (
+                    jnp.sum(cta * (-s * va - sgn * c * vb))
+                    + jnp.sum(ctb * (sgn * c * va - s * vb)))
+                dth = dth.at[param_static[gi]].add(d)
+                # transport the cotangent: R^T = R(-theta)
+                Ct = self._gate_step(Ct, gi, g, c, -s, tabs)
+            f0 = lambda x: np.zeros(x.shape, dtype=_dtypes.float0)
+            return dth, Ct.reshape(-1), f0(a_cat), f0(b_cat)
+
+        fn.defvjp(fwd, bwd)
+        self._adjoint = fn
+        return fn

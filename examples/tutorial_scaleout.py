@@ -108,6 +108,24 @@ def main():
     print(f"row-sharded first-order OO-VQE: {len(e_l)} iters, "
           f"E = {e_l[-1]:.10f} (every large-D stage on the mesh)")
 
+    # --- 5. 2D (tangent x row) sharded SECOND-ORDER engine ------------------
+    # composes both scaling axes on one mesh: device (i, j) holds
+    # tangent rows i of the Jacobian restricted to alpha-string rows j —
+    # the Hessian regime beyond what either axis reaches alone
+    from auto_oo_tpu.parallel import grid2d_nr_fns
+
+    mesh3 = (make_mesh(shape=(2, n_dev // 2), names=("tp", "row"))
+             if n_dev >= 4 else make_mesh(shape=(1, n_dev),
+                                          names=("tp", "row")))
+    oo_2d = OO_pqc(pqc_s, mol, 4, 4, freeze_active=True)
+    eng = grid2d_nr_fns(oo_2d, mesh3, t_axis="tp", r_axis="row")
+    th = pqc_s.init_zeros()
+    oao2 = oo_2d.oao_mo_coeff
+    for it in range(4):
+        th, _, oao2, e, lowest = eng["nr_step"](th, oao2)
+        print(f"  grid2d NR iter {it}  E = {float(e):.10f}  "
+              f"lowest eig = {float(lowest):.3e}")
+
 
 if __name__ == "__main__":
     main()

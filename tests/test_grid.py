@@ -359,3 +359,41 @@ def test_grad_hess_grid_equals_flat_maps():
                                atol=1e-11)
     np.testing.assert_allclose(np.asarray(hess_g), np.asarray(hess_f),
                                atol=1e-9)
+
+
+@pytest.mark.parametrize("ncas,nelec,ansatz", [
+    (4, 4, "np_fabric"), (4, (3, 1), "np_fabric"), (4, 4, "ucc")])
+def test_grid_program_adjoint_gradients(ncas, nelec, ansatz):
+    """apply_adjoint (reversible backward, O(D) residuals) returns the
+    SAME forward state as apply and the same reverse-mode gradients —
+    both theta- and psi-cotangents — to machine precision, under jit."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    kw = {"n_layers": 2} if ansatz == "np_fabric" else {}
+    pqc = Parameterized_circuit(ncas, nelec, ansatz=ansatz, sector=True,
+                                **kw)
+    gp = pqc.grid_program
+    assert gp is not None
+    theta = 0.13 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal(gp.dim))
+
+    out_p = gp.apply(pqc._expand_theta(theta))
+    out_a = gp.apply_adjoint(pqc._expand_theta(theta))
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_a))
+
+    g_p = jax.jit(jax.grad(
+        lambda th: gp.apply(pqc._expand_theta(th)) @ w))(theta)
+    g_a = jax.jit(jax.grad(
+        lambda th: gp.apply_adjoint(pqc._expand_theta(th)) @ w))(theta)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_p),
+                               rtol=0, atol=1e-13)
+
+    psi0 = jnp.asarray(rng.standard_normal(gp.dim))
+    psi0 = psi0 / jnp.linalg.norm(psi0)
+    gp_p = jax.grad(lambda p: gp.apply(
+        pqc._expand_theta(theta), p) @ w)(psi0)
+    gp_a = jax.grad(lambda p: gp.apply_adjoint(
+        pqc._expand_theta(theta), p) @ w)(psi0)
+    np.testing.assert_allclose(np.asarray(gp_a), np.asarray(gp_p),
+                               rtol=0, atol=1e-13)

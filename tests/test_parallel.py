@@ -401,7 +401,8 @@ def test_sharded_state_large_dim_onthefly_maps():
     assert np.allclose(np.asarray(G_sh), np.asarray(G_ref), atol=1e-12)
 
 
-@pytest.mark.parametrize("nelecas", [4, (3, 1)])
+@pytest.mark.parametrize("nelecas", [
+    4, pytest.param((3, 1), marks=pytest.mark.slow)])
 def test_grid2d_nr_matches_single_device(nelecas):
     """2D-sharded (tangent x row) quadratic-form Newton engine
     (parallel/grid_sharded.grid2d_nr_fns): energy, gradient, Hessian and
