@@ -37,7 +37,11 @@ EOF
 run microbench10 1800 python scripts/microbench_pallas.py 10 8
 run microbench12 2400 python scripts/microbench_pallas.py 12 4
 
-# 3. the (14e,14o) single-chip demo (round-4 pending measurement)
+# 2b. adjoint vs plain-AD circuit gradient (reversible backward)
+run adjoint12 1800 python scripts/microbench_adjoint.py 12 1
+
+# 3. the (14e,14o) single-chip demo (round-4 pending measurement;
+#    gradient step now runs the adjoint backward)
 run demo14 5400 python scripts/demo_14e14o.py 1
 
 # 4. full driver bench (includes the 10e10o pallas A/B tier)
