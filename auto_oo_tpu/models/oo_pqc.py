@@ -724,6 +724,60 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                                  nuc, tables, e0, grad, hess, alpha, beta,
                                  mu, rho, lambda_min)
 
+    def full_opt_loop(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                      tables, alpha, beta, mu, rho, lambda_min, conv_tol,
+                      max_iterations):
+        """The WHOLE damped-Newton optimization as ONE device program.
+
+        lax.while_loop over complete NR iterations (grad+Hessian, solve,
+        Armijo, MO fold) with the |dE| < conv_tol convergence test on
+        device and fixed-size trajectory buffers — so a full OO-VQE run
+        (reference oo_pqc.py:155-207) costs ONE dispatch and ONE
+        trajectory fetch instead of one dispatch + two scalar syncs per
+        iteration.  On the tunneled device, dispatch+sync latency is the
+        dominant cost of every small/medium tier (BASELINE.md round-4
+        environmental note), so this is the wall-clock path for
+        production runs; the host loop remains for per-iteration
+        monitoring and the staged large-D pipeline.
+
+        Convergence semantics mirror the host loop exactly: iteration n
+        (0-based) is the last one if n > 1 and |e_n - e_{n-1}| <
+        conv_tol; buffers beyond the final iteration hold zeros and are
+        sliced off by the caller using the returned iteration count."""
+        dt = theta.dtype
+        bufs0 = (
+            jnp.zeros((max_iterations,), dtype=dt),           # energy
+            jnp.zeros((max_iterations,), dtype=dt),           # lowest eig
+            jnp.zeros((max_iterations, nt), dtype=dt),        # theta
+            jnp.zeros((max_iterations, n_kappa), dtype=dt),   # kappa
+            jnp.zeros((max_iterations,) + oao.shape, dtype=oao.dtype),
+        )
+        inf = jnp.asarray(jnp.inf, dtype=dt)
+
+        def cond(carry):
+            n, _th, _oao, e1, e2, _bufs = carry
+            converged = jnp.logical_and(n >= 3,
+                                        jnp.abs(e1 - e2) < conv_tol)
+            return jnp.logical_and(n < max_iterations,
+                                   jnp.logical_not(converged))
+
+        def body(carry):
+            n, th, oa, e1, _e2, bufs = carry
+            e0, grad, hess = grad_hess(th, oa, int1e_ao, int2e_ao,
+                                       oao_coeff, nuc, tables)
+            th2, kap, oa2, e_t, lowest = newton_update(
+                th, oa, int1e_ao, int2e_ao, oao_coeff, nuc, tables,
+                e0, grad, hess, alpha, beta, mu, rho, lambda_min)
+            e_buf, l_buf, t_buf, k_buf, o_buf = bufs
+            bufs2 = (e_buf.at[n].set(e_t), l_buf.at[n].set(lowest),
+                     t_buf.at[n].set(th2), k_buf.at[n].set(kap),
+                     o_buf.at[n].set(oa2))
+            return n + 1, th2, oa2, e_t, e1, bufs2
+
+        n_done, _th, _oao, _e1, _e2, bufs = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), theta, oao, inf, inf, bufs0))
+        return n_done, bufs
+
     return {
         "energy": energy,
         "energy_jit": jax.jit(energy),
@@ -737,6 +791,10 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         "newton_update_staged": newton_update_staged,
         "newton_update_jit": newton_update_jit,
         "nr_iteration_jit": nr_iteration,
+        # one-dispatch whole-optimization program; unavailable above the
+        # spill threshold (the staged pipeline is host-driven by design)
+        "full_opt_jit": (None if use_staged
+                         else jax.jit(full_opt_loop, static_argnums=(13,))),
     }
 
 
@@ -826,6 +884,13 @@ class OO_pqc(OO_energy):
             lambda theta, oao, alpha, beta, mu, rho, lambda_min:
             core["nr_iteration_jit"](theta, oao, *mol_args, alpha, beta,
                                      mu, rho, lambda_min))
+        self._full_opt_jit = (
+            None if core["full_opt_jit"] is None else
+            (lambda theta, oao, alpha, beta, mu, rho, lambda_min,
+             conv_tol, max_iterations:
+             core["full_opt_jit"](theta, oao, *mol_args, alpha, beta,
+                                  mu, rho, lambda_min, conv_tol,
+                                  max_iterations)))
 
     # -- reference-API derivative blocks ---------------------------------
     # All five blocks are views into ONE jitted grad+Hessian program (the
@@ -962,13 +1027,26 @@ class OO_pqc(OO_energy):
     def full_optimization(self, theta_init, max_iterations=50,
                           conv_tol=1e-10, verbose=0, flush=True,
                           alpha=1e-4, beta=0.5, mu=1e-6, rho=1.1,
-                          lambda_min=1e-6, monitor=None, **kwargs):
+                          lambda_min=1e-6, monitor=None, device_loop=False,
+                          **kwargs):
         """Newton-Raphson on (theta, kappa) jointly
         (reference oo_pqc.py:155-207).
 
         Returns (energy_l, theta_l, kappa_l, oao_mo_coeff_l, hess_eig_l).
-        One jitted device call per iteration."""
+        One jitted device call per iteration — or, with
+        ``device_loop=True``, the ENTIRE optimization as one device
+        program (lax.while_loop over NR iterations, convergence test on
+        device): one dispatch and one trajectory fetch total, removing
+        all per-iteration host round trips.  Identical trajectories up
+        to XLA fusion roundoff; per-iteration ``monitor``/``verbose``
+        output is emitted after the run in that mode.  Unavailable (and
+        rejected) for the staged large-D pipeline, which is host-driven
+        by design."""
         theta = jnp.asarray(theta_init)
+        if device_loop:
+            return self._full_optimization_device(
+                theta, max_iterations, conv_tol, verbose, flush, alpha,
+                beta, mu, rho, lambda_min, monitor)
         energy_init = float(self.energy_from_parameters(theta))
         if verbose is not None and verbose:
             print(f"iter = 000, energy = {energy_init:.12f}", flush=flush)
@@ -996,4 +1074,39 @@ class OO_pqc(OO_energy):
                     print("optimization finished.")
                     print("E_fin =", energy_l[-1])
                 break
+        return energy_l, theta_l, kappa_l, oao_mo_coeff_l, hess_eig_l
+
+    def _full_optimization_device(self, theta, max_iterations, conv_tol,
+                                  verbose, flush, alpha, beta, mu, rho,
+                                  lambda_min, monitor):
+        """One-dispatch whole-optimization path (see full_optimization)."""
+        if self._full_opt_jit is None:
+            raise ValueError(
+                "device_loop=True is unavailable for the staged large-D "
+                "pipeline (D above the spill threshold is host-driven); "
+                "use the default host loop")
+        n_done, bufs = jax.device_get(self._full_opt_jit(
+            theta, self.oao_mo_coeff, alpha, beta, mu, rho, lambda_min,
+            conv_tol, int(max_iterations)))
+        n = int(n_done)
+        e_buf, l_buf, t_buf, k_buf, o_buf = bufs
+        energy_l = [float(e) for e in e_buf[:n]]
+        hess_eig_l = [float(x) for x in l_buf[:n]]
+        theta_l = [jnp.asarray(t_buf[i]) for i in range(n)]
+        kappa_l = [jnp.asarray(k_buf[i]) for i in range(n)]
+        oao_mo_coeff_l = [jnp.asarray(o_buf[i]) for i in range(n)]
+        if n:
+            self.oao_mo_coeff = oao_mo_coeff_l[-1]
+        for i in range(n):
+            if monitor is not None:
+                monitor.log(i + 1, energy_l[i],
+                            lowest_hess_eig=hess_eig_l[i])
+            if verbose is not None and verbose:
+                print(f"iter = {i + 1:03}, energy = {energy_l[i]:.12f}",
+                      flush=flush)
+        if verbose is not None and verbose and n and (
+                n < max_iterations or
+                (n > 2 and abs(energy_l[-1] - energy_l[-2]) < conv_tol)):
+            print("optimization finished.")
+            print("E_fin =", energy_l[-1])
         return energy_l, theta_l, kappa_l, oao_mo_coeff_l, hess_eig_l

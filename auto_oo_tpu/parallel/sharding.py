@@ -273,9 +273,9 @@ class GeometryBatch:
             return upd(theta, oao_mo, int1e, int2e, oao_c, nuc, tables,
                        e0, g, h, alpha, beta, mu, rho, lambda_min)
 
-        step = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0)))
-        cache[key] = step
-        return step
+        raw = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))
+        cache[key] = (jax.jit(raw), raw)
+        return cache[key]
 
     def newton_steps(self, thetas, oao_mos, alpha=1e-4, beta=0.5,
                      mu=1e-6, rho=1.1, lambda_min=1e-6):
@@ -287,7 +287,8 @@ class GeometryBatch:
         each with a leading geometry axis.  Under a mesh the stacked
         integral tensors are dp-sharded, so XLA partitions the whole
         batched step across devices."""
-        step = self._newton_step_batch(alpha, beta, mu, rho, lambda_min)
+        step, _raw = self._newton_step_batch(alpha, beta, mu, rho,
+                                             lambda_min)
         return step(jnp.asarray(thetas), jnp.asarray(oao_mos),
                     self.int1e, self.int2e, self.oao_c, self.nuc)
 
@@ -316,3 +317,61 @@ class GeometryBatch:
                 thetas, oaos, **nr_kwargs)
             energy_hist.append(energies)
         return energy_hist, thetas, oaos, lowest
+
+    def optimize_device_loop(self, theta0, oao_mo0=None, max_steps=50,
+                             conv_tol=1e-10, alpha=1e-4, beta=0.5,
+                             mu=1e-6, rho=1.1, lambda_min=1e-6):
+        """Batched optimization to CONVERGENCE as ONE device program:
+        lax.while_loop over vmapped Newton steps, stopping when every
+        geometry's |dE| < conv_tol (or at max_steps).  One dispatch and
+        one trajectory fetch for the whole PES scan / Berry loop —
+        `optimize` dispatches once per step and has no convergence test.
+        Returns (energy_hist [n_done, B], thetas, oao_mos, lowest_eigs)
+        with energy_hist truncated to the executed steps."""
+        B = len(self.oo_list)
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (B,) + theta0.shape)
+        if oao_mo0 is None:
+            oao_mo0 = jnp.stack([oo.oao_mo_coeff for oo in self.oo_list])
+        else:
+            oao_mo0 = jnp.asarray(oao_mo0)
+            if oao_mo0.ndim == 2:
+                oao_mo0 = jnp.broadcast_to(oao_mo0, (B,) + oao_mo0.shape)
+        _step, raw = self._newton_step_batch(alpha, beta, mu, rho,
+                                             lambda_min)
+
+        def loop(thetas, oaos, int1e, int2e, oao_c, nuc, tol):
+            dt = thetas.dtype
+            hist0 = jnp.zeros((max_steps, B), dtype=dt)
+            low0 = jnp.zeros((B,), dtype=dt)
+            inf = jnp.full((B,), jnp.inf, dtype=dt)
+
+            def cond(c):
+                n, _th, _oa, e1, e2, _hist, _low = c
+                done = jnp.logical_and(
+                    n >= 3, jnp.all(jnp.abs(e1 - e2) < tol))
+                return jnp.logical_and(n < max_steps,
+                                       jnp.logical_not(done))
+
+            def body(c):
+                n, th, oa, e1, _e2, hist, _low = c
+                th2, _kap, oa2, e_t, low = raw(th, oa, int1e, int2e,
+                                               oao_c, nuc)
+                return (n + 1, th2, oa2, e_t, e1,
+                        hist.at[n].set(e_t), low)
+
+            return jax.lax.while_loop(
+                cond, body,
+                (jnp.asarray(0), thetas, oaos, inf, inf, hist0, low0))
+
+        key = ("opt_loop", alpha, beta, mu, rho, lambda_min, max_steps)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(loop)
+        n, thetas, oaos, _e1, _e2, hist, lowest = jax.device_get(
+            self._step_cache[key](theta0, oao_mo0, self.int1e,
+                                  self.int2e, self.oao_c, self.nuc,
+                                  conv_tol))
+        n = int(n)
+        return hist[:n], jnp.asarray(thetas), jnp.asarray(oaos), \
+            jnp.asarray(lowest)

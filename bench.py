@@ -149,6 +149,43 @@ def _time_nr_iters_body(ncas, nelecas, n_layers, n_iters, sector, basis,
     return st, compile_s, float(energy), flop_info
 
 
+def time_device_loop(ncas, nelecas, n_layers, basis="sto-3g",
+                     sector=False, precision="f64"):
+    """Time a WHOLE OO-VQE optimization run as one device program
+    (full_optimization(device_loop=True): lax.while_loop over NR
+    iterations, convergence test on device).  Removes the per-iteration
+    dispatch+sync round trips of the host loop — on the tunneled device
+    those dominate small tiers, so s_per_iter_effective vs the host-loop
+    median quantifies the dispatch overhead directly."""
+    from auto_oo_tpu import Moldata, get_formal_geo
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+
+    mol = Moldata(get_formal_geo(140, 80), basis)
+    pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+                                n_layers=n_layers, sector=sector)
+    oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
+                precision=precision)
+    theta = pqc.init_zeros()
+    t0 = time.time()
+    res = oo.full_optimization(theta, device_loop=True)
+    compile_s = time.time() - t0
+    log(f"device loop ({nelecas}e,{ncas}o): first run "
+        f"{compile_s:.1f}s ({len(res[0])} iters, incl. compile)")
+    # warm run from the same cold start (fresh MO state, compiled program)
+    oo2 = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
+                 precision=precision)
+    t0 = time.time()
+    res2 = oo2.full_optimization(theta, device_loop=True)
+    wall = time.time() - t0
+    n = len(res2[0])
+    log(f"device loop warm: {wall:.3f}s / {n} iters "
+        f"= {wall / max(n, 1):.4f}s per iter, E={res2[0][-1]:.10f}")
+    return {"wall_s": round(wall, 4), "iters": n,
+            "s_per_iter_effective": round(wall / max(n, 1), 5),
+            "first_run_incl_compile_s": round(compile_s, 2),
+            "energy": res2[0][-1]}
+
+
 def _probe_backend(timeout_s=300):
     """Fail fast (with a parseable JSON line) when the device backend is
     hung: jax.devices() on a wedged remote tunnel blocks forever inside
@@ -239,6 +276,17 @@ def main():
     # native ERI engine (reference ran cc-pVDZ in its north-star test,
     # test_oo_pqc.py:160-185)
     tier("4e4o_ccpvdz", 4, 4, 2, n_iters=3, basis="cc-pvdz")
+    # one-dispatch whole-optimization runs (device_loop=True): the entire
+    # damped-Newton loop as a single XLA program — per-iteration host
+    # round trips vanish, so s_per_iter_effective against the host-loop
+    # medians above isolates the tunnel's dispatch+sync overhead
+    for label, args in (("6e6o", (6, 6, 2)),
+                        ("8e8o_sector", (8, 8, 2))):
+        try:
+            extra[f"device_loop_{label}"] = time_device_loop(
+                *args, sector=label.endswith("sector"))
+        except Exception as exc:
+            log(f"device_loop {label} tier skipped: {exc}")
 
     # PyTorch-CPU reference-pattern baseline, measured on this host with
     # scripts/bench_torch_cpu.py (the reference's own deps are not

@@ -198,3 +198,50 @@ def test_gradient_optimization_converges_toward_casscf():
     e_ref = float(mol.casscf.e_tot)
     assert energy_l[-1] < e_start - 1e-4
     assert energy_l[-1] - e_ref < 2e-4, (energy_l[-1], e_ref)
+
+
+def test_device_loop_full_optimization_matches_host_loop():
+    """full_optimization(device_loop=True) — the whole damped-Newton run
+    as ONE lax.while_loop device program — reproduces the host loop's
+    trajectories (energies, thetas, kappas, MO coefficients, Hessian
+    eigenvalues) and converges to the same CASSCF energy."""
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    mol.run_casscf(2, 2)
+    pqc = Parameterized_circuit(2, 2, ansatz="np_fabric", n_layers=1)
+
+    oo_h = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    ref = oo_h.full_optimization(pqc.init_zeros())
+
+    oo_d = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    dev = oo_d.full_optimization(pqc.init_zeros(), device_loop=True)
+
+    e_h, th_h, k_h, oao_h, eig_h = ref
+    e_d, th_d, k_d, oao_d, eig_d = dev
+    # identical iteration counts and per-iteration trajectories (the body
+    # is the same two fused programs; only XLA fusion roundoff differs)
+    assert len(e_d) == len(e_h)
+    np.testing.assert_allclose(e_d, e_h, atol=1e-11, rtol=0)
+    np.testing.assert_allclose(eig_d, eig_h, atol=1e-9, rtol=0)
+    for a, b in zip(th_d, th_h):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+    for a, b in zip(k_d, k_h):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-9, rtol=0)
+    np.testing.assert_allclose(np.asarray(oao_d[-1]),
+                               np.asarray(oao_h[-1]), atol=1e-9, rtol=0)
+    # warm-start state folded in, north-star energy reached
+    np.testing.assert_allclose(np.asarray(oo_d.oao_mo_coeff),
+                               np.asarray(oao_d[-1]), atol=0, rtol=0)
+    assert abs(e_d[-1] - mol.casscf.e_tot) < 1e-8
+
+
+def test_device_loop_rejected_for_staged_pipeline():
+    """The staged large-D pipeline is host-driven by design; device_loop
+    must be rejected loudly, not silently fall back."""
+    mol = Moldata("H 0 0 0; H 0 0 0.74", "sto-3g")
+    pqc = Parameterized_circuit(2, 2, ansatz="ucc")
+    oo = OO_pqc(pqc, mol, 2, 2, freeze_active=True)
+    oo._full_opt_jit = None  # what _build_nr_core sets when use_staged
+    with pytest.raises(ValueError, match="staged"):
+        oo.full_optimization(pqc.init_zeros(), device_loop=True)
