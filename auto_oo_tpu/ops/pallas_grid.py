@@ -29,6 +29,7 @@ TPU-native endpoint of that workload's redesign.
 import functools
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -37,6 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 # of 924-3432 f32 lanes = 30-110 KB VMEM per block -- small against the
 # 16 MB budget, large enough that per-DMA overhead amortizes.
 _R = 8
+
+# lane padding: VMEM row slices (DMA destinations / output rows) must be
+# aligned to the 128-lane tiling, so the Nb axis is padded to a multiple
+# of 128 on the fly (pad lanes are sliced off on return).
+_L = 128
+
+# index maps must return i32 under jax_enable_x64 (Python 0 traces as
+# i64, which Mosaic cannot legalize in the index-map func.return)
+_Z = lambda: jnp.int32(0)
 
 # the double-buffered kernels hold FULL (1/n2, Na) src/s rows in SMEM —
 # a scalar-memory footprint the interpret-mode tests cannot validate
@@ -50,35 +60,45 @@ _DB_DEFAULT = _os.environ.get("AUTO_OO_TPU_PALLAS_DB", "1") != "0"
 
 def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem):
     """One (pair k, row block r) program: DMA R source rows of x into the
-    output block, then scale rows by s[k, i] and lanes by t[k, :]."""
-    ns = x_ref.shape[0]
+    output block, then scale rows by s[k, i] and lanes by t[k, :].
+
+    Mosaic tiling: the pair tables arrive as (1, 1, 1, R) SMEM blocks of
+    the padded (n2, nblocks, 1, R) layout and t as a (1, 1, nb) VMEM
+    block — every blocked operand's last two dims equal its block's, the
+    only shape Mosaic accepts for sub-(8,128) tiles."""
     R = o_ref.shape[1]
+    z = jnp.int32(0)
     for r in range(R):
-        i = jnp.clip(src_ref[0, r], 0, ns - 1)
-        pltpu.make_async_copy(x_ref.at[i], o_ref.at[0, r], sem.at[r]).start()
+        # src is always in [0, Ns): invalid entries carry src 0 / s 0
+        i = src_ref[0, 0, 0, r]
+        rr = jnp.int32(r)  # mixed static/dynamic indices must stay i32
+        pltpu.make_async_copy(x_ref.at[i], o_ref.at[z, rr],
+                              sem.at[rr]).start()
     for r in range(R):
-        pltpu.make_async_copy(x_ref.at[0], o_ref.at[0, r], sem.at[r]).wait()
-        o_ref[0, r, :] = o_ref[0, r, :] * (s_ref[0, r] * t_ref[0, :])
+        rr = jnp.int32(r)
+        pltpu.make_async_copy(x_ref.at[z], o_ref.at[z, rr],
+                              sem.at[rr]).wait()
+        o_ref[0, r, :] = o_ref[0, r, :] * (s_ref[0, 0, 0, r] * t_ref[0, 0, :])
 
 
 def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
     """Double-buffered gather_rows: row DMAs for the next block start
     before the current block's rows are scaled into the output, hiding
-    DMA latency.  src/s arrive as the FULL (1, Na) pair row in SMEM so
-    the next block's indices are addressable; DMAs land in scratch and
-    are scaled on the copy into the output block."""
+    DMA latency.  src/s arrive as the FULL (1, 1, Na_padded) pair row in
+    SMEM so the next block's indices are addressable; DMAs land in
+    scratch and are scaled on the copy into the output block."""
     r = pl.program_id(1)
     nr = pl.num_programs(1)
     ns = x_ref.shape[0]
-    na = src_ref.shape[1]
     R = buf.shape[1]
 
     def start(rb, slot):
+        slot = jnp.int32(slot)
         for j in range(R):
-            col = jnp.minimum(rb * R + j, na - 1)
-            i = jnp.clip(src_ref[0, col], 0, ns - 1)
-            pltpu.make_async_copy(x_ref.at[i], buf.at[slot, j],
-                                  sem.at[slot, j]).start()
+            i = src_ref[0, 0, jnp.int32(rb * R + j)]
+            jj = jnp.int32(j)  # keep mixed dynamic/static indices i32
+            pltpu.make_async_copy(x_ref.at[i], buf.at[slot, jj],
+                                  sem.at[slot, jj]).start()
 
     @pl.when(r == 0)
     def _():
@@ -86,14 +106,26 @@ def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
 
     @pl.when(r + 1 < nr)
     def _():
-        start(r + 1, (r + 1) % 2)
+        # lax.rem, not %: jnp.remainder's floor-mod lowering recurses in
+        # Mosaic's convert-element-type rule; rem == mod for ids >= 0.
+        start(r + 1, lax.rem(r + 1, jnp.int32(2)))
 
-    cur = r % 2
+    cur = lax.rem(r, jnp.int32(2))
     for j in range(R):
-        pltpu.make_async_copy(x_ref.at[0], buf.at[cur, j],
-                              sem.at[cur, j]).wait()
-        col = jnp.minimum(r * R + j, na - 1)
-        o_ref[0, j, :] = buf[cur, j, :] * (s_ref[0, col] * t_ref[0, :])
+        jj = jnp.int32(j)
+        pltpu.make_async_copy(x_ref.at[jnp.int32(0)], buf.at[cur, jj],
+                              sem.at[cur, jj]).wait()
+        o_ref[0, j, :] = buf[cur, jj, :] * (s_ref[0, 0, r * R + j]
+                                            * t_ref[0, 0, :])
+
+
+def _pad_cols(a, m, fill=0):
+    """Pad the last axis of ``a`` up to a multiple of ``m`` with ``fill``."""
+    extra = (-a.shape[-1]) % m
+    if extra == 0:
+        return a
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, extra)]
+    return jnp.pad(a, pad, constant_values=fill)
 
 
 @functools.partial(jax.jit,
@@ -105,6 +137,9 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
     x (Ns, Nb) f32; src (n2, Na) int32; s (n2, Na) f32; t (n2, Nb) f32
     -> out (n2, Na, Nb) f32.  Invalid src entries must carry s == 0
     (the grid-map convention: src 0 / sgn 0), which zeroes the garbage row.
+    Na is padded on the fly to a multiple of the row block (pad rows get
+    s == 0 and are sliced off), so every BlockSpec's last two dims equal
+    its operand's — the layout Mosaic requires for sub-(8,128) tiles.
 
     ``double_buffer`` prefetches the next row block's DMAs while the
     current block is scaled out (the default; the serial variant exists
@@ -112,69 +147,85 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
     """
     if double_buffer is None:
         double_buffer = _DB_DEFAULT
+    src = src.astype(jnp.int32)  # i64 SMEM scalars break memref_slice
     n2, na = src.shape
     nb = x.shape[1]
-    grid = (n2, pl.cdiv(na, _R))
+    nb_p = pl.cdiv(nb, _L) * _L
+    nblk = pl.cdiv(na, _R)
+    na_p = nblk * _R
+    src_p = _pad_cols(src, _R)
+    s_p = _pad_cols(s, _R)
+    x = _pad_cols(x, _L)
+    t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
+    grid = (n2, nblk)
     if double_buffer:
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _gather_rows_db_kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, na), lambda k, r: (k, 0),
+                pl.BlockSpec((1, 1, na_p), lambda k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, na), lambda k, r: (k, 0),
+                pl.BlockSpec((1, 1, na_p), lambda k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, nb), lambda k, r: (k, 0),
+                pl.BlockSpec((1, 1, nb_p), lambda k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, _R, nb), lambda k, r: (k, r, 0),
+            out_specs=pl.BlockSpec((1, _R, nb_p), lambda k, r: (k, r, _Z()),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n2, na, nb), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((n2, na_p, nb_p), x.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, _R, nb), x.dtype),
+                pltpu.VMEM((2, _R, nb_p), x.dtype),
                 pltpu.SemaphoreType.DMA((2, _R)),
             ],
             interpret=interpret,
-        )(src, s, t, x)
-    return pl.pallas_call(
+        )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, x)
+        return out[:, :na, :nb]
+    out = pl.pallas_call(
         _gather_rows_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _R), lambda k, r: (k, r),
+            pl.BlockSpec((1, 1, 1, _R), lambda k, r: (k, r, _Z(), _Z()),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _R), lambda k, r: (k, r),
+            pl.BlockSpec((1, 1, 1, _R), lambda k, r: (k, r, _Z(), _Z()),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb), lambda k, r: (k, 0),
+            pl.BlockSpec((1, 1, nb_p), lambda k, r: (k, _Z(), _Z()),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, _R, nb), lambda k, r: (k, r, 0),
+        out_specs=pl.BlockSpec((1, _R, nb_p), lambda k, r: (k, r, _Z()),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n2, na, nb), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n2, na_p, nb_p), x.dtype),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_R,))],
         interpret=interpret,
-    )(src, s, t, x)
+    )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R), t3, x)
+    return out[:, :na, :nb]
 
 
 def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf, sem):
     """Grid (row blocks, n2) with k fastest: the output block stays
     resident across the k sweep; each step DMAs R rows of the k-th Y slab
-    and accumulates the scaled block."""
+    and accumulates the scaled block.  Tables arrive as (1, 1, 1, R) SMEM
+    blocks of the padded (n2, nblocks, 1, R) layout (Mosaic tiling)."""
     k = pl.program_id(1)
-    ns = y_ref.shape[1]
     R = buf.shape[0]
+    z = jnp.int32(0)
 
     @pl.when(k == 0)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
     for r in range(R):
-        i = jnp.clip(src_ref[0, r], 0, ns - 1)
-        pltpu.make_async_copy(y_ref.at[k, i], buf.at[r], sem.at[r]).start()
+        i = src_ref[0, 0, 0, r]
+        rr = jnp.int32(r)
+        pltpu.make_async_copy(y_ref.at[k, i], buf.at[rr],
+                              sem.at[rr]).start()
     for r in range(R):
-        pltpu.make_async_copy(y_ref.at[k, 0], buf.at[r], sem.at[r]).wait()
-        o_ref[r, :] = o_ref[r, :] + buf[r, :] * (s_ref[0, r] * t_ref[0, :])
+        rr = jnp.int32(r)
+        pltpu.make_async_copy(y_ref.at[k, z], buf.at[rr],
+                              sem.at[rr]).wait()
+        o_ref[r, :] = o_ref[r, :] + buf[r, :] * (s_ref[0, 0, 0, r]
+                                                 * t_ref[0, 0, :])
 
 
 def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
@@ -183,7 +234,8 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
     before the k slab is consumed, hiding DMA latency behind the
     accumulate (v1 serializes start -> wait -> accumulate per step, so
     per-row latency dominates the ~0.1 us transfer of each row).  The
-    src/s tables arrive as FULL (n2, R) column blocks in SMEM so the
+    src/s tables arrive pair-transposed as FULL (1, n2, R) column blocks
+    in SMEM (last two block dims == array dims, per Mosaic tiling) so the
     next step's indices are addressable."""
     k = pl.program_id(1)
     n2 = pl.num_programs(1)
@@ -191,10 +243,13 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
     R = buf.shape[1]
 
     def start(kk, slot):
+        slot = jnp.int32(slot)
+        kk = jnp.int32(kk)
         for r in range(R):
-            i = jnp.clip(src_ref[kk, r], 0, ns - 1)
-            pltpu.make_async_copy(y_ref.at[kk, i], buf.at[slot, r],
-                                  sem.at[slot, r]).start()
+            i = src_ref[0, kk, r]
+            rr = jnp.int32(r)
+            pltpu.make_async_copy(y_ref.at[kk, i], buf.at[slot, rr],
+                                  sem.at[slot, rr]).start()
 
     @pl.when(k == 0)
     def _():
@@ -203,14 +258,15 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
 
     @pl.when(k + 1 < n2)
     def _():
-        start(k + 1, (k + 1) % 2)
+        start(k + 1, lax.rem(k + 1, jnp.int32(2)))
 
-    cur = k % 2
+    cur = lax.rem(k, jnp.int32(2))
     for r in range(R):
-        pltpu.make_async_copy(y_ref.at[0, 0], buf.at[cur, r],
-                              sem.at[cur, r]).wait()
+        rr = jnp.int32(r)
+        pltpu.make_async_copy(y_ref.at[jnp.int32(0), jnp.int32(0)], buf.at[cur, rr],
+                              sem.at[cur, rr]).wait()
         o_ref[r, :] = (o_ref[r, :]
-                       + buf[cur, r, :] * (s_ref[k, r] * t_ref[0, :]))
+                       + buf[cur, rr, :] * (s_ref[0, k, r] * t_ref[0, 0, :]))
 
 
 @functools.partial(jax.jit,
@@ -230,52 +286,67 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
     """
     if double_buffer is None:
         double_buffer = _DB_DEFAULT
+    src = src.astype(jnp.int32)  # i64 SMEM scalars break memref_slice
     n2, na = src.shape
     nb = Y.shape[2]
-    grid = (pl.cdiv(na, _R), n2)
+    nb_p = pl.cdiv(nb, _L) * _L
+    nblk = pl.cdiv(na, _R)
+    na_p = nblk * _R
+    src_p = _pad_cols(src, _R)
+    s_p = _pad_cols(s, _R)
+    Y = _pad_cols(Y, _L)
+    t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
+    grid = (nblk, n2)
     if double_buffer:
-        return pl.pallas_call(
+        # pair-transposed (nblocks, n2, R) table layout: one program's
+        # SMEM block carries the column block for EVERY pair slab k, so
+        # the k+1 prefetch can address its indices.
+        srcT = src_p.reshape(n2, nblk, _R).transpose(1, 0, 2)
+        sT = s_p.reshape(n2, nblk, _R).transpose(1, 0, 2)
+        out = pl.pallas_call(
             _gather_reduce_db_kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n2, _R), lambda r, k: (0, r),
+                pl.BlockSpec((1, n2, _R), lambda r, k: (r, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((n2, _R), lambda r, k: (0, r),
+                pl.BlockSpec((1, n2, _R), lambda r, k: (r, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, nb), lambda r, k: (k, 0),
+                pl.BlockSpec((1, 1, nb_p), lambda r, k: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((_R, nb), lambda r, k: (r, 0),
+            out_specs=pl.BlockSpec((_R, nb_p), lambda r, k: (r, _Z()),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((na, nb), Y.dtype),
+            out_shape=jax.ShapeDtypeStruct((na_p, nb_p), Y.dtype),
             scratch_shapes=[
-                pltpu.VMEM((2, _R, nb), Y.dtype),
+                pltpu.VMEM((2, _R, nb_p), Y.dtype),
                 pltpu.SemaphoreType.DMA((2, _R)),
             ],
             interpret=interpret,
-        )(src, s, t, Y)
-    return pl.pallas_call(
+        )(srcT, sT, t3, Y)
+        return out[:na, :nb]
+    out = pl.pallas_call(
         _gather_reduce_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _R), lambda r, k: (k, r),
+            pl.BlockSpec((1, 1, 1, _R), lambda r, k: (k, r, _Z(), _Z()),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _R), lambda r, k: (k, r),
+            pl.BlockSpec((1, 1, 1, _R), lambda r, k: (k, r, _Z(), _Z()),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb), lambda r, k: (k, 0),
+            pl.BlockSpec((1, 1, nb_p), lambda r, k: (k, _Z(), _Z()),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((_R, nb), lambda r, k: (r, 0),
+        out_specs=pl.BlockSpec((_R, nb_p), lambda r, k: (r, _Z()),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((na, nb), Y.dtype),
+        out_shape=jax.ShapeDtypeStruct((na_p, nb_p), Y.dtype),
         scratch_shapes=[
-            pltpu.VMEM((_R, nb), Y.dtype),
+            pltpu.VMEM((_R, nb_p), Y.dtype),
             pltpu.SemaphoreType.DMA((_R,)),
         ],
         interpret=interpret,
-    )(src, s, t, Y)
+    )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R), t3, Y)
+    return out[:na, :nb]
 
 
 def _f32(a):
