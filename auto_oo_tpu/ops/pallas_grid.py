@@ -59,26 +59,31 @@ _DB_DEFAULT = _os.environ.get("AUTO_OO_TPU_PALLAS_DB", "1") != "0"
 
 
 def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem):
-    """One (pair k, row block r) program: DMA R source rows of x into the
-    output block, then scale rows by s[k, i] and lanes by t[k, :].
+    """One (batch b, pair k, row block r) program: DMA R source rows of
+    x[b] into the output block, then scale rows by s[k, i] and lanes by
+    t[k, :].
 
     Mosaic tiling: the pair tables arrive as (1, 1, 1, R) SMEM blocks of
     the padded (n2, nblocks, 1, R) layout and t as a (1, 1, nb) VMEM
     block — every blocked operand's last two dims equal its block's, the
-    only shape Mosaic accepts for sub-(8,128) tiles."""
-    R = o_ref.shape[1]
+    only shape Mosaic accepts for sub-(8,128) tiles.  The batch axis is a
+    leading grid dimension addressing the full (B, Ns, Nb) x in ANY
+    memory space (vmap of a pallas_call cannot batch an ANY operand)."""
+    b = pl.program_id(0)
+    R = o_ref.shape[2]
     z = jnp.int32(0)
     for r in range(R):
         # src is always in [0, Ns): invalid entries carry src 0 / s 0
         i = src_ref[0, 0, 0, r]
         rr = jnp.int32(r)  # mixed static/dynamic indices must stay i32
-        pltpu.make_async_copy(x_ref.at[i], o_ref.at[z, rr],
+        pltpu.make_async_copy(x_ref.at[b, i], o_ref.at[z, z, rr],
                               sem.at[rr]).start()
     for r in range(R):
         rr = jnp.int32(r)
-        pltpu.make_async_copy(x_ref.at[z], o_ref.at[z, rr],
+        pltpu.make_async_copy(x_ref.at[b, z], o_ref.at[z, z, rr],
                               sem.at[rr]).wait()
-        o_ref[0, r, :] = o_ref[0, r, :] * (s_ref[0, 0, 0, r] * t_ref[0, 0, :])
+        o_ref[0, 0, r, :] = (o_ref[0, 0, r, :]
+                             * (s_ref[0, 0, 0, r] * t_ref[0, 0, :]))
 
 
 def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
@@ -87,9 +92,9 @@ def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
     DMA latency.  src/s arrive as the FULL (1, 1, Na_padded) pair row in
     SMEM so the next block's indices are addressable; DMAs land in
     scratch and are scaled on the copy into the output block."""
-    r = pl.program_id(1)
-    nr = pl.num_programs(1)
-    ns = x_ref.shape[0]
+    b = pl.program_id(0)
+    r = pl.program_id(2)
+    nr = pl.num_programs(2)
     R = buf.shape[1]
 
     def start(rb, slot):
@@ -97,7 +102,7 @@ def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
         for j in range(R):
             i = src_ref[0, 0, jnp.int32(rb * R + j)]
             jj = jnp.int32(j)  # keep mixed dynamic/static indices i32
-            pltpu.make_async_copy(x_ref.at[i], buf.at[slot, jj],
+            pltpu.make_async_copy(x_ref.at[b, i], buf.at[slot, jj],
                                   sem.at[slot, jj]).start()
 
     @pl.when(r == 0)
@@ -111,12 +116,13 @@ def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
         start(r + 1, lax.rem(r + 1, jnp.int32(2)))
 
     cur = lax.rem(r, jnp.int32(2))
+    z = jnp.int32(0)
     for j in range(R):
         jj = jnp.int32(j)
-        pltpu.make_async_copy(x_ref.at[jnp.int32(0)], buf.at[cur, jj],
+        pltpu.make_async_copy(x_ref.at[b, z], buf.at[cur, jj],
                               sem.at[cur, jj]).wait()
-        o_ref[0, j, :] = buf[cur, jj, :] * (s_ref[0, 0, r * R + j]
-                                            * t_ref[0, 0, :])
+        o_ref[0, 0, j, :] = buf[cur, jj, :] * (s_ref[0, 0, r * R + j]
+                                               * t_ref[0, 0, :])
 
 
 def _pad_cols(a, m, fill=0):
@@ -132,14 +138,16 @@ def _pad_cols(a, m, fill=0):
                    static_argnames=("interpret", "double_buffer"))
 def gather_rows_scaled(x, src, s, t, interpret=False,
                        double_buffer=None):
-    """out[k, i, j] = x[src[k, i], j] * s[k, i] * t[k, j].
+    """out[..., k, i, j] = x[..., src[k, i], j] * s[k, i] * t[k, j].
 
-    x (Ns, Nb) f32; src (n2, Na) int32; s (n2, Na) f32; t (n2, Nb) f32
-    -> out (n2, Na, Nb) f32.  Invalid src entries must carry s == 0
-    (the grid-map convention: src 0 / sgn 0), which zeroes the garbage row.
-    Na is padded on the fly to a multiple of the row block (pad rows get
-    s == 0 and are sliced off), so every BlockSpec's last two dims equal
-    its operand's — the layout Mosaic requires for sub-(8,128) tiles.
+    x (..., Ns, Nb) f32; src (n2, Na) int32; s (n2, Na) f32; t (n2, Nb)
+    f32 -> out (..., n2, Na, Nb) f32.  Invalid src entries must carry
+    s == 0 (the grid-map convention: src 0 / sgn 0), which zeroes the
+    garbage row.  Na is padded on the fly to a multiple of the row block
+    (pad rows get s == 0 and are sliced off) and Nb to a multiple of 128
+    (Mosaic requires VMEM row slices lane-aligned).  Leading dims of x
+    become a leading grid axis (NOT vmap: Mosaic cannot batch the ANY-
+    space operand).
 
     ``double_buffer`` prefetches the next row block's DMAs while the
     current block is scaled out (the default; the serial variant exists
@@ -149,65 +157,72 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
         double_buffer = _DB_DEFAULT
     src = src.astype(jnp.int32)  # i64 SMEM scalars break memref_slice
     n2, na = src.shape
-    nb = x.shape[1]
-    nb_p = pl.cdiv(nb, _L) * _L
+    lead = x.shape[:-2]
+    xb = _pad_cols(x.reshape((-1,) + x.shape[-2:]), _L)
+    B, _, nb_p = xb.shape
+    nb = x.shape[-1]
     nblk = pl.cdiv(na, _R)
     na_p = nblk * _R
     src_p = _pad_cols(src, _R)
     s_p = _pad_cols(s, _R)
-    x = _pad_cols(x, _L)
     t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
-    grid = (n2, nblk)
+    grid = (B, n2, nblk)
     if double_buffer:
         out = pl.pallas_call(
             _gather_rows_db_kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, na_p), lambda k, r: (k, _Z(), _Z()),
+                pl.BlockSpec((1, 1, na_p), lambda b, k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, na_p), lambda k, r: (k, _Z(), _Z()),
+                pl.BlockSpec((1, 1, na_p), lambda b, k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nb_p), lambda k, r: (k, _Z(), _Z()),
+                pl.BlockSpec((1, 1, nb_p), lambda b, k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, _R, nb_p), lambda k, r: (k, r, _Z()),
+            out_specs=pl.BlockSpec((1, 1, _R, nb_p),
+                                   lambda b, k, r: (b, k, r, _Z()),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n2, na_p, nb_p), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, n2, na_p, nb_p), x.dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, _R, nb_p), x.dtype),
                 pltpu.SemaphoreType.DMA((2, _R)),
             ],
             interpret=interpret,
-        )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, x)
-        return out[:, :na, :nb]
-    out = pl.pallas_call(
-        _gather_rows_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, _R), lambda k, r: (k, r, _Z(), _Z()),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, _R), lambda k, r: (k, r, _Z(), _Z()),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nb_p), lambda k, r: (k, _Z(), _Z()),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, _R, nb_p), lambda k, r: (k, r, _Z()),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n2, na_p, nb_p), x.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_R,))],
-        interpret=interpret,
-    )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R), t3, x)
-    return out[:, :na, :nb]
+        )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, xb)
+    else:
+        out = pl.pallas_call(
+            _gather_rows_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _R),
+                             lambda b, k, r: (k, r, _Z(), _Z()),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, _R),
+                             lambda b, k, r: (k, r, _Z(), _Z()),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, nb_p), lambda b, k, r: (k, _Z(), _Z()),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, _R, nb_p),
+                                   lambda b, k, r: (b, k, r, _Z()),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, n2, na_p, nb_p), x.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((_R,))],
+            interpret=interpret,
+        )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R),
+          t3, xb)
+    return out[:, :, :na, :nb].reshape(lead + (n2, na, nb))
 
 
 def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf, sem):
-    """Grid (row blocks, n2) with k fastest: the output block stays
+    """Grid (B, row blocks, n2) with k fastest: the output block stays
     resident across the k sweep; each step DMAs R rows of the k-th Y slab
     and accumulates the scaled block.  Tables arrive as (1, 1, 1, R) SMEM
     blocks of the padded (n2, nblocks, 1, R) layout (Mosaic tiling)."""
-    k = pl.program_id(1)
+    b = pl.program_id(0)
+    k = pl.program_id(2)
     R = buf.shape[0]
     z = jnp.int32(0)
 
@@ -218,14 +233,14 @@ def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf, sem):
     for r in range(R):
         i = src_ref[0, 0, 0, r]
         rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[k, i], buf.at[rr],
+        pltpu.make_async_copy(y_ref.at[b, k, i], buf.at[rr],
                               sem.at[rr]).start()
     for r in range(R):
         rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[k, z], buf.at[rr],
+        pltpu.make_async_copy(y_ref.at[b, k, z], buf.at[rr],
                               sem.at[rr]).wait()
-        o_ref[r, :] = o_ref[r, :] + buf[r, :] * (s_ref[0, 0, 0, r]
-                                                 * t_ref[0, 0, :])
+        o_ref[0, r, :] = o_ref[0, r, :] + buf[r, :] * (s_ref[0, 0, 0, r]
+                                                       * t_ref[0, 0, :])
 
 
 def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
@@ -237,9 +252,9 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
     src/s tables arrive pair-transposed as FULL (1, n2, R) column blocks
     in SMEM (last two block dims == array dims, per Mosaic tiling) so the
     next step's indices are addressable."""
-    k = pl.program_id(1)
-    n2 = pl.num_programs(1)
-    ns = y_ref.shape[1]
+    b = pl.program_id(0)
+    k = pl.program_id(2)
+    n2 = pl.num_programs(2)
     R = buf.shape[1]
 
     def start(kk, slot):
@@ -248,7 +263,7 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
         for r in range(R):
             i = src_ref[0, kk, r]
             rr = jnp.int32(r)
-            pltpu.make_async_copy(y_ref.at[kk, i], buf.at[slot, rr],
+            pltpu.make_async_copy(y_ref.at[b, kk, i], buf.at[slot, rr],
                                   sem.at[slot, rr]).start()
 
     @pl.when(k == 0)
@@ -261,24 +276,27 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
         start(k + 1, lax.rem(k + 1, jnp.int32(2)))
 
     cur = lax.rem(k, jnp.int32(2))
+    z = jnp.int32(0)
     for r in range(R):
         rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[jnp.int32(0), jnp.int32(0)], buf.at[cur, rr],
+        pltpu.make_async_copy(y_ref.at[b, z, z], buf.at[cur, rr],
                               sem.at[cur, rr]).wait()
-        o_ref[r, :] = (o_ref[r, :]
-                       + buf[cur, rr, :] * (s_ref[0, k, r] * t_ref[0, 0, :]))
+        o_ref[0, r, :] = (o_ref[0, r, :]
+                          + buf[cur, rr, :] * (s_ref[0, k, r]
+                                               * t_ref[0, 0, :]))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "double_buffer"))
 def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
-    """out[i, j] = sum_k Y[k, src[k, i], j] * s[k, i] * t[k, j].
+    """out[..., i, j] = sum_k Y[..., k, src[k, i], j] * s[k, i] * t[k, j].
 
-    Y (n2, Ns, Nb) f32; src/s (n2, Na); t (n2, Nb) -> out (Na, Nb) f32.
-    One spin half of the Hamiltonian-apply reduction: this kernel reads
-    Y once and the (n2, Na, Nb) gathered-and-scaled intermediate of the
-    XLA path never materializes.  (The CALLER still pays one transposed
-    copy of Y for the other spin half — see epq_sum_pallas.)
+    Y (..., n2, Ns, Nb) f32; src/s (n2, Na); t (n2, Nb) -> out
+    (..., Na, Nb) f32.  One spin half of the Hamiltonian-apply reduction:
+    this kernel reads Y once and the (n2, Na, Nb) gathered-and-scaled
+    intermediate of the XLA path never materializes.  (The CALLER still
+    pays one transposed copy of Y for the other spin half — see
+    epq_sum_pallas.)  Leading dims become a leading grid axis.
 
     ``double_buffer`` prefetches the next slab's rows while the current
     slab accumulates (the default; the serial variant exists for A/B
@@ -288,15 +306,16 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
         double_buffer = _DB_DEFAULT
     src = src.astype(jnp.int32)  # i64 SMEM scalars break memref_slice
     n2, na = src.shape
-    nb = Y.shape[2]
-    nb_p = pl.cdiv(nb, _L) * _L
+    lead = Y.shape[:-3]
+    Yb = _pad_cols(Y.reshape((-1,) + Y.shape[-3:]), _L)
+    B, _, _, nb_p = Yb.shape
+    nb = Y.shape[-1]
     nblk = pl.cdiv(na, _R)
     na_p = nblk * _R
     src_p = _pad_cols(src, _R)
     s_p = _pad_cols(s, _R)
-    Y = _pad_cols(Y, _L)
     t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
-    grid = (nblk, n2)
+    grid = (B, nblk, n2)
     if double_buffer:
         # pair-transposed (nblocks, n2, R) table layout: one program's
         # SMEM block carries the column block for EVERY pair slab k, so
@@ -307,46 +326,51 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
             _gather_reduce_db_kernel,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, n2, _R), lambda r, k: (r, _Z(), _Z()),
+                pl.BlockSpec((1, n2, _R), lambda b, r, k: (r, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n2, _R), lambda r, k: (r, _Z(), _Z()),
+                pl.BlockSpec((1, n2, _R), lambda b, r, k: (r, _Z(), _Z()),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nb_p), lambda r, k: (k, _Z(), _Z()),
+                pl.BlockSpec((1, 1, nb_p), lambda b, r, k: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((_R, nb_p), lambda r, k: (r, _Z()),
+            out_specs=pl.BlockSpec((1, _R, nb_p),
+                                   lambda b, r, k: (b, r, _Z()),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((na_p, nb_p), Y.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, na_p, nb_p), Y.dtype),
             scratch_shapes=[
                 pltpu.VMEM((2, _R, nb_p), Y.dtype),
                 pltpu.SemaphoreType.DMA((2, _R)),
             ],
             interpret=interpret,
-        )(srcT, sT, t3, Y)
-        return out[:na, :nb]
-    out = pl.pallas_call(
-        _gather_reduce_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, _R), lambda r, k: (k, r, _Z(), _Z()),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, _R), lambda r, k: (k, r, _Z(), _Z()),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, nb_p), lambda r, k: (k, _Z(), _Z()),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((_R, nb_p), lambda r, k: (r, _Z()),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((na_p, nb_p), Y.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((_R, nb_p), Y.dtype),
-            pltpu.SemaphoreType.DMA((_R,)),
-        ],
-        interpret=interpret,
-    )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R), t3, Y)
-    return out[:na, :nb]
+        )(srcT, sT, t3, Yb)
+    else:
+        out = pl.pallas_call(
+            _gather_reduce_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _R),
+                             lambda b, r, k: (k, r, _Z(), _Z()),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 1, _R),
+                             lambda b, r, k: (k, r, _Z(), _Z()),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, nb_p), lambda b, r, k: (k, _Z(), _Z()),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, _R, nb_p),
+                                   lambda b, r, k: (b, r, _Z()),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, na_p, nb_p), Y.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((_R, nb_p), Y.dtype),
+                pltpu.SemaphoreType.DMA((_R,)),
+            ],
+            interpret=interpret,
+        )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R),
+          t3, Yb)
+    return out[:, :na, :nb].reshape(lead + (na, nb))
 
 
 def _f32(a):
@@ -354,23 +378,25 @@ def _f32(a):
 
 
 def _phi_impl(x, gm, interpret):
-    xg = x.reshape(gm.Na, gm.Nb)
+    xg = x.reshape(x.shape[:-1] + (gm.Na, gm.Nb))
     pa = gather_rows_scaled(xg, gm.srcA, _f32(gm.sgnA), _f32(gm.tB),
                             interpret=interpret)
-    pb = gather_rows_scaled(xg.T, gm.srcB, _f32(gm.sgnB), _f32(gm.tA),
+    pb = gather_rows_scaled(jnp.swapaxes(xg, -1, -2), gm.srcB,
+                            _f32(gm.sgnB), _f32(gm.tA),
                             interpret=interpret)
     phi = pa + jnp.swapaxes(pb, -1, -2)
-    return phi.reshape(gm.n2, gm.dim)
+    return phi.reshape(x.shape[:-1] + (gm.n2, gm.dim))
 
 
 def _epq_impl(Y, gm, interpret):
-    Yg = Y.reshape(gm.n2, gm.Na, gm.Nb)
+    Yg = Y.reshape(Y.shape[:-1] + (gm.Na, gm.Nb))
     outA = gather_reduce(Yg, gm.srcA, _f32(gm.sgnA), _f32(gm.tB),
                          interpret=interpret)
     Yt = jnp.swapaxes(Yg, -1, -2)
     outBt = gather_reduce(Yt, gm.srcB, _f32(gm.sgnB), _f32(gm.tA),
                           interpret=interpret)
-    return (outA + outBt.T).reshape(gm.dim)
+    return ((outA + jnp.swapaxes(outBt, -1, -2))
+            .reshape(Y.shape[:-2] + (gm.dim,)))
 
 
 def _pair_transpose(n2):
@@ -383,11 +409,14 @@ def _pair_transpose(n2):
     return jnp.asarray((k % ncas) * ncas + k // ncas, jnp.int32)
 
 
-def _xla_vjp(xla_fn, operand_sd):
+def _xla_vjp(xla_fn, base_shape, out_base_ndim, dtype=jnp.float32):
     """Backward of a LINEAR op derived from its XLA implementation
-    (correct for any pair subset; the base point is irrelevant)."""
+    (correct for any pair subset; the base point is irrelevant).  Batch-
+    aware: the cotangent's leading dims beyond ``out_base_ndim`` are the
+    batch, and the zero base point gets the same leading dims."""
     def bwd(_, ct):
-        zero = jnp.zeros(operand_sd.shape, operand_sd.dtype)
+        batch = ct.shape[:ct.ndim - out_base_ndim]
+        zero = jnp.zeros(batch + base_shape, dtype)
         return (jax.vjp(xla_fn, zero)[1](ct)[0],)
 
     return bwd
@@ -402,7 +431,8 @@ def _linear_pair(gm, interpret, full_pairs=True):
     pair-transpose involution (E_pq^T = E_qp) — the backward then also
     runs the pallas kernels.  For pair_slice'd maps (full_pairs=False)
     the involution does not hold and the backward is derived from the
-    XLA grid kernels instead."""
+    XLA grid kernels instead.  All closures are batch-native (leading
+    dims ride the kernels' batch grid axis)."""
     from . import grid as _grid
 
     @jax.custom_vjp
@@ -416,18 +446,17 @@ def _linear_pair(gm, interpret, full_pairs=True):
     if full_pairs:
         perm = _pair_transpose(gm.n2)
         phi.defvjp(lambda x: (phi(x), None),
-                   lambda _, ct: (esum(ct[perm]),))
+                   lambda _, ct: (esum(ct[..., perm, :]),))
         esum.defvjp(lambda Y: (esum(Y), None),
-                    lambda _, g: (phi(g)[perm],))
+                    lambda _, g: (phi(g)[..., perm, :],))
     else:
-        x_sd = jax.ShapeDtypeStruct((gm.dim,), jnp.float32)
-        y_sd = jax.ShapeDtypeStruct((gm.n2, gm.dim), jnp.float32)
         phi.defvjp(
             lambda x: (phi(x), None),
-            _xla_vjp(lambda v: _grid._phi_all_xla(v, gm), x_sd))
+            _xla_vjp(lambda v: _grid._phi_all_xla(v, gm), (gm.dim,), 2))
         esum.defvjp(
             lambda Y: (esum(Y), None),
-            _xla_vjp(lambda v: _grid._epq_sum_xla(v, gm), y_sd))
+            _xla_vjp(lambda v: _grid._epq_sum_xla(v, gm),
+                     (gm.n2, gm.dim), 1))
     return phi, esum
 
 
@@ -437,29 +466,24 @@ def phi_rows_pallas(x, gm, r0, r1, interpret=False):
     full rows of x with row-sliced tables; the beta part gathers rows of
     the transposed row block (the lane gather of the XLA version becomes
     a row gather after one small (rows, Nb) transpose).  Linear; VJP
-    derived from the XLA implementation (scatter-add adjoint)."""
+    derived from the XLA implementation (scatter-add adjoint).  Batch-
+    native in x's leading dims."""
     from . import grid as _grid
-
-    if x.ndim > 1:
-        fn = lambda v: phi_rows_pallas(v, gm, r0, r1, interpret=interpret)
-        for _ in range(x.ndim - 1):
-            fn = jax.vmap(fn)
-        return fn(x)
 
     @jax.custom_vjp
     def f(v):
-        vg = v.reshape(gm.Na, gm.Nb)
+        vg = v.reshape(v.shape[:-1] + (gm.Na, gm.Nb))
         pa = gather_rows_scaled(vg, gm.srcA[:, r0:r1],
                                 _f32(gm.sgnA[:, r0:r1]), _f32(gm.tB),
                                 interpret=interpret)
-        zT = vg[r0:r1, :].T
+        zT = jnp.swapaxes(vg[..., r0:r1, :], -1, -2)
         pb = gather_rows_scaled(zT, gm.srcB, _f32(gm.sgnB),
                                 _f32(gm.tA[:, r0:r1]), interpret=interpret)
         return pa + jnp.swapaxes(pb, -1, -2)
 
-    x_sd = jax.ShapeDtypeStruct((gm.dim,), jnp.float32)
     f.defvjp(lambda v: (f(v), None),
-             _xla_vjp(lambda v: _grid._phi_rows_xla(v, gm, r0, r1), x_sd))
+             _xla_vjp(lambda v: _grid._phi_rows_xla(v, gm, r0, r1),
+                      (gm.dim,), 3))
     return f(x)
 
 
@@ -468,8 +492,6 @@ def phi_all_pallas(x, gm, interpret=False, full_pairs=True):
     as row gathers (beta via the transposed grid), signs fused.  x is a
     GRID-ordered flat f32 vector (or batch); returns (..., n2, Ds)."""
     fn, _ = _linear_pair(gm, interpret, full_pairs)
-    for _ in range(x.ndim - 1):
-        fn = jax.vmap(fn)
     return fn(x)
 
 
@@ -482,6 +504,4 @@ def epq_sum_pallas(Y, gm, interpret=False, full_pairs=True):
     gather(Y) + transpose(Y) + gather(Yt) instead of the XLA path's two
     slow gathers + the same transpose."""
     _, fn = _linear_pair(gm, interpret, full_pairs)
-    for _ in range(Y.ndim - 2):
-        fn = jax.vmap(fn)
     return fn(Y)
