@@ -389,6 +389,56 @@ def _row_chunk(B, n2, Nb, itemsize):
     return max(1, int(_PAIR_CHUNK_BYTES // max(1, per_row)))
 
 
+def _row_scan_tables(gm, row_chunk):
+    """Per-chunk xs for a lax.scan over grid A-row chunks: the row axis
+    is padded to a multiple of ``row_chunk`` using the grid-map invalid-
+    entry convention (src 0 / sgn 0 / t 0 — pad rows contribute exactly
+    zero), then each table is reshaped to (nchunk, n2, L)."""
+    n2, Na = gm.srcA.shape
+    nchunk = -(-Na // row_chunk)
+    pad = nchunk * row_chunk - Na
+    def padded(a, fill):
+        return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+    srcA = padded(gm.srcA, 0).reshape(n2, nchunk, row_chunk)
+    sgnA = padded(gm.sgnA, 0).reshape(n2, nchunk, row_chunk)
+    tA = padded(gm.tA, 0).reshape(n2, nchunk, row_chunk)
+    return (jnp.swapaxes(srcA, 0, 1), jnp.swapaxes(sgnA, 0, 1),
+            jnp.swapaxes(tA, 0, 1), nchunk, pad)
+
+
+def _pad_rows(xg, pad):
+    """Zero-pad the grid A-row axis (second-to-last) by ``pad`` rows."""
+    if pad == 0:
+        return xg
+    widths = [(0, 0)] * (xg.ndim - 2) + [(0, pad), (0, 0)]
+    return jnp.pad(xg, widths)
+
+
+def _phi_chunk(xg, rows_k, srcA_k, sgnA_k, tA_k, gm, dt):
+    """One row chunk of Phi from chunked tables: alpha gathers rows of
+    the FULL resident grid state, beta lane-gathers within the chunk's
+    own rows (exactly _phi_rows_xla with traced table slices, so it is
+    legal inside lax.scan).  Dispatches to the pallas gather kernels
+    under the same conditions as phi_rows."""
+    if _pallas_dispatch(dt):
+        from .pallas_grid import gather_rows_scaled, _f32
+
+        interp = _pallas_interpret()
+        pa = gather_rows_scaled(xg, srcA_k, _f32(sgnA_k), _f32(gm.tB),
+                                interpret=interp)
+        pb = gather_rows_scaled(jnp.swapaxes(rows_k, -1, -2), gm.srcB,
+                                _f32(gm.sgnB), _f32(tA_k),
+                                interpret=interp)
+        return pa + jnp.swapaxes(pb, -1, -2)
+    pa = (jnp.take(xg, srcA_k, axis=-2)
+          * sgnA_k.astype(dt)[:, :, None] * gm.tB.astype(dt)[:, None, :])
+    pb = jnp.take(rows_k, gm.srcB, axis=-1)       # (..., rows, n2, Nb)
+    pb = jnp.moveaxis(pb, -2, -3)                 # (..., n2, rows, Nb)
+    pb = (pb * tA_k.astype(dt)[:, :, None]
+          * gm.sgnB.astype(dt)[:, None, :])
+    return pa + pb
+
+
 def ham_apply_rows(c1eff_flat, C2, x, gm, row_chunk, pair_block=None):
     """sum_pq E_pq [sum_rs C2 E_rs + c1eff] x with Phi streamed over
     grid A-rows: each Phi block is built once per pair block and
@@ -398,25 +448,39 @@ def ham_apply_rows(c1eff_flat, C2, x, gm, row_chunk, pair_block=None):
     (..., pair_block, D) buffer; ``pair_block=None`` means all n2 pairs
     (one pass, one full Y — requires _Y_BUDGET_BYTES of headroom).
     At (14e,14o): f32 runs one pass (Y = 9.2 GB), f64 two passes
-    (pair_block ~ 106, Y blocks ~ 10 GB)."""
+    (pair_block ~ 106, Y blocks ~ 10 GB).
+
+    The row chunks run under lax.scan, NOT a Python loop: an unrolled
+    loop lets the XLA scheduler keep every chunk's Phi temp live at
+    once (measured 100 GB of HLO temps at (14e,14o) — the demo OOM);
+    the scan pins peak extra memory to one in-flight chunk."""
     n2, Na, Nb = gm.n2, gm.Na, gm.Nb
     if pair_block is None:
         pair_block = n2
     xg = _as_grid2d(x, gm)
     C2x = C2.astype(x.dtype)
     c1x = c1eff_flat.astype(x.dtype)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _row_scan_tables(gm, row_chunk)
+    xg_p = _pad_rows(xg, pad)
+    rows_c = jnp.moveaxis(
+        xg_p.reshape(xg.shape[:-2] + (nchunk, row_chunk, Nb)), -3, 0)
     out = jnp.zeros_like(x)
     for lo in range(0, n2, pair_block):
         hi = min(n2, lo + pair_block)
-        parts = []
-        for r0 in range(0, Na, row_chunk):
-            r1 = min(Na, r0 + row_chunk)
-            phi_c = phi_rows(x, gm, r0, r1)       # (..., n2, rows, Nb)
-            parts.append(
-                jnp.einsum("pr,...rij->...pij", C2x[lo:hi], phi_c)
-                + c1x[lo:hi, None, None] * xg[..., None, r0:r1, :])
-        Y = jnp.concatenate(parts, axis=-2)       # (..., blk, Na, Nb)
-        Y = Y.reshape(x.shape[:-1] + (hi - lo, gm.dim))
+
+        def body(_, xs, lo=lo, hi=hi):
+            srcA_k, sgnA_k, tA_k, rows_k = xs
+            phi_c = _phi_chunk(xg, rows_k, srcA_k, sgnA_k, tA_k, gm,
+                               x.dtype)
+            y = (jnp.einsum("pr,...rij->...pij", C2x[lo:hi], phi_c)
+                 + c1x[lo:hi, None, None] * rows_k[..., None, :, :])
+            return 0, y
+
+        _, Ys = jax.lax.scan(body, 0, (srcA_c, sgnA_c, tA_c, rows_c))
+        # (nchunk, ..., blk, L, Nb) -> (..., blk, Na, Nb) -> (..., blk, D)
+        Ys = jnp.moveaxis(Ys, 0, -3)
+        Y = Ys.reshape(x.shape[:-1] + (hi - lo, nchunk * row_chunk, Nb))
+        Y = Y[..., :Na, :].reshape(x.shape[:-1] + (hi - lo, gm.dim))
         out = out + epq_sum(Y, pair_slice(gm, lo, hi),
                             full_pairs=False)
     return out
@@ -427,18 +491,33 @@ def rdms_rows(psi, gm, ncas, row_chunk):
     grid A-rows: each Phi element is built exactly once and consumed by
     an (n2, L) x (L, n2) MXU gram — peak extra memory one Phi block,
     total gather traffic ONE full-Phi pass (the pair-streamed
-    rdms_chunked pays O(n2/chunk) passes)."""
+    rdms_chunked pays O(n2/chunk) passes).
+
+    The chunks run under lax.scan, NOT a Python loop: an unrolled loop
+    lets the XLA scheduler keep every chunk's Phi temp live at once
+    (measured 100 GB of HLO temps at (14e,14o) — the demo OOM); the
+    scan pins peak extra memory to one in-flight chunk."""
     n2, Na, Nb = gm.n2, gm.Na, gm.Nb
     psig = _as_grid2d(psi, gm)
     rdt = jnp.zeros((), dtype=psi.dtype).real.dtype
-    gamma = jnp.zeros((n2,), dtype=rdt)
-    corr = jnp.zeros((n2, n2), dtype=rdt)
-    for r0 in range(0, Na, row_chunk):
-        r1 = min(Na, r0 + row_chunk)
-        phi_c = phi_rows(psi, gm, r0, r1).reshape(n2, -1)
-        bra_c = jnp.conj(psig[r0:r1, :]).reshape(-1)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _row_scan_tables(gm, row_chunk)
+    rows_c = jnp.moveaxis(
+        _pad_rows(psig, pad).reshape((nchunk, row_chunk, Nb)), 0, 0)
+
+    def body(carry, xs):
+        gamma, corr = carry
+        srcA_k, sgnA_k, tA_k, rows_k = xs
+        phi_c = _phi_chunk(psig, rows_k, srcA_k, sgnA_k, tA_k, gm,
+                           psi.dtype).reshape(n2, -1)
+        bra_c = jnp.conj(rows_k).reshape(-1)
         gamma = gamma + jnp.real(phi_c @ bra_c)
         corr = corr + jnp.real(jnp.conj(phi_c) @ phi_c.T)
+        return (gamma, corr), None
+
+    (gamma, corr), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((n2,), dtype=rdt), jnp.zeros((n2, n2), dtype=rdt)),
+        (srcA_c, sgnA_c, tA_c, rows_c))
     gamma = gamma.reshape(ncas, ncas)
     corr = corr.reshape(ncas, ncas, ncas, ncas)
     epq_ers = jnp.transpose(corr, (1, 0, 2, 3))

@@ -178,7 +178,7 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, nb_p), lambda b, k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec((1, 1, _R, nb_p),
                                    lambda b, k, r: (b, k, r, _Z()),
@@ -203,7 +203,7 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, nb_p), lambda b, k, r: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec((1, 1, _R, nb_p),
                                    lambda b, k, r: (b, k, r, _Z()),
@@ -332,7 +332,7 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, nb_p), lambda b, r, k: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec((1, _R, nb_p),
                                    lambda b, r, k: (b, r, _Z()),
@@ -357,7 +357,7 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, nb_p), lambda b, r, k: (k, _Z(), _Z()),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             ],
             out_specs=pl.BlockSpec((1, _R, nb_p),
                                    lambda b, r, k: (b, r, _Z()),
