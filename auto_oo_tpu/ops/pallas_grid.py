@@ -58,7 +58,8 @@ import os as _os
 _DB_DEFAULT = _os.environ.get("AUTO_OO_TPU_PALLAS_DB", "1") != "0"
 
 
-def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem):
+def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem,
+                        *, ns):
     """One (batch b, pair k, row block r) program: DMA R source rows of
     x[b] into the output block, then scale rows by s[k, i] and lanes by
     t[k, :].
@@ -72,21 +73,26 @@ def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem):
     b = pl.program_id(0)
     R = o_ref.shape[2]
     z = jnp.int32(0)
+    # x arrives flattened (B*Ns, Nb): slicing the MAJORMOST axis of a
+    # tiled memref is row-granular; a middle axis would need 8-sublane
+    # alignment.  ns is the static per-batch row count.
+    base = b * jnp.int32(ns)
     for r in range(R):
         # src is always in [0, Ns): invalid entries carry src 0 / s 0
         i = src_ref[0, 0, 0, r]
         rr = jnp.int32(r)  # mixed static/dynamic indices must stay i32
-        pltpu.make_async_copy(x_ref.at[b, i], o_ref.at[z, z, rr],
+        pltpu.make_async_copy(x_ref.at[base + i], o_ref.at[z, z, rr],
                               sem.at[rr]).start()
     for r in range(R):
         rr = jnp.int32(r)
-        pltpu.make_async_copy(x_ref.at[b, z], o_ref.at[z, z, rr],
+        pltpu.make_async_copy(x_ref.at[base], o_ref.at[z, z, rr],
                               sem.at[rr]).wait()
         o_ref[0, 0, r, :] = (o_ref[0, 0, r, :]
                              * (s_ref[0, 0, 0, r] * t_ref[0, 0, :]))
 
 
-def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
+def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf,
+                           sem, *, ns):
     """Double-buffered gather_rows: row DMAs for the next block start
     before the current block's rows are scaled into the output, hiding
     DMA latency.  src/s arrive as the FULL (1, 1, Na_padded) pair row in
@@ -96,13 +102,14 @@ def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
     r = pl.program_id(2)
     nr = pl.num_programs(2)
     R = buf.shape[1]
+    base = b * jnp.int32(ns)  # x flattened (B*Ns, Nb), majormost slicing
 
     def start(rb, slot):
         slot = jnp.int32(slot)
         for j in range(R):
             i = src_ref[0, 0, jnp.int32(rb * R + j)]
             jj = jnp.int32(j)  # keep mixed dynamic/static indices i32
-            pltpu.make_async_copy(x_ref.at[b, i], buf.at[slot, jj],
+            pltpu.make_async_copy(x_ref.at[base + i], buf.at[slot, jj],
                                   sem.at[slot, jj]).start()
 
     @pl.when(r == 0)
@@ -116,10 +123,9 @@ def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf, sem):
         start(r + 1, lax.rem(r + 1, jnp.int32(2)))
 
     cur = lax.rem(r, jnp.int32(2))
-    z = jnp.int32(0)
     for j in range(R):
         jj = jnp.int32(j)
-        pltpu.make_async_copy(x_ref.at[b, z], buf.at[cur, jj],
+        pltpu.make_async_copy(x_ref.at[base], buf.at[cur, jj],
                               sem.at[cur, jj]).wait()
         o_ref[0, 0, j, :] = buf[cur, jj, :] * (s_ref[0, 0, r * R + j]
                                                * t_ref[0, 0, :])
@@ -166,10 +172,12 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
     src_p = _pad_cols(src, _R)
     s_p = _pad_cols(s, _R)
     t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
+    ns = xb.shape[1]
+    xf = xb.reshape(B * ns, nb_p)
     grid = (B, n2, nblk)
     if double_buffer:
         out = pl.pallas_call(
-            _gather_rows_db_kernel,
+            functools.partial(_gather_rows_db_kernel, ns=ns),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, na_p), lambda b, k, r: (k, _Z(), _Z()),
@@ -189,10 +197,10 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
                 pltpu.SemaphoreType.DMA((2, _R)),
             ],
             interpret=interpret,
-        )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, xb)
+        )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, xf)
     else:
         out = pl.pallas_call(
-            _gather_rows_kernel,
+            functools.partial(_gather_rows_kernel, ns=ns),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, 1, _R),
@@ -212,39 +220,42 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
             scratch_shapes=[pltpu.SemaphoreType.DMA((_R,))],
             interpret=interpret,
         )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R),
-          t3, xb)
+          t3, xf)
     return out[:, :, :na, :nb].reshape(lead + (n2, na, nb))
 
 
-def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf, sem):
+def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
+                          sem, *, ns):
     """Grid (B, row blocks, n2) with k fastest: the output block stays
     resident across the k sweep; each step DMAs R rows of the k-th Y slab
     and accumulates the scaled block.  Tables arrive as (1, 1, 1, R) SMEM
     blocks of the padded (n2, nblocks, 1, R) layout (Mosaic tiling)."""
     b = pl.program_id(0)
     k = pl.program_id(2)
+    n2 = pl.num_programs(2)
     R = buf.shape[0]
-    z = jnp.int32(0)
 
     @pl.when(k == 0)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
+    # Y flattened (B*n2*Ns, Nb): majormost-axis slicing only
+    base = (b * jnp.int32(n2) + k) * jnp.int32(ns)
     for r in range(R):
         i = src_ref[0, 0, 0, r]
         rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[b, k, i], buf.at[rr],
+        pltpu.make_async_copy(y_ref.at[base + i], buf.at[rr],
                               sem.at[rr]).start()
     for r in range(R):
         rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[b, k, z], buf.at[rr],
+        pltpu.make_async_copy(y_ref.at[base], buf.at[rr],
                               sem.at[rr]).wait()
         o_ref[0, r, :] = o_ref[0, r, :] + buf[r, :] * (s_ref[0, 0, 0, r]
                                                        * t_ref[0, 0, :])
 
 
 def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
-                             sem):
+                             sem, *, ns):
     """Double-buffered gather_reduce: the k+1 slab's row DMAs start
     before the k slab is consumed, hiding DMA latency behind the
     accumulate (v1 serializes start -> wait -> accumulate per step, so
@@ -260,10 +271,12 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
     def start(kk, slot):
         slot = jnp.int32(slot)
         kk = jnp.int32(kk)
+        # Y flattened (B*n2*Ns, Nb): majormost-axis slicing only
+        base = (b * jnp.int32(n2) + kk) * jnp.int32(ns)
         for r in range(R):
             i = src_ref[0, kk, r]
             rr = jnp.int32(r)
-            pltpu.make_async_copy(y_ref.at[b, kk, i], buf.at[slot, rr],
+            pltpu.make_async_copy(y_ref.at[base + i], buf.at[slot, rr],
                                   sem.at[slot, rr]).start()
 
     @pl.when(k == 0)
@@ -279,7 +292,7 @@ def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
     z = jnp.int32(0)
     for r in range(R):
         rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[b, z, z], buf.at[cur, rr],
+        pltpu.make_async_copy(y_ref.at[z], buf.at[cur, rr],
                               sem.at[cur, rr]).wait()
         o_ref[0, r, :] = (o_ref[0, r, :]
                           + buf[cur, rr, :] * (s_ref[0, k, r]
@@ -308,7 +321,8 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
     n2, na = src.shape
     lead = Y.shape[:-3]
     Yb = _pad_cols(Y.reshape((-1,) + Y.shape[-3:]), _L)
-    B, _, _, nb_p = Yb.shape
+    B, _, ns, nb_p = (Yb.shape[0], Yb.shape[1], Yb.shape[2], Yb.shape[3])
+    Yf = Yb.reshape(B * Yb.shape[1] * ns, nb_p)
     nb = Y.shape[-1]
     nblk = pl.cdiv(na, _R)
     na_p = nblk * _R
@@ -323,7 +337,7 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
         srcT = src_p.reshape(n2, nblk, _R).transpose(1, 0, 2)
         sT = s_p.reshape(n2, nblk, _R).transpose(1, 0, 2)
         out = pl.pallas_call(
-            _gather_reduce_db_kernel,
+            functools.partial(_gather_reduce_db_kernel, ns=ns),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, n2, _R), lambda b, r, k: (r, _Z(), _Z()),
@@ -343,10 +357,10 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
                 pltpu.SemaphoreType.DMA((2, _R)),
             ],
             interpret=interpret,
-        )(srcT, sT, t3, Yb)
+        )(srcT, sT, t3, Yf)
     else:
         out = pl.pallas_call(
-            _gather_reduce_kernel,
+            functools.partial(_gather_reduce_kernel, ns=ns),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, 1, _R),
@@ -369,7 +383,7 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
             ],
             interpret=interpret,
         )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R),
-          t3, Yb)
+          t3, Yf)
     return out[:, :na, :nb].reshape(lead + (na, nb))
 
 
