@@ -1,25 +1,40 @@
 """Pallas TPU kernels for the string-grid gather primitives.
 
 The grid E_pq kernels (ops/grid.py) are HBM-gather bound: XLA lowers
-``x[..., src, :]`` row gathers at a fraction of HBM bandwidth, and
-profiling at (10e,10o)-(12e,12o) shows the Phi build and the
-sum_pq E_pq reduction dominating the mixed-precision NR iteration once
-the MXU grams are fused.  These kernels issue the row gathers as
-explicit HBM->VMEM DMAs (one DMA per gathered row, R rows in flight per
-program) and fuse the rank-1 sign scaling into the VMEM block before
-write-back, so the gather traffic runs at DMA speed and the scaled Phi
-block never makes an extra HBM round trip.
+``x[..., src, :]`` row gathers well below HBM bandwidth at the
+(10e,10o)-(12e,12o) sector scales.  These kernels keep the gathered
+operand RESIDENT IN VMEM (streamed in one sequential DMA pass) and do
+the random row access with dynamic-sublane reads/writes inside the
+kernel — the only row-granular access mechanism Mosaic accepts:
+
+  * single-row dynamic slices of a tiled HBM memref are ILLEGAL
+    ("Slice shape along dimension 0 must be aligned to tiling (8)"),
+    which killed the round-4 per-row-DMA design at production shapes;
+  * 1-D flattened dynamic DMA offsets also fail to compile;
+  * 8-row-aligned block DMAs are legal but move 8x traffic.
+  (measured: scripts/experiment_gather_mechanisms.py on TPU v5e)
 
 Two primitives cover both grid ops (each used once per spin component,
 with the transposed operand for the beta half exactly as in ops/grid.py):
 
-  gather_rows_scaled(x, src, s, t) : out[k,i,j] = x[src[k,i], j]*s[k,i]*t[k,j]
-  gather_reduce(Y, src, s, t)      : out[i,j] = sum_k Y[k, src[k,i], j]*s[k,i]*t[k,j]
+  gather_rows_scaled(x, src, s, t) : out[k,i,:] = x[src[k,i], :]*s[k,i]*t[k,:]
+      x lives in VMEM (lane-blocked when one slab exceeds the budget);
+      the output streams out in (R=8)-row blocks.
+  gather_reduce(Y, src, s, t)      : out[i,:] = sum_k Y[k, src[k,i], :]*s[k,i]*t[k,:]
+      the OUTPUT lives in VMEM as the accumulator across the whole pair
+      sweep; each Y slab streams through VMEM exactly once, so the
+      (n2, Na, Nb) gathered intermediate of the XLA path never exists
+      and total HBM traffic is read(Y) + write(out) — optimal.
 
 f32 only (pallas has no f64 on TPU; the mixed-precision mode is the
 production performance path).  CPU correctness runs through
 ``interpret=True`` (tests/test_pallas_grid.py); on-chip use is gated by
 config.pallas_enabled() until measured faster (scripts/microbench_pallas.py).
+The measured verdict on v5e (BASELINE.md round 4): XLA's own row
+gathers match or beat the legal pallas mechanisms on gather_rows
+(9.7 ms vs 11.6 ms per (144, 928, 1024) op at ncas=12), so the pallas
+path stays OFF by default; gather_reduce's traffic advantage is the one
+open question the A/B tier in bench.py measures.
 
 No reference counterpart: the reference's hot loop was ncas^4 scipy
 sparse matvecs in Python (reference pqc.py:192-218); this is the
@@ -34,110 +49,60 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows per program: R gathered rows ride in flight per grid step.  8 rows
-# of 924-3432 f32 lanes = 30-110 KB VMEM per block -- small against the
-# 16 MB budget, large enough that per-DMA overhead amortizes.
+# rows per streamed output block of gather_rows.
 _R = 8
 
-# lane padding: VMEM row slices (DMA destinations / output rows) must be
-# aligned to the 128-lane tiling, so the Nb axis is padded to a multiple
-# of 128 on the fly (pad lanes are sliced off on return).
+# lane tiling granularity: VMEM blocks must be 128-lane aligned.
 _L = 128
+
+# budget for the VMEM-resident operand slab (plus its double-buffered
+# streaming copy and the resident output block, both counted by the
+# block choosers below).  16 MB VMEM total on v5e; leave headroom for
+# Mosaic's own temporaries.
+_VMEM_BUDGET = 10 * (1 << 20)
 
 # index maps must return i32 under jax_enable_x64 (Python 0 traces as
 # i64, which Mosaic cannot legalize in the index-map func.return)
 _Z = lambda: jnp.int32(0)
 
-# the double-buffered kernels hold FULL (1/n2, Na) src/s rows in SMEM —
-# a scalar-memory footprint the interpret-mode tests cannot validate
-# against the chip's budget.  AUTO_OO_TPU_PALLAS_DB=0 drops the dispatch
-# back to the serial (1, R)-block kernels without code edits if Mosaic
-# rejects the DB specs on hardware.
-import os as _os
 
-_DB_DEFAULT = _os.environ.get("AUTO_OO_TPU_PALLAS_DB", "1") != "0"
-
-
-def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, sem,
-                        *, ns):
-    """One (batch b, pair k, row block r) program: DMA R source rows of
-    x[b] into the output block, then scale rows by s[k, i] and lanes by
-    t[k, :].
-
-    Mosaic tiling: the pair tables arrive as (1, 1, 1, R) SMEM blocks of
-    the padded (n2, nblocks, 1, R) layout and t as a (1, 1, nb) VMEM
-    block — every blocked operand's last two dims equal its block's, the
-    only shape Mosaic accepts for sub-(8,128) tiles.  The batch axis is a
-    leading grid dimension addressing the full (B, Ns, Nb) x in ANY
-    memory space (vmap of a pallas_call cannot batch an ANY operand)."""
-    b = pl.program_id(0)
-    R = o_ref.shape[2]
-    z = jnp.int32(0)
-    # x arrives flattened (B*Ns, Nb): slicing the MAJORMOST axis of a
-    # tiled memref is row-granular; a middle axis would need 8-sublane
-    # alignment.  ns is the static per-batch row count.
-    base = b * jnp.int32(ns)
-    for r in range(R):
-        # src is always in [0, Ns): invalid entries carry src 0 / s 0
-        i = src_ref[0, 0, 0, r]
-        rr = jnp.int32(r)  # mixed static/dynamic indices must stay i32
-        pltpu.make_async_copy(x_ref.at[base + i], o_ref.at[z, z, rr],
-                              sem.at[rr]).start()
-    for r in range(R):
-        rr = jnp.int32(r)
-        pltpu.make_async_copy(x_ref.at[base], o_ref.at[z, z, rr],
-                              sem.at[rr]).wait()
-        o_ref[0, 0, r, :] = (o_ref[0, 0, r, :]
-                             * (s_ref[0, 0, 0, r] * t_ref[0, 0, :]))
-
-
-def _gather_rows_db_kernel(src_ref, s_ref, t_ref, x_ref, o_ref, buf,
-                           sem, *, ns):
-    """Double-buffered gather_rows: row DMAs for the next block start
-    before the current block's rows are scaled into the output, hiding
-    DMA latency.  src/s arrive as the FULL (1, 1, Na_padded) pair row in
-    SMEM so the next block's indices are addressable; DMAs land in
-    scratch and are scaled on the copy into the output block."""
-    b = pl.program_id(0)
-    r = pl.program_id(2)
-    nr = pl.num_programs(2)
-    R = buf.shape[1]
-    base = b * jnp.int32(ns)  # x flattened (B*Ns, Nb), majormost slicing
-
-    def start(rb, slot):
-        slot = jnp.int32(slot)
-        for j in range(R):
-            i = src_ref[0, 0, jnp.int32(rb * R + j)]
-            jj = jnp.int32(j)  # keep mixed dynamic/static indices i32
-            pltpu.make_async_copy(x_ref.at[base + i], buf.at[slot, jj],
-                                  sem.at[slot, jj]).start()
-
-    @pl.when(r == 0)
-    def _():
-        start(0, 0)
-
-    @pl.when(r + 1 < nr)
-    def _():
-        # lax.rem, not %: jnp.remainder's floor-mod lowering recurses in
-        # Mosaic's convert-element-type rule; rem == mod for ids >= 0.
-        start(r + 1, lax.rem(r + 1, jnp.int32(2)))
-
-    cur = lax.rem(r, jnp.int32(2))
-    for j in range(R):
-        jj = jnp.int32(j)
-        pltpu.make_async_copy(x_ref.at[base], buf.at[cur, jj],
-                              sem.at[cur, jj]).wait()
-        o_ref[0, 0, j, :] = buf[cur, jj, :] * (s_ref[0, 0, r * R + j]
-                                               * t_ref[0, 0, :])
-
-
-def _pad_cols(a, m, fill=0):
-    """Pad the last axis of ``a`` up to a multiple of ``m`` with ``fill``."""
-    extra = (-a.shape[-1]) % m
+def _pad_axis(a, axis, m, fill=0):
+    """Pad ``axis`` of ``a`` up to a multiple of ``m`` with ``fill``."""
+    extra = (-a.shape[axis]) % m
     if extra == 0:
         return a
-    pad = [(0, 0)] * (a.ndim - 1) + [(0, extra)]
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, extra)
     return jnp.pad(a, pad, constant_values=fill)
+
+
+def _lane_block(nb_p, resident_rows):
+    """Largest 128-multiple lane block whose resident slab(s) fit the
+    VMEM budget.  ``resident_rows`` counts every row that must be live
+    per lane block (the slab itself, its pipeline double buffer, the
+    resident output block...)."""
+    blk = nb_p
+    while blk > _L and resident_rows * blk * 4 > _VMEM_BUDGET:
+        blk = max(_L, ((blk // 2) + _L - 1) // _L * _L)
+    if resident_rows * blk * 4 > _VMEM_BUDGET:
+        raise ValueError(
+            f"pallas grid kernel: {resident_rows} resident rows exceed "
+            f"the VMEM budget even at the minimum 128-lane block; use "
+            f"the XLA grid path (config.set_pallas(False)) at this size")
+    return blk
+
+
+def _gather_rows_kernel(src_ref, s_ref, t_ref, x_ref, o_ref):
+    """One (batch b, lane block l, pair k, row block r) program: the x
+    slab is VMEM-resident (revisited across the whole inner (k, r)
+    sweep, so it is DMA'd once per (b, l)); R rows are read at dynamic
+    sublane indices, scaled by s[k, i] * t[k, :], and stream out."""
+    r = pl.program_id(3)
+    t = t_ref[0, 0, :]
+    for j in range(_R):
+        jj = r * _R + j
+        i = src_ref[0, 0, jj]
+        o_ref[0, 0, j, :] = x_ref[i, :] * (s_ref[0, 0, jj] * t)
 
 
 @functools.partial(jax.jit,
@@ -150,153 +115,78 @@ def gather_rows_scaled(x, src, s, t, interpret=False,
     f32 -> out (..., n2, Na, Nb) f32.  Invalid src entries must carry
     s == 0 (the grid-map convention: src 0 / sgn 0), which zeroes the
     garbage row.  Na is padded on the fly to a multiple of the row block
-    (pad rows get s == 0 and are sliced off) and Nb to a multiple of 128
-    (Mosaic requires VMEM row slices lane-aligned).  Leading dims of x
-    become a leading grid axis (NOT vmap: Mosaic cannot batch the ANY-
-    space operand).
+    (pad rows get s == 0 and are sliced off), Ns to a multiple of the
+    8-row sublane tile, and Nb to a multiple of 128.  The lane axis is
+    blocked when one (Ns, Nb) slab would overflow VMEM (the slab must be
+    resident — Mosaic has no legal row-granular HBM access).  Leading
+    dims of x become a leading grid axis.
 
-    ``double_buffer`` prefetches the next row block's DMAs while the
-    current block is scaled out (the default; the serial variant exists
-    for A/B measurement, scripts/microbench_pallas.py).
+    ``double_buffer`` is accepted for API compatibility and ignored:
+    the VMEM-resident mechanism has no manual DMA to buffer (the old
+    per-row-DMA kernels did not compile at production shapes).
     """
-    if double_buffer is None:
-        double_buffer = _DB_DEFAULT
+    del double_buffer
     src = src.astype(jnp.int32)  # i64 SMEM scalars break memref_slice
     n2, na = src.shape
     lead = x.shape[:-2]
-    xb = _pad_cols(x.reshape((-1,) + x.shape[-2:]), _L)
-    B, _, nb_p = xb.shape
+    xb = _pad_axis(_pad_axis(x.reshape((-1,) + x.shape[-2:]), -1, _L),
+                   -2, 8)
+    B, ns_p, nb_p = xb.shape
     nb = x.shape[-1]
     nblk = pl.cdiv(na, _R)
     na_p = nblk * _R
-    src_p = _pad_cols(src, _R)
-    s_p = _pad_cols(s, _R)
-    t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
-    ns = xb.shape[1]
-    xf = xb.reshape(B * ns, nb_p)
-    grid = (B, n2, nblk)
-    if double_buffer:
-        out = pl.pallas_call(
-            functools.partial(_gather_rows_db_kernel, ns=ns),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, na_p), lambda b, k, r: (k, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, na_p), lambda b, k, r: (k, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nb_p), lambda b, k, r: (k, _Z(), _Z()),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, _R, nb_p),
-                                   lambda b, k, r: (b, k, r, _Z()),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, n2, na_p, nb_p), x.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((2, _R, nb_p), x.dtype),
-                pltpu.SemaphoreType.DMA((2, _R)),
-            ],
-            interpret=interpret,
-        )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, xf)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_gather_rows_kernel, ns=ns),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, _R),
-                             lambda b, k, r: (k, r, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, _R),
-                             lambda b, k, r: (k, r, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nb_p), lambda b, k, r: (k, _Z(), _Z()),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
-            out_specs=pl.BlockSpec((1, 1, _R, nb_p),
-                                   lambda b, k, r: (b, k, r, _Z()),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, n2, na_p, nb_p), x.dtype),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((_R,))],
-            interpret=interpret,
-        )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R),
-          t3, xf)
+    src_p = _pad_axis(src, -1, _R)
+    s_p = _pad_axis(s, -1, _R)
+    t3 = _pad_axis(t, -1, _L).reshape(n2, 1, nb_p)
+    xf = xb.reshape(B * ns_p, nb_p)
+    nb_blk = _lane_block(nb_p, 2 * ns_p + _R)
+    nl = pl.cdiv(nb_p, nb_blk)
+    out = pl.pallas_call(
+        _gather_rows_kernel,
+        grid=(B, nl, n2, nblk),
+        in_specs=[
+            pl.BlockSpec((1, 1, na_p),
+                         lambda b, l, k, r: (k, _Z(), _Z()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, na_p),
+                         lambda b, l, k, r: (k, _Z(), _Z()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb_blk),
+                         lambda b, l, k, r: (k, _Z(), l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns_p, nb_blk), lambda b, l, k, r: (b, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _R, nb_blk),
+                               lambda b, l, k, r: (b, k, r, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n2, na_p, nb_p), x.dtype),
+        interpret=interpret,
+    )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, xf)
     return out[:, :, :na, :nb].reshape(lead + (n2, na, nb))
 
 
-def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
-                          sem, *, ns):
-    """Grid (B, row blocks, n2) with k fastest: the output block stays
-    resident across the k sweep; each step DMAs R rows of the k-th Y slab
-    and accumulates the scaled block.  Tables arrive as (1, 1, 1, R) SMEM
-    blocks of the padded (n2, nblocks, 1, R) layout (Mosaic tiling)."""
-    b = pl.program_id(0)
+def _gather_reduce_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, *, na):
+    """One (batch b, lane block l, pair k) program: the OUTPUT block is
+    the VMEM-resident accumulator (revisited across the whole k sweep,
+    written back once); the k-th Y slab streams through VMEM, and a
+    fori_loop over output rows does the dynamic-sublane
+    read-modify-write  out[i, :] += Y[src[k, i], :] * s[k, i] * t[k, :].
+    Total HBM traffic over the sweep: read(Y) + write(out)."""
     k = pl.program_id(2)
-    n2 = pl.num_programs(2)
-    R = buf.shape[0]
 
     @pl.when(k == 0)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
-    # Y flattened (B*n2*Ns, Nb): majormost-axis slicing only
-    base = (b * jnp.int32(n2) + k) * jnp.int32(ns)
-    for r in range(R):
-        i = src_ref[0, 0, 0, r]
-        rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[base + i], buf.at[rr],
-                              sem.at[rr]).start()
-    for r in range(R):
-        rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[base], buf.at[rr],
-                              sem.at[rr]).wait()
-        o_ref[0, r, :] = o_ref[0, r, :] + buf[r, :] * (s_ref[0, 0, 0, r]
-                                                       * t_ref[0, 0, :])
+    t = t_ref[0, 0, :]
 
+    def body(i, carry):
+        m = src_ref[0, 0, i]
+        o_ref[i, :] = o_ref[i, :] + y_ref[m, :] * (s_ref[0, 0, i] * t)
+        return carry
 
-def _gather_reduce_db_kernel(src_ref, s_ref, t_ref, y_ref, o_ref, buf,
-                             sem, *, ns):
-    """Double-buffered gather_reduce: the k+1 slab's row DMAs start
-    before the k slab is consumed, hiding DMA latency behind the
-    accumulate (v1 serializes start -> wait -> accumulate per step, so
-    per-row latency dominates the ~0.1 us transfer of each row).  The
-    src/s tables arrive pair-transposed as FULL (1, n2, R) column blocks
-    in SMEM (last two block dims == array dims, per Mosaic tiling) so the
-    next step's indices are addressable."""
-    b = pl.program_id(0)
-    k = pl.program_id(2)
-    n2 = pl.num_programs(2)
-    R = buf.shape[1]
-
-    def start(kk, slot):
-        slot = jnp.int32(slot)
-        kk = jnp.int32(kk)
-        # Y flattened (B*n2*Ns, Nb): majormost-axis slicing only
-        base = (b * jnp.int32(n2) + kk) * jnp.int32(ns)
-        for r in range(R):
-            i = src_ref[0, kk, r]
-            rr = jnp.int32(r)
-            pltpu.make_async_copy(y_ref.at[base + i], buf.at[slot, rr],
-                                  sem.at[slot, rr]).start()
-
-    @pl.when(k == 0)
-    def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
-        start(0, 0)
-
-    @pl.when(k + 1 < n2)
-    def _():
-        start(k + 1, lax.rem(k + 1, jnp.int32(2)))
-
-    cur = lax.rem(k, jnp.int32(2))
-    z = jnp.int32(0)
-    for r in range(R):
-        rr = jnp.int32(r)
-        pltpu.make_async_copy(y_ref.at[z], buf.at[cur, rr],
-                              sem.at[cur, rr]).wait()
-        o_ref[0, r, :] = (o_ref[0, r, :]
-                          + buf[cur, rr, :] * (s_ref[0, k, r]
-                                               * t_ref[0, 0, :]))
+    lax.fori_loop(0, na, body, 0)
 
 
 @functools.partial(jax.jit,
@@ -305,86 +195,57 @@ def gather_reduce(Y, src, s, t, interpret=False, double_buffer=None):
     """out[..., i, j] = sum_k Y[..., k, src[k, i], j] * s[k, i] * t[k, j].
 
     Y (..., n2, Ns, Nb) f32; src/s (n2, Na); t (n2, Nb) -> out
-    (..., Na, Nb) f32.  One spin half of the Hamiltonian-apply reduction:
-    this kernel reads Y once and the (n2, Na, Nb) gathered-and-scaled
-    intermediate of the XLA path never materializes.  (The CALLER still
-    pays one transposed copy of Y for the other spin half — see
-    epq_sum_pallas.)  Leading dims become a leading grid axis.
+    (..., Na, Nb) f32.  One spin half of the Hamiltonian-apply
+    reduction.  The output block stays resident in VMEM as the
+    accumulator across the pair sweep while each Y slab is DMA'd in
+    exactly once, so — unlike the XLA path — the (n2, Na, Nb)
+    gathered-and-scaled intermediate never materializes and the HBM
+    traffic is the information-theoretic floor read(Y) + write(out).
+    (The CALLER still pays one transposed copy of Y for the other spin
+    half — see epq_sum_pallas.)  Leading dims become a leading grid
+    axis; the lane axis is blocked to fit the resident output + streamed
+    slab in VMEM.
 
-    ``double_buffer`` prefetches the next slab's rows while the current
-    slab accumulates (the default; the serial variant exists for A/B
-    measurement, scripts/microbench_pallas.py).
+    ``double_buffer`` is accepted for API compatibility and ignored.
     """
-    if double_buffer is None:
-        double_buffer = _DB_DEFAULT
+    del double_buffer
     src = src.astype(jnp.int32)  # i64 SMEM scalars break memref_slice
     n2, na = src.shape
     lead = Y.shape[:-3]
-    Yb = _pad_cols(Y.reshape((-1,) + Y.shape[-3:]), _L)
-    B, _, ns, nb_p = (Yb.shape[0], Yb.shape[1], Yb.shape[2], Yb.shape[3])
-    Yf = Yb.reshape(B * Yb.shape[1] * ns, nb_p)
+    Yb = _pad_axis(_pad_axis(Y.reshape((-1,) + Y.shape[-3:]), -1, _L),
+                   -2, 8)
+    B, _, ns_p, nb_p = Yb.shape
+    Yf = Yb.reshape(B * n2 * ns_p, nb_p)
     nb = Y.shape[-1]
-    nblk = pl.cdiv(na, _R)
-    na_p = nblk * _R
-    src_p = _pad_cols(src, _R)
-    s_p = _pad_cols(s, _R)
-    t3 = _pad_cols(t, _L).reshape(n2, 1, nb_p)
-    grid = (B, nblk, n2)
-    if double_buffer:
-        # pair-transposed (nblocks, n2, R) table layout: one program's
-        # SMEM block carries the column block for EVERY pair slab k, so
-        # the k+1 prefetch can address its indices.
-        srcT = src_p.reshape(n2, nblk, _R).transpose(1, 0, 2)
-        sT = s_p.reshape(n2, nblk, _R).transpose(1, 0, 2)
-        out = pl.pallas_call(
-            functools.partial(_gather_reduce_db_kernel, ns=ns),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, n2, _R), lambda b, r, k: (r, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n2, _R), lambda b, r, k: (r, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nb_p), lambda b, r, k: (k, _Z(), _Z()),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
-            out_specs=pl.BlockSpec((1, _R, nb_p),
-                                   lambda b, r, k: (b, r, _Z()),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, na_p, nb_p), Y.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((2, _R, nb_p), Y.dtype),
-                pltpu.SemaphoreType.DMA((2, _R)),
-            ],
-            interpret=interpret,
-        )(srcT, sT, t3, Yf)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_gather_reduce_kernel, ns=ns),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, 1, _R),
-                             lambda b, r, k: (k, r, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 1, _R),
-                             lambda b, r, k: (k, r, _Z(), _Z()),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, nb_p), lambda b, r, k: (k, _Z(), _Z()),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            ],
-            out_specs=pl.BlockSpec((1, _R, nb_p),
-                                   lambda b, r, k: (b, r, _Z()),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, na_p, nb_p), Y.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((_R, nb_p), Y.dtype),
-                pltpu.SemaphoreType.DMA((_R,)),
-            ],
-            interpret=interpret,
-        )(src_p.reshape(n2, nblk, 1, _R), s_p.reshape(n2, nblk, 1, _R),
-          t3, Yf)
-    return out[:, :na, :nb].reshape(lead + (na, nb))
+    na_p = pl.cdiv(na, 8) * 8
+    src_p = _pad_axis(src, -1, 8)
+    s_p = _pad_axis(s, -1, 8)
+    t3 = _pad_axis(t, -1, _L).reshape(n2, 1, nb_p)
+    # resident rows per lane block: the (na_p, blk) output accumulator
+    # plus two (ns_p, blk) Y-slab pipeline buffers
+    nb_blk = _lane_block(nb_p, na_p + 2 * ns_p)
+    nl = pl.cdiv(nb_p, nb_blk)
+    out = pl.pallas_call(
+        functools.partial(_gather_reduce_kernel, na=na),
+        grid=(B, nl, n2),
+        in_specs=[
+            pl.BlockSpec((1, 1, na_p), lambda b, l, k: (k, _Z(), _Z()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, na_p), lambda b, l, k: (k, _Z(), _Z()),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb_blk), lambda b, l, k: (k, _Z(), l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns_p, nb_blk),
+                         lambda b, l, k, _n2=n2: (b * _n2 + k, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((na_p, nb_blk), lambda b, l, k: (b, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * na_p, nb_p), Y.dtype),
+        interpret=interpret,
+    )(src_p.reshape(n2, 1, na_p), s_p.reshape(n2, 1, na_p), t3, Yf)
+    return (out.reshape(B, na_p, nb_p)[:, :na, :nb]
+            .reshape(lead + (na, nb)))
 
 
 def _f32(a):
