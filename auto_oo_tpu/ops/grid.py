@@ -377,10 +377,11 @@ def _phi_rows_xla(x, gm, r0, r1):
     return pa + pb
 
 
-# full-Y ceiling for the row-streamed Hamiltonian apply: one (n2, D)
-# buffer only (Phi never materializes).  10 GB admits the f32/mixed
-# (14e,14o) Y (9.2 GB) inside 15.75 GB HBM next to the state and output;
-# the f64 Y (18.5 GB) falls through to the pair-streamed kernel.
+# HBM ceiling for the row-streamed Hamiltonian apply's pair-blocked Y
+# buffers (Phi never materializes).  The call site (ops/hamiltonian.py)
+# sizes pair blocks to ~1/5 of this: the scan-stacked Ys, their
+# moveaxis+reshape copy and epq_sum's gather/transpose temporaries are
+# each block-sized, so ~5 block-sized buffers are live at peak.
 _Y_BUDGET_BYTES = 10 << 30
 
 
@@ -446,9 +447,9 @@ def ham_apply_rows(c1eff_flat, C2, x, gm, row_chunk, pair_block=None):
     ceil(n2/pair_block) full-Phi passes (vs O(n2/chunk) for the
     pair-streamed ham_apply_chunked).  Y is materialized only as a
     (..., pair_block, D) buffer; ``pair_block=None`` means all n2 pairs
-    (one pass, one full Y — requires _Y_BUDGET_BYTES of headroom).
-    At (14e,14o): f32 runs one pass (Y = 9.2 GB), f64 two passes
-    (pair_block ~ 106, Y blocks ~ 10 GB).
+    (one pass, one full Y).  Callers must size pair_block for ~5 live
+    block-sized buffers (see _Y_BUDGET_BYTES); at (14e,14o) f64 that is
+    ~21 pairs per block, ~10 Phi passes.
 
     The row chunks run under lax.scan, NOT a Python loop: an unrolled
     loop lets the XLA scheduler keep every chunk's Phi temp live at
@@ -472,7 +473,13 @@ def ham_apply_rows(c1eff_flat, C2, x, gm, row_chunk, pair_block=None):
             srcA_k, sgnA_k, tA_k, rows_k = xs
             phi_c = _phi_chunk(xg, rows_k, srcA_k, sgnA_k, tA_k, gm,
                                x.dtype)
-            y = (jnp.einsum("pr,...rij->...pij", C2x[lo:hi], phi_c)
+            L = phi_c.shape[-2] * phi_c.shape[-1]
+            # small_matmul_free_last, not a raw einsum: slices the large
+            # free axis so the f64 emulation's operand expansion stays
+            # bounded (see rdms_rows)
+            yc = _rdms_mod().small_matmul_free_last(
+                C2x[lo:hi], phi_c.reshape(phi_c.shape[:-2] + (L,)))
+            y = (yc.reshape(yc.shape[:-1] + phi_c.shape[-2:])
                  + c1x[lo:hi, None, None] * rows_k[..., None, :, :])
             return 0, y
 
@@ -510,8 +517,13 @@ def rdms_rows(psi, gm, ncas, row_chunk):
         phi_c = _phi_chunk(psig, rows_k, srcA_k, sgnA_k, tA_k, gm,
                            psi.dtype).reshape(n2, -1)
         bra_c = jnp.conj(rows_k).reshape(-1)
-        gamma = gamma + jnp.real(phi_c @ bra_c)
-        corr = corr + jnp.real(jnp.conj(phi_c) @ phi_c.T)
+        # gram_last, not raw dots: the chunk axis L = row_chunk*Nb is
+        # ~683k at (14e,14o), and an unchunked f64 dot's ~8x f32
+        # operand expansion is ~4 GB per side (the second demo OOM);
+        # gram_last slices L above 2^18 so the expansion stays ~400 MB
+        gram = _rdms_mod().gram_last
+        gamma = gamma + jnp.real(gram(phi_c, bra_c))
+        corr = corr + jnp.real(gram(jnp.conj(phi_c), phi_c))
         return (gamma, corr), None
 
     (gamma, corr), _ = jax.lax.scan(

@@ -65,10 +65,13 @@ def ham_apply(c1eff, c2, chi, ncas, up_then_down=False, maps=None,
         if phi_pre is None and chunk < n2:
             # (14e,14o)-scale: Phi cannot be materialized.  Stream Phi
             # over grid A-rows (each element built once per pass) into
-            # pair-blocked Y buffers sized to the HBM budget — one pass
-            # when the full Y fits (f32), two at f64
-            # (ops/grid.ham_apply_rows).
-            pair_block = max(1, int(_Y_BUDGET_BYTES
+            # pair-blocked Y buffers (ops/grid.ham_apply_rows).  The
+            # budget divides by ~5 live block-sized buffers: the scan-
+            # stacked Ys, its moveaxis+reshape copy, and epq_sum's
+            # alpha gather + beta transpose + beta gather (an AOT
+            # compile at (14e,14o) f64 measured 27.4 GB with the block
+            # sized to the raw budget — 3 allocations of ~5 GB each)
+            pair_block = max(1, int((_Y_BUDGET_BYTES // 5)
                                     // max(1, B * D * itemsize)))
             out = ham_apply_rows(c1f, C2g, x, maps,
                                  _row_chunk(B, n2, maps.Nb, itemsize),

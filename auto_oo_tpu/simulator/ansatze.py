@@ -131,25 +131,46 @@ def gatefabric_full_shape(n_layers, n_qubits):
 
 
 def gatefabric_redundant_idx(ncas, nelecas):
-    """Flat indices of theta entries redundant when starting from HF
-    (reference pqc.py:144-158, reproduced exactly).
+    """Flat indices of theta entries redundant when starting from HF:
+    the first-layer offset-0 bricks acting entirely within the occupied
+    or entirely within the virtual qubits (reference pqc.py:144-158).
 
-    The elimination pattern is derived for a CLOSED-SHELL HF start
-    (all-occupied / all-virtual 4-qubit blocks); for an open-shell
-    (n_alpha, n_beta) reference no block is guaranteed redundant, so no
-    parameters are eliminated."""
+    Reproduces the reference's index arithmetic, FILTERED to the
+    entries whose brick genuinely lies inside one side of the
+    occupied/virtual boundary.  The reference's virtual-side range
+    starts at ``2*((n_qubits-nelecas)//4)`` which, for
+    nelecas % 4 == 2 with even ncas (e.g. any half-filled
+    odd-pair-count space: (6e,6o), (10e,10o), (14e,14o)), also
+    eliminates the one brick STRADDLING the boundary — the only
+    first-sub-layer brick that acts on HF at all — leaving layer 1 of
+    the fabric a complete no-op from the HF start (a reference bug of
+    the same class as its kappa-trajectory bug; its own tests only
+    cover configurations where the arithmetic happens to be exact).
+    The filter never removes a justified elimination and never adds a
+    new one, so theta_shape matches the reference everywhere the
+    reference is correct.
+
+    The elimination pattern is derived for a CLOSED-SHELL HF start;
+    for an open-shell (n_alpha, n_beta) reference no brick is
+    guaranteed redundant, so no parameters are eliminated."""
     if isinstance(nelecas, (tuple, list)):
         if nelecas[0] != nelecas[1]:
             return []
         nelecas = int(nelecas[0]) * 2
     n_qubits = 2 * ncas
-    if n_qubits > 4:
-        redundant = list(range(0, 2 * (nelecas // 4)))
-        if ncas % 2 == 0:
-            redundant += list(range(2 * ((n_qubits - nelecas) // 4),
-                                    2 * (n_qubits // 4)))
-    else:
-        redundant = []
+    if n_qubits <= 4:
+        return []
+    candidate = list(range(0, 2 * (nelecas // 4)))
+    if ncas % 2 == 0:
+        candidate += list(range(2 * ((n_qubits - nelecas) // 4),
+                                2 * (n_qubits // 4)))
+    redundant = []
+    for x in candidate:
+        lo = 4 * (x // 2)            # offset-0 brick of flat entry x
+        all_occupied = lo + 3 < nelecas
+        all_virtual = lo >= nelecas
+        if (all_occupied or all_virtual) and x not in redundant:
+            redundant.append(x)
     return redundant
 
 

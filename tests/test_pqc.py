@@ -156,3 +156,38 @@ def test_gatefabric_circuit_flat_api():
     state = np.asarray(auto_oo_tpu.gatefabric_circuit(theta, 2, 2,
                                                       n_layers=1))
     assert abs(np.linalg.norm(state) - 1.0) < 1e-12
+
+
+def test_gatefabric_redundant_idx_geometry():
+    """Every eliminated parameter must belong to a first-sub-layer brick
+    lying entirely inside the occupied or the virtual qubits, and the
+    straddling brick must never be eliminated (the reference's index
+    arithmetic at pqc.py:146-150 strips it for nelecas % 4 == 2 with
+    even ncas — e.g. (6e,6o) — leaving layer 1 a no-op from HF)."""
+    from auto_oo_tpu.simulator.ansatze import gatefabric_redundant_idx
+
+    for ncas in range(2, 11):
+        for nelecas in range(2, 2 * ncas + 1, 2):
+            red = gatefabric_redundant_idx(ncas, nelecas)
+            assert len(red) == len(set(red))
+            for x in red:
+                lo = 4 * (x // 2)
+                assert lo + 3 < nelecas or lo >= nelecas, (
+                    ncas, nelecas, x)
+
+
+def test_gatefabric_half_filled_not_degenerate():
+    """(6e,6o) np_fabric must MOVE the HF state for nonzero theta —
+    with the reference's over-elimination the whole L=1 fabric was an
+    exact no-op from the HF start (measured at (6e,6o)/(10e,10o)/
+    (14e,14o): zero gradient, E(theta) == E_HF for every theta)."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    for sector in (False, True):
+        pqc = Parameterized_circuit(6, 6, ansatz="np_fabric",
+                                    n_layers=1, sector=sector)
+        rng = np.random.default_rng(7)
+        theta = jnp.asarray(rng.standard_normal(pqc.theta_shape))
+        moved = float(jnp.linalg.norm(
+            pqc.state(theta) - pqc.state(pqc.init_zeros())))
+        assert moved > 1e-3, (sector, moved)
