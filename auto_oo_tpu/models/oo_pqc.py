@@ -52,6 +52,12 @@ from ..utils.newton_raphson import damped_newton_step_pure
 from .oo_energy import OO_energy
 
 
+# test escape hatch: force the streamed (no materialized Phi) per-tangent
+# Hessian rows in grad_hess_staged at any D, so streamed == fused can be
+# pinned at small shapes (list so tests can flip it in place)
+_FORCE_STREAMED_ROWS = [False]
+
+
 def _lowp(x):
     """f64-family -> f32-family cast (mixed-precision mode); ints and
     already-low dtypes pass through."""
@@ -430,7 +436,9 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _misc(c0, psi, Hpsi, J):
         e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
         w = 2.0 * Hpsi
-        return e0, w, jnp.real(jnp.conj(J) @ w)
+        # gram_last, not a raw J @ w: at (14e,14o) the unchunked f64
+        # dot's operand expansion on the (nt, D) Jacobian is ~5 GB
+        return e0, w, jnp.real(_rdms.gram_last(jnp.conj(J), w))
 
     def _term2(theta, w, tables):
         maps = pqc._maps_from(tables)
@@ -515,6 +523,31 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                       - jnp.einsum("qr,ps->pqrs", delta, dgamma))
             return HJrow, _pack(h1, g2, dgamma, dGamma) - G0
 
+    def _row_streamed(Jrow, psi, h1, g2, G0, c1eff, c2, tables):
+        """Per-tangent program for (14e,14o)+ grid sectors where a full
+        (n2, D) Phi cannot materialize: the Hamiltonian apply streams
+        its own Phi internally (pair-blocked, ops/grid.ham_apply_rows)
+        and the transition-RDM row streams both Phis over grid A-rows
+        (ops/grid.transition_rdms_rows) — same math as _row_fused, no
+        (n2, D) buffer anywhere."""
+        from ..ops.grid import transition_rdms_rows, _row_chunk
+        with prec_ctx():
+            Jrow, psi = lp(Jrow), lp(psi)
+            h1, g2, G0, c1eff, c2 = (lp(h1), lp(g2), lp(G0), lp(c1eff),
+                                     lp(c2))
+            maps = pqc._maps_from(tables)
+            HJrow = _ham.ham_apply(c1eff, c2, Jrow, ncas, utd, maps)
+            itemsize = jnp.dtype(Jrow.dtype).itemsize
+            dgamma_f, dcorr = transition_rdms_rows(
+                psi, Jrow, maps, ncas,
+                _row_chunk(1, n2s, maps.Nb, itemsize))
+            dgamma = dgamma_f.reshape(ncas, ncas)
+            delta = jnp.eye(ncas, dtype=dgamma.dtype)
+            dGamma = (jnp.transpose(
+                dcorr.reshape(ncas, ncas, ncas, ncas), (1, 0, 2, 3))
+                - jnp.einsum("qr,ps->pqrs", delta, dgamma))
+            return HJrow, _pack(h1, g2, dgamma, dGamma) - G0
+
     def _assemble(grad_c, grad_o, hess_cc, oc_stack, hess_oo):
         hess_oc = oc_stack.T.reshape(n_kappa, nt).astype(jnp.float64)
         grad = jnp.concatenate([grad_c, grad_o])
@@ -543,6 +576,18 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
 
     _rows_fused = jax.vmap(_row_fused,
                            in_axes=(0,) + (None,) * 8)
+    _rows_streamed = jax.vmap(_row_streamed,
+                              in_axes=(0,) + (None,) * 7)
+
+    # a full (n2, D) Phi fits comfortably up to ~(12e,12o) (1 GB f64);
+    # above that ((14e,14o): 18.5 GB) every per-tangent row program must
+    # stream its own Phi (grid sectors only — dense paths never reach
+    # such D).  _FORCE_STREAMED_ROWS is the test escape hatch pinning
+    # streamed == fused at small D.
+    from ..ops.grid import _pair_chunk as __pair_chunk
+    _grid_staged = pqc.grid_program is not None
+    _phi_fits = (not _grid_staged) or (
+        __pair_chunk(1, D_prog, n2s, 8) >= n2s)
 
     def grad_hess_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                          tables):
@@ -550,10 +595,16 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             oao, int1e_ao, int2e_ao, oao_coeff, nuc)
         psi, J = _sj("stateJ", _state_and_J)(theta, tables)
         Hpsi = _sj("hrow", _hrow)(c1eff, c2, psi, tables)
-        phi = _sj("phi", _phi_of)(psi, tables)
-        gamma, Gamma = _sj("rdms", _rdms_of)(phi, psi)
+        streamed = _grid_staged and (not _phi_fits
+                                     or _FORCE_STREAMED_ROWS[0])
+        if streamed:
+            gamma, Gamma = _sj("rdms_s", _rdms_streamed)(psi, tables)
+        else:
+            phi = _sj("phi", _phi_of)(psi, tables)
+            gamma, Gamma = _sj("rdms", _rdms_of)(phi, psi)
         grad_o, G0, hess_oo = _sj("orb", _orb)(h1, g2, gamma, Gamma)
-        rows = _sj("rows", _rows_fused)
+        rows = (_sj("rows_s", _rows_streamed) if streamed
+                else _sj("rows", _rows_fused))
         ck = _stage_chunk
         n_chunks = -(-nt // ck)
         pad = n_chunks * ck - nt
@@ -561,8 +612,13 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             [J, jnp.zeros((pad,) + J.shape[1:], J.dtype)]) if pad else J)
         HJ_parts, oc_parts = [], []
         for c in range(n_chunks):
-            HJc, occ_c = rows(Jp[c * ck:(c + 1) * ck], phi, psi, h1, g2,
-                              G0, c1eff, c2, tables)
+            Jc = Jp[c * ck:(c + 1) * ck]
+            if streamed:
+                HJc, occ_c = rows(Jc, psi, h1, g2, G0, c1eff, c2,
+                                  tables)
+            else:
+                HJc, occ_c = rows(Jc, phi, psi, h1, g2, G0, c1eff, c2,
+                                  tables)
             HJ_parts.append(HJc)
             oc_parts.append(occ_c)
         HJ = jnp.concatenate(HJ_parts)[:nt]

@@ -538,6 +538,51 @@ def rdms_rows(psi, gm, ncas, row_chunk):
     return gamma, Gamma
 
 
+def transition_rdms_rows(psi, tpsi, gm, ncas, row_chunk):
+    """Transition-RDM rows of a GRID-ordered state/tangent pair with Phi
+    streamed over grid A-rows — the (14e,14o)-scale form of the
+    per-tangent Hessian row (models/oo_pqc._row_fused), where a full
+    (n2, D) Phi (18.5 GB f64 at D = 11.78M) cannot materialize:
+
+        dgamma[pq]   = Re( (E_pq tpsi)·conj(psi) + (E_pq psi)·conj(tpsi) )
+        dcorr[pq,rs] = Re( <E_qp tpsi|E_rs psi> + <E_qp psi|E_rs tpsi> )
+
+    identical pair ordering/conjugation to the dense-phi formulas in
+    _row_fused (dgram/dgamma there).  Both Phi chunks are built once per
+    A-row chunk and consumed by MXU grams; peak extra memory is two
+    (n2, chunk·Nb) blocks, total gather traffic one full-Phi pass per
+    state.  Returns (dgamma (n2,), dcorr (n2, n2)), real dtype."""
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    psig = _as_grid2d(psi, gm)
+    tpsig = _as_grid2d(tpsi, gm)
+    rdt = jnp.zeros((), dtype=psi.dtype).real.dtype
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _row_scan_tables(gm, row_chunk)
+    rows_p = _pad_rows(psig, pad).reshape((nchunk, row_chunk, Nb))
+    rows_t = _pad_rows(tpsig, pad).reshape((nchunk, row_chunk, Nb))
+    gram = _rdms_mod().gram_last
+
+    def body(carry, xs):
+        dgamma, dcorr = carry
+        srcA_k, sgnA_k, tA_k, rp_k, rt_k = xs
+        phi_p = _phi_chunk(psig, rp_k, srcA_k, sgnA_k, tA_k, gm,
+                           psi.dtype).reshape(n2, -1)
+        phi_t = _phi_chunk(tpsig, rt_k, srcA_k, sgnA_k, tA_k, gm,
+                           tpsi.dtype).reshape(n2, -1)
+        bra_p = jnp.conj(rp_k).reshape(-1)
+        bra_t = jnp.conj(rt_k).reshape(-1)
+        dgamma = dgamma + jnp.real(gram(phi_t, bra_p)
+                                   + gram(phi_p, bra_t))
+        dcorr = dcorr + jnp.real(gram(jnp.conj(phi_t), phi_p)
+                                 + gram(jnp.conj(phi_p), phi_t))
+        return (dgamma, dcorr), None
+
+    (dgamma, dcorr), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((n2,), dtype=rdt), jnp.zeros((n2, n2), dtype=rdt)),
+        (srcA_c, sgnA_c, tA_c, rows_p, rows_t))
+    return dgamma, dcorr
+
+
 def epq_sum(Y, gm, full_pairs=True):
     """out = sum_pq E_pq Y[..., pq, :] — the reduction half of the
     Hamiltonian apply.  Y (..., n2, Ds) and the result (..., Ds) are

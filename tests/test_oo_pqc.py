@@ -245,3 +245,33 @@ def test_device_loop_rejected_for_staged_pipeline():
     oo._full_opt_jit = None  # what _build_nr_core sets when use_staged
     with pytest.raises(ValueError, match="staged"):
         oo.full_optimization(pqc.init_zeros(), device_loop=True)
+
+
+@pytest.mark.slow
+def test_streamed_rows_equal_fused():
+    """The streamed per-tangent Hessian rows (no materialized (n2, D)
+    Phi — the (14e,14o)-scale path: ham_apply streams its own Phi,
+    transition RDMs stream both Phis over grid A-rows) must equal the
+    fused-phi staged pipeline exactly.  Forced on at small D via the
+    module escape hatch.  (~10 min on the CPU mesh: compiles both row
+    pipelines at (4e,4o) sector.)"""
+    import jax.numpy as jnp
+    from auto_oo_tpu.models import oo_pqc as _mod
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=2,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    core, margs = oo._core, oo._mol_args
+    e_f, g_f, h_f = core["grad_hess_staged"](
+        theta, oo.oao_mo_coeff, *margs)
+    _mod._FORCE_STREAMED_ROWS[0] = True
+    try:
+        e_s, g_s, h_s = core["grad_hess_staged"](
+            theta, oo.oao_mo_coeff, *margs)
+    finally:
+        _mod._FORCE_STREAMED_ROWS[0] = False
+    assert abs(float(e_f) - float(e_s)) < 1e-12
+    assert np.allclose(np.asarray(g_f), np.asarray(g_s), atol=1e-12)
+    assert np.allclose(np.asarray(h_f), np.asarray(h_s), atol=1e-11)
