@@ -440,29 +440,49 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         # dot's operand expansion on the (nt, D) Jacobian is ~5 GB
         return e0, w, jnp.real(_rdms.gram_last(jnp.conj(J), w))
 
-    def _term2(theta, w, tables):
+    def _term2_scalar(tables):
+        """The scalar whose theta-Hessian is term2: f(th) = Re<psi(th)|w>.
+        Returns (f, lowered tables/weight prep) respecting mixed mode."""
         maps = pqc._maps_from(tables)
         from ..ops.grid import GridMaps as _GM, from_grid as _fg
         is_grid = isinstance(maps, _GM)
         grid_state = is_grid and pqc.grid_program is not None
-        if is_grid and not grid_state:
-            w = _fg(w, maps)  # canonical simulator, grid-ordered w
 
         def state_of(th, tabs):
             return (pqc._state_impl_grid(th, tabs) if grid_state
                     else pqc._state_impl(th, tabs))
 
-        if mixed:
-            tabs_l = _lowp_tables(tables)
-            w_l = lp(w)
-            with prec_ctx():
-                return jax.jacfwd(jax.grad(
-                    lambda th: jnp.real(state_of(th, tabs_l)
-                                        @ jnp.conj(w_l))))(
-                    theta.astype(jnp.float32))
-        return jax.jacfwd(jax.grad(
-            lambda th: jnp.real(state_of(th, tables)
-                                @ jnp.conj(w))))(theta)
+        def prep_w(w):
+            if is_grid and not grid_state:
+                w = _fg(w, maps)  # canonical simulator, grid-ordered w
+            return lp(w)
+
+        tabs = _lowp_tables(tables) if mixed else tables
+        return state_of, prep_w, tabs
+
+    def _term2(theta, w, tables):
+        state_of, prep_w, tabs = _term2_scalar(tables)
+        w = prep_w(w)
+        th0 = theta.astype(jnp.float32) if mixed else theta
+        with prec_ctx():
+            return jax.jacfwd(jax.grad(
+                lambda th: jnp.real(state_of(th, tabs)
+                                    @ jnp.conj(w))))(th0)
+
+    def _term2_hvp(theta, w, tables, v):
+        """One Hessian row of Re<psi(th)|w> via jvp-of-grad: the
+        (14e,14o)+ streamed path, where the full jacfwd(grad) program's
+        tangent-batched VJP residuals (~4 GB per tangent at D = 11.78M)
+        cannot all be live at once.  One dispatch per tangent keeps the
+        program at a single tangent's working set."""
+        state_of, prep_w, tabs = _term2_scalar(tables)
+        w = prep_w(w)
+        th0 = theta.astype(jnp.float32) if mixed else theta
+        v = v.astype(th0.dtype)
+        with prec_ctx():
+            g = jax.grad(lambda th: jnp.real(state_of(th, tabs)
+                                             @ jnp.conj(w)))
+            return jax.jvp(g, (th0,), (v,))[1]
 
     def _cc(J, HJ, term2):
         with prec_ctx():
@@ -625,7 +645,13 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         oc = (jnp.concatenate(oc_parts)[:nt] if n_kappa
               else jnp.zeros((nt, 0), dtype=jnp.float64))
         e0, w, grad_c = _sj("misc", _misc)(c0, psi, Hpsi, J)
-        term2 = _sj("term2", _term2)(theta, w, tables)
+        if streamed:
+            eye = jnp.eye(nt, dtype=theta.dtype)
+            term2 = jnp.stack([
+                _sj("term2_hvp", _term2_hvp)(theta, w, tables, eye[i])
+                for i in range(nt)])
+        else:
+            term2 = _sj("term2", _term2)(theta, w, tables)
         hess_cc = _sj("cc", _cc)(J, HJ, term2)
         grad, hess = _sj("asm", _assemble)(grad_c, grad_o, hess_cc, oc,
                                            hess_oo)
