@@ -612,3 +612,120 @@ def _epq_sum_xla(Y, gm):
                     * gm.tA.astype(dt)[:, None, :], axis=-3)
     out = outA + jnp.swapaxes(outBt, -1, -2)
     return out.reshape(Y.shape[:-2] + (gm.dim,))
+
+
+# ---- spin-lowering (S^-) maps on the string grid ------------------------
+# S^2 diagnostics at (14e,14o)+ scale: the flat cross-sector tables of
+# simulator/sector.sector_sminus_maps are (ncas, D_target) over the full
+# PRODUCT basis — ~10 GB host / ~17 GB device gather traffic at
+# (16e,16o) — while S^- = sum_p a^dag_{p,beta} a_{p,alpha} factorizes
+# over spin strings exactly like E_pq (reference capability via
+# qml.qchem.spin2, active_space.py:243-253, dense-only): the
+# Jordan-Wigner sign parity_below(S, P_alpha) * parity_below(S^bit, P_beta)
+# splits into an alpha-string factor times a beta-string factor because
+# alpha and beta bits are disjoint.  Host cost O(ncas * (Na' + Nb')),
+# device cost ncas row+column gathers of the grid state.
+
+
+class SMinusGridMaps(NamedTuple):
+    """Per-orbital string-factorized maps of S^-: sector (na, nb) ->
+    (na-1, nb+1).  Target-indexed: for target grid cell (i', j') and
+    orbital p, the source cell is (srcAm[p, i'], srcBp[p, j']) with
+    sign fA[p, i'] * fB[p, j'] (0 marks an invalid transfer)."""
+
+    srcAm: jnp.ndarray  # (ncas, Na_t) alpha source rank (p annihilated)
+    fA: jnp.ndarray     # (ncas, Na_t) alpha sign factor, 0 = invalid
+    srcBp: jnp.ndarray  # (ncas, Nb_t) beta source rank (p created)
+    fB: jnp.ndarray     # (ncas, Nb_t) beta sign factor, 0 = invalid
+
+
+def sminus_grid_maps(ncas, nelecas, up_then_down=False):
+    """SMinusGridMaps for the (na, nb) sector, or None when S^- is the
+    zero map (na = 0 or nb = ncas).  Same splitting convention as
+    grid_perms (beta gets the floor)."""
+    if isinstance(nelecas, (tuple, list)):
+        na, nb = int(nelecas[0]), int(nelecas[1])
+    else:
+        nb = int(nelecas) // 2
+        na = int(nelecas) - nb
+    if na - 1 < 0 or nb + 1 > ncas:
+        return None
+    nm = 2 * ncas
+    A = spin_strings(ncas, na, 0, up_then_down)
+    At = spin_strings(ncas, na - 1, 0, up_then_down)
+    B = spin_strings(ncas, nb, 1, up_then_down)
+    Bt = spin_strings(ncas, nb + 1, 1, up_then_down)
+    srcAm = np.zeros((ncas, At.size), dtype=np.int32)
+    fA = np.zeros((ncas, At.size), dtype=np.int8)
+    srcBp = np.zeros((ncas, Bt.size), dtype=np.int32)
+    fB = np.zeros((ncas, Bt.size), dtype=np.int8)
+    for p in range(ncas):
+        Pa = fermion.mode_of(p, 0, ncas, up_then_down)
+        Pb = fermion.mode_of(p, 1, ncas, up_then_down)
+        bita = 1 << (nm - 1 - Pa)
+        bitb = 1 << (nm - 1 - Pb)
+        # alpha: target A' lacks p; source A = A' + p.  JW alpha factor:
+        # parity_below(A, P_alpha) [annihilation, on the source string]
+        # * parity_below(A', P_beta) [creation step sees A' = A - p]
+        validA = (At & bita) == 0
+        srcA_full = np.where(validA, At | bita, A[0])
+        pos = np.minimum(np.searchsorted(A, srcA_full), A.size - 1)
+        validA &= A[pos] == srcA_full
+        sA = (fermion._parity_below(srcA_full, Pa, nm)
+              * fermion._parity_below(At, Pb, nm))
+        srcAm[p] = np.where(validA, pos, 0)
+        fA[p] = np.where(validA, sA, 0)
+        # beta: target B' contains p; source B = B' - p.  JW beta factor:
+        # parity_below(B, P_alpha) * parity_below(B, P_beta) (the beta
+        # string is B at both steps — only the alpha bit changed between
+        # them)
+        validB = (Bt & bitb) != 0
+        srcB_full = np.where(validB, Bt ^ bitb, B[0])
+        posB = np.minimum(np.searchsorted(B, srcB_full), B.size - 1)
+        validB &= B[posB] == srcB_full
+        sB = (fermion._parity_below(srcB_full, Pa, nm)
+              * fermion._parity_below(srcB_full, Pb, nm))
+        srcBp[p] = np.where(validB, posB, 0)
+        fB[p] = np.where(validB, sB, 0)
+    return SMinusGridMaps(
+        srcAm=jnp.asarray(srcAm), fA=jnp.asarray(fA),
+        srcBp=jnp.asarray(srcBp), fB=jnp.asarray(fB))
+
+
+def sminus_apply_grid(psi_grid, sm):
+    """v = S^- psi on the grid: psi_grid (..., Na, Nb) -> (..., Na', Nb').
+    One row gather + one column gather + a rank-1 sign scale per orbital,
+    accumulated by lax.scan — peak memory one target-grid buffer."""
+    dt = psi_grid.dtype
+
+    def step(acc, maps_p):
+        srcA_p, fA_p, srcB_p, fB_p = maps_p
+        rows = psi_grid[..., srcA_p, :]
+        cell = rows[..., :, srcB_p]
+        sgn = (fA_p.astype(dt)[:, None] * fB_p.astype(dt)[None, :])
+        return acc + cell * sgn, None
+
+    Na_t = sm.srcAm.shape[1]
+    Nb_t = sm.srcBp.shape[1]
+    acc0 = jnp.zeros(psi_grid.shape[:-2] + (Na_t, Nb_t), dtype=dt)
+    out, _ = jax.lax.scan(step, acc0,
+                          (sm.srcAm, sm.fA, sm.srcBp, sm.fB))
+    return out
+
+
+def s2_expectation_grid(psi, gm, sm, nelecas):
+    """<S^2> of a grid-sector state via ||S^- psi||^2 + Sz^2 - Sz.
+    ``psi`` is CANONICAL (sorted) order — converted here; pass a 2-D
+    (Na, Nb) grid array to skip the conversion."""
+    if isinstance(nelecas, (tuple, list)):
+        na, nb = int(nelecas[0]), int(nelecas[1])
+    else:
+        nb = int(nelecas) // 2
+        na = int(nelecas) - nb
+    sz = 0.5 * (na - nb)
+    if sm is None:
+        return jnp.asarray(sz * sz - sz + 0.0)
+    if psi.ndim == 1:
+        psi = _as_grid2d(to_grid(psi, gm), gm)
+    v = sminus_apply_grid(psi, sm)
+    return jnp.real(jnp.vdot(v, v)) + sz * sz - sz

@@ -398,11 +398,20 @@ class Parameterized_circuit:
     # -- spin diagnostics -------------------------------------------------
 
     def _s2maps(self):
-        """Lazy S^- cross-sector maps (sector mode only)."""
+        """Lazy S^- maps (sector mode only).  Grid-mode circuits get the
+        string-factorized maps (ops/grid.sminus_grid_maps, O(Na'+Nb')
+        host / ncas grid gathers device); flat sector circuits keep the
+        cross-sector element tables — those are O(D_target) and stop
+        fitting around (16e,16o) (~10 GB host)."""
         if getattr(self, "_sector_s2maps", ()) == ():
-            from . import sector as _sector
-            self._sector_s2maps = _sector.sector_sminus_maps(
-                self.ncas, self.nelecas)
+            from ..ops import grid as _grid
+            if isinstance(self.sector_maps, _grid.GridMaps):
+                self._sector_s2maps = _grid.sminus_grid_maps(
+                    self.ncas, self.nelecas, self.up_then_down)
+            else:
+                from . import sector as _sector
+                self._sector_s2maps = _sector.sector_sminus_maps(
+                    self.ncas, self.nelecas)
         return self._sector_s2maps
 
     def s2_expectation(self, theta):
@@ -422,6 +431,11 @@ class Parameterized_circuit:
         from . import sector as _sector
         state = jnp.asarray(state)
         if self.sector:
+            from ..ops import grid as _grid
+            if isinstance(self.sector_maps, _grid.GridMaps):
+                return _grid.s2_expectation_grid(
+                    state, self.sector_maps, self._s2maps(),
+                    self.nelecas)
             return _sector.s2_expectation_sector(
                 state, self._s2maps(), self.nelecas)
         s2 = _rdms.s2_matrix(self.ncas).astype(

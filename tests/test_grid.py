@@ -397,3 +397,40 @@ def test_grid_program_adjoint_gradients(ncas, nelec, ansatz):
         pqc._expand_theta(theta), p) @ w)(psi0)
     np.testing.assert_allclose(np.asarray(gp_a), np.asarray(gp_p),
                                rtol=0, atol=1e-13)
+
+
+@pytest.mark.parametrize("ncas,nelec", [(4, 4), (4, (3, 1)), (3, (2, 2)),
+                                        (4, (1, 3)), (4, (0, 2)),
+                                        (3, (3, 3))])
+def test_sminus_grid_s2_matches_dense(ncas, nelec):
+    """Grid-native <S^2> (string-factorized S^- maps — the only form that
+    fits at (16e,16o), where the flat cross-sector tables are ~10 GB)
+    vs the dense s2_matrix quadratic form on the embedded full-space
+    vector, over a COMPLEX sector state."""
+    from auto_oo_tpu.ops import fermion
+
+    gm = G.build_grid_maps(ncas, nelec)
+    sm = G.sminus_grid_maps(ncas, nelec)
+    basis = fermion.sector_basis(ncas, nelec)
+    D = len(basis)
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(D) + 1j * rng.standard_normal(D)
+    v = v / np.linalg.norm(v)
+    psi = jnp.asarray(v)
+    s2_grid = float(G.s2_expectation_grid(psi, gm, sm, nelec))
+    full = np.zeros(4 ** ncas, dtype=complex)
+    full[np.asarray(basis)] = v
+    s2_mat = np.asarray(_rdms.s2_matrix(ncas))
+    s2_dense = float(np.real(np.conj(full) @ (s2_mat @ full)))
+    assert abs(s2_grid - s2_dense) < 1e-12
+
+
+def test_sminus_grid_none_sectors():
+    """S^- is the zero map when na = 0 or nb = ncas; <S^2> reduces to
+    Sz^2 - Sz exactly."""
+    assert G.sminus_grid_maps(3, (0, 2)) is None
+    assert G.sminus_grid_maps(3, (1, 3)) is None
+    gm = G.build_grid_maps(3, (0, 2))
+    psi = jnp.zeros(gm.dim, dtype=jnp.float64).at[0].set(1.0)
+    s2 = float(G.s2_expectation_grid(psi, gm, None, (0, 2)))
+    assert abs(s2 - (1.0 + 1.0)) < 1e-14  # sz=-1: sz^2 - sz = 2
