@@ -41,10 +41,14 @@ from . import fermion
 def _epq_bit_consts(ncas, up_then_down=False):
     nm = 2 * ncas
     n2 = ncas * ncas
-    bitP = np.zeros((2, n2), dtype=np.int32)
-    bitQ = np.zeros((2, n2), dtype=np.int32)
-    shP = np.zeros((2, n2), dtype=np.int32)
-    shQ = np.zeros((2, n2), dtype=np.int32)
+    # int64: at ncas = 16 the top mode's bit is 1 << 31 (the full-space
+    # determinant index needs nm = 32 bits) — int32 overflows exactly
+    # there, and the constructor warms these consts at every ncas even
+    # when only the sector/grid paths will run
+    bitP = np.zeros((2, n2), dtype=np.int64)
+    bitQ = np.zeros((2, n2), dtype=np.int64)
+    shP = np.zeros((2, n2), dtype=np.int64)
+    shQ = np.zeros((2, n2), dtype=np.int64)
     for s in range(2):
         for p in range(ncas):
             for q in range(ncas):
