@@ -39,6 +39,37 @@ def set_pallas(enabled):
 def pallas_enabled():
     return _PALLAS
 
+
+# Matmul-form string-grid kernels (ops/grid.py): the per-pair E_pq row
+# gathers recast as dense batched matmuls against scattered one-spin
+# operator tensors, putting the gather-bound Phi/sum_pq work on the MXU.
+# MEASURED NEGATIVE on chip at (12e,12o) f32 (scripts/microbench_gridmm.py):
+# at the f32 accuracy the mixed-precision Hessian needs (3-pass bf16
+# MXU), mm runs 0.69-0.82x the row gathers; the single-pass bf16 form
+# ties (0.98-1.27x) but carries 1e-2-level error.  OFF by default;
+# 'auto' uses them for f32 operands when the dense tensors fit the
+# per-spin byte budget (ncas <= 12 sectors); 'on' forces them.
+_GRID_MM = os.environ.get("AUTO_OO_TPU_GRID_MM", "off").strip().lower()
+if _GRID_MM in ("1", "true", "yes"):
+    _GRID_MM = "on"
+if _GRID_MM in ("0", "false", "no"):
+    _GRID_MM = "off"
+
+
+def set_grid_mm(mode):
+    """Select the matmul-form grid kernels: 'auto' | 'on' | 'off' (or a
+    bool).  Takes effect at the next trace."""
+    global _GRID_MM
+    if isinstance(mode, bool):
+        mode = "auto" if mode else "off"
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"grid_mm mode {mode!r} not in auto|on|off")
+    _GRID_MM = mode
+
+
+def grid_mm_mode():
+    return _GRID_MM
+
 #: CODATA-2010 Bohr radius in Angstrom (matches PySCF's param.BOHR so that
 #: geometries specified in Angstrom reproduce reference energies to 1e-10 Ha).
 BOHR = 0.52917721092

@@ -234,6 +234,8 @@ def phi_all(x, gm, spin=None, full_pairs=True):
 
         return phi_all_pallas(x, gm, interpret=_pallas_interpret(),
                               full_pairs=full_pairs)
+    if _mm_dispatch(x.dtype, gm):
+        return _phi_all_mm(x, gm, spin)
     return _phi_all_xla(x, gm, spin)
 
 
@@ -256,6 +258,99 @@ def _phi_all_xla(x, gm, spin=None):
         parts.append(jnp.swapaxes(pb, -1, -2))
     phi = parts[0] if len(parts) == 1 else parts[0] + parts[1]
     return phi.reshape(x.shape[:-1] + (gm.n2, gm.dim))
+
+
+# ---- matmul-form kernels -------------------------------------------------
+# The per-pair gathers above run at the random-row-access floor of the
+# memory system (~90-125 ns/row on chip regardless of mechanism —
+# BASELINE.md round-4 fifth phase); the beta components additionally pay
+# two (n2, Na, Nb) transposes that dominate the measured phi_all.  But
+# each one-spin E_pq component is a LINEAR map on its own string axis,
+# so it has a dense matrix: Ea[k, i', i] = sgnA[k, i'] [i == srcA[k, i']]
+# of shape (n2, Na, Na) — 492 MB f32 at ncas = 12 — and the whole Phi
+# build / sum_pq reduction become batched matmuls on the MXU with the
+# Jordan-Wigner cross-parity (tB/tA) as rank-1 elementwise scales:
+#
+#   Phi_a       = einsum('kab,...bj->...kaj', Ea, X) * tB[:, None, :]
+#   Phi_b       = einsum('...ij,kuj->...kiu', X, Eb) * tA[:, :, None]
+#   sum E_pq Y  = einsum('kab,...kbj->...aj', Ea, Y * tB)
+#               + einsum('...kij,kuj->...iu', Y * tA, Eb)
+#
+# 2 n2 Na^2 Nb + 2 n2 Na Nb^2 FLOPs per op (~0.46 TFLOP at ncas = 12)
+# in exchange for ZERO gathers — exact because every output element of
+# the Phi matmuls is a 1-sparse dot (one nonzero product plus zeros).
+# Gated to f32 operands (the f64 dot emulation's ~8x operand expansion
+# would blow the dense tensors up to ~4 GB) and to sectors whose dense
+# tensors fit _MM_BYTES per spin; the (14e,14o)+ row-streamed kernels
+# keep the gathers (there the matmul FLOPs grow an extra factor Na).
+#
+# MEASURED ON CHIP (v5e, scripts/microbench_gridmm.py, (12e,12o) f32):
+# at the 3-pass-bf16 "float32" matmul precision the production mixed
+# path requires, mm LOSES to the row gathers — phi 37.0 vs 25.6 ms
+# (0.69x), epq_sum 40.8 vs 33.5 ms (0.82x), batched ham_apply ties;
+# the single-pass bf16 form ties/wins slightly (1.0-1.3x) but its
+# 1e-2-level error is unusable for Newton Hessian blocks.  The row
+# gathers already run near the random-row-access floor, and the MXU
+# recast pays the same HBM traffic on the 492 MB dense operands plus
+# the extra passes.  Shipped OFF by default (config.set_grid_mm) as a
+# documented negative result, mirroring the pallas kernels' story.
+
+_MM_BYTES = 700 << 20
+
+
+def _mm_dispatch(dtype, gm):
+    from .. import config
+
+    mode = config.grid_mm_mode()
+    if mode == "off" or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if mode == "on":
+        return True
+    per_spin = gm.n2 * max(gm.Na * gm.Na, gm.Nb * gm.Nb) * 4
+    return per_spin <= _MM_BYTES
+
+
+def _ea_dense(src, sgn, N, dt):
+    """Dense one-spin operator tensor (n2, N_out, N_in) scattered from
+    the (n2, N_out) string maps; each (k, row) writes exactly one cell,
+    so invalid entries (sgn 0) contribute zero rows."""
+    n2, No = src.shape
+    k = jnp.arange(n2)[:, None]
+    r = jnp.arange(No)[None, :]
+    return jnp.zeros((n2, No, N), dtype=dt).at[k, r, src].set(
+        sgn.astype(dt))
+
+
+def _phi_all_mm(x, gm, spin=None):
+    """Matmul-form phi_all (bitwise-equal nonzero structure to the
+    gather form; see the block comment above)."""
+    xg = _as_grid2d(x, gm)
+    dt = x.dtype
+    parts = []
+    if spin in (None, 0):
+        Ea = _ea_dense(gm.srcA, gm.sgnA, gm.Na, dt)
+        pa = jnp.einsum("kab,...bj->...kaj", Ea, xg)
+        parts.append(pa * gm.tB.astype(dt)[:, None, :])
+    if spin in (None, 1):
+        Eb = _ea_dense(gm.srcB, gm.sgnB, gm.Nb, dt)
+        pb = jnp.einsum("...ij,kuj->...kiu", xg, Eb)
+        parts.append(pb * gm.tA.astype(dt)[:, :, None])
+    phi = parts[0] if len(parts) == 1 else parts[0] + parts[1]
+    return phi.reshape(x.shape[:-1] + (phi.shape[-3], gm.dim))
+
+
+def _epq_sum_mm(Y, gm):
+    """Matmul-form epq_sum: fold the rank-1 parities into Y, then one
+    (k, string)-contracted matmul per spin."""
+    Yg = Y.reshape(Y.shape[:-1] + (gm.Na, gm.Nb))
+    dt = Y.dtype
+    Ea = _ea_dense(gm.srcA, gm.sgnA, gm.Na, dt)
+    Eb = _ea_dense(gm.srcB, gm.sgnB, gm.Nb, dt)
+    outA = jnp.einsum("kab,...kbj->...aj",
+                      Ea, Yg * gm.tB.astype(dt)[:, None, :])
+    outB = jnp.einsum("...kij,kuj->...iu",
+                      Yg * gm.tA.astype(dt)[:, :, None], Eb)
+    return (outA + outB).reshape(Y.shape[:-2] + (gm.dim,))
 
 
 def pair_slice(gm, lo, hi):
@@ -594,6 +689,8 @@ def epq_sum(Y, gm, full_pairs=True):
 
         return epq_sum_pallas(Y, gm, interpret=_pallas_interpret(),
                               full_pairs=full_pairs)
+    if _mm_dispatch(Y.dtype, gm):
+        return _epq_sum_mm(Y, gm)
     return _epq_sum_xla(Y, gm)
 
 

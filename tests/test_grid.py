@@ -434,3 +434,80 @@ def test_sminus_grid_none_sectors():
     psi = jnp.zeros(gm.dim, dtype=jnp.float64).at[0].set(1.0)
     s2 = float(G.s2_expectation_grid(psi, gm, None, (0, 2)))
     assert abs(s2 - (1.0 + 1.0)) < 1e-14  # sz=-1: sz^2 - sz = 2
+
+
+# ---- matmul-form kernels (ops/grid._phi_all_mm / _epq_sum_mm) -----------
+
+
+@pytest.mark.parametrize("ncas,nelec", CASES)
+@pytest.mark.parametrize("dt", [jnp.float64, jnp.float32])
+def test_mm_kernels_match_gather(ncas, nelec, dt):
+    """The dense-operator matmul forms equal the row-gather forms: phi
+    exactly (every output element is a 1-sparse dot), epq_sum to
+    accumulation-order roundoff."""
+    gm = G.build_grid_maps(ncas, nelec)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(gm.dim), dtype=dt)
+    tol = 0.0 if dt == jnp.float64 else 1e-6
+    np.testing.assert_allclose(np.asarray(G._phi_all_mm(x, gm)),
+                               np.asarray(G._phi_all_xla(x, gm)),
+                               atol=tol, rtol=0)
+    for s in range(2):
+        np.testing.assert_allclose(
+            np.asarray(G._phi_all_mm(x, gm, spin=s)),
+            np.asarray(G._phi_all_xla(x, gm, spin=s)), atol=tol, rtol=0)
+    Y = jnp.asarray(rng.standard_normal((gm.n2, gm.dim)), dtype=dt)
+    np.testing.assert_allclose(np.asarray(G._epq_sum_mm(Y, gm)),
+                               np.asarray(G._epq_sum_xla(Y, gm)),
+                               atol=5e-6 if tol else 1e-13, rtol=0)
+
+
+def test_mm_kernels_batched_sliced_and_ad():
+    """Batched operands, pair-sliced maps (the chunked kernels' form)
+    and reverse-mode AD all agree with the gather path."""
+    gm = G.build_grid_maps(4, 4)
+    rng = np.random.default_rng(4)
+    xb = jnp.asarray(rng.standard_normal((3, gm.dim)))
+    np.testing.assert_array_equal(np.asarray(G._phi_all_mm(xb, gm)),
+                                  np.asarray(G._phi_all_xla(xb, gm)))
+    sl = G.pair_slice(gm, 3, 11)
+    x = xb[0]
+    np.testing.assert_array_equal(np.asarray(G._phi_all_mm(x, sl)),
+                                  np.asarray(G._phi_all_xla(x, sl)))
+    Ys = jnp.asarray(rng.standard_normal((8, gm.dim)))
+    np.testing.assert_allclose(np.asarray(G._epq_sum_mm(Ys, sl)),
+                               np.asarray(G._epq_sum_xla(Ys, sl)),
+                               atol=1e-13, rtol=0)
+    w = jnp.asarray(rng.standard_normal((gm.n2, gm.dim)))
+    g_mm = jax.grad(lambda v: jnp.sum(G._phi_all_mm(v, gm) * w))(x)
+    g_xla = jax.grad(lambda v: jnp.sum(G._phi_all_xla(v, gm) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_xla),
+                               atol=1e-12, rtol=0)
+
+
+def test_mm_dispatch_policy(monkeypatch):
+    """auto: f32 within budget -> mm; f64 or over budget -> gather;
+    off/on override.  Pinned by intercepting the mm kernel."""
+    from auto_oo_tpu import config
+
+    gm = G.build_grid_maps(3, (2, 2))
+    x64 = jnp.zeros(gm.dim)
+    x32 = jnp.zeros(gm.dim, dtype=jnp.float32)
+    calls = []
+    real = G._phi_all_mm
+    monkeypatch.setattr(G, "_phi_all_mm",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.setattr(config, "_GRID_MM", "auto")
+    G.phi_all(x64, gm)
+    assert not calls
+    G.phi_all(x32, gm)
+    assert len(calls) == 1
+    monkeypatch.setattr(G, "_MM_BYTES", 0)
+    G.phi_all(x32, gm)
+    assert len(calls) == 1          # over budget -> gather
+    monkeypatch.setattr(config, "_GRID_MM", "on")
+    G.phi_all(x32, gm)
+    assert len(calls) == 2          # forced
+    monkeypatch.setattr(config, "_GRID_MM", "off")
+    G.phi_all(x32, gm)
+    assert len(calls) == 2
