@@ -229,13 +229,17 @@ class Parameterized_circuit:
         if self._custom_state_fn is not None:
             return self._custom_state_fn(theta)
         from ..ops.grid import GridMaps, from_grid
+        maps = self._maps_from(tables)
         if (getattr(self, "grid_program", None) is not None
-                and isinstance(self.sector_maps, GridMaps)):
+                and isinstance(maps, GridMaps)):
             # grid-space circuit + one permutation back to the canonical
             # sorted-determinant order (the public contract); hot paths
-            # that can consume grid order directly use _state_impl_grid
-            return from_grid(self._state_impl_grid(theta, tables),
-                             self.sector_maps)
+            # that can consume grid order directly use _state_impl_grid.
+            # The maps MUST come from the tables argument, not
+            # self.sector_maps: a closure-captured s2g permutation is a
+            # jit constant — 662 MB of HLO literal at (16e,16o), which
+            # stalls the remote compile service for tens of minutes.
+            return from_grid(self._state_impl_grid(theta, tables), maps)
         gates = tables["gates"] if isinstance(tables, dict) else tables
         return self.program.apply(self._expand_theta(jnp.ravel(theta)),
                                   tables=gates)
@@ -423,8 +427,24 @@ class Parameterized_circuit:
         Sz^2 - Sz), never materializing a 4^ncas operator; dense mode
         uses the s2_matrix quadratic form."""
         theta = jnp.asarray(theta)
+        from ..ops import grid as _grid
+        if (self.sector and getattr(self, "grid_program", None) is not None
+                and isinstance(self.sector_maps, _grid.GridMaps)):
+            # one jitted program, grid order end to end — skips the two
+            # D-sized boundary permutations of state() + to_grid()
+            if getattr(self, "_s2_grid_jit", None) is None:
+                self._s2_grid_jit = jax.jit(self._s2_grid_impl)
+            return self._s2_grid_jit(theta, self._tables(),
+                                     self._s2maps())
         psi = self.state(theta)
         return self.s2_expectation_of_state(psi)
+
+    def _s2_grid_impl(self, theta, tables, sm):
+        from ..ops import grid as _grid
+        maps = self._maps_from(tables)
+        psi_g = self._state_impl_grid(theta, tables)
+        return _grid.s2_expectation_grid(
+            psi_g.reshape(maps.Na, maps.Nb), maps, sm, self.nelecas)
 
     def s2_expectation_of_state(self, state):
         """<S^2> of an explicit (full-space or sector) statevector."""

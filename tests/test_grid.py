@@ -511,3 +511,28 @@ def test_mm_dispatch_policy(monkeypatch):
     monkeypatch.setattr(config, "_GRID_MM", "off")
     G.phi_all(x32, gm)
     assert len(calls) == 2
+
+
+def test_state_and_s2_programs_carry_no_large_constants():
+    """The jitted state / S^2 programs must receive the grid maps as
+    ARGUMENTS (the _tables bundle), never closure constants: a captured
+    s2g permutation is a D-sized HLO literal — 662 MB at (16e,16o) —
+    which stalls the remote compile service (found by the 16e16o demo's
+    35-minute state-stage hang)."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    theta = pqc.init_zeros()
+    jaxpr = jax.make_jaxpr(pqc._state_impl)(theta, pqc._tables())
+    const_bytes = sum(np.asarray(c).nbytes for c in jaxpr.consts)
+    assert const_bytes < 4096, const_bytes
+    jaxpr2 = jax.make_jaxpr(pqc._s2_grid_impl)(
+        theta, pqc._tables(), pqc._s2maps())
+    const_bytes2 = sum(np.asarray(c).nbytes for c in jaxpr2.consts)
+    assert const_bytes2 < 4096, const_bytes2
+    # and the public entry points still agree with the dense operator
+    psi = pqc.state(theta)
+    assert abs(float(psi @ psi) - 1.0) < 1e-12
+    s2 = float(pqc.s2_expectation(theta))
+    assert abs(s2) < 1e-10
