@@ -434,7 +434,9 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                               pqc._maps_from(tables))
 
     def _misc(c0, psi, Hpsi, J):
-        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
+        # vdot_big, not a raw dot: at (16e,16o) the f64 dot emulation's
+        # operand expansion on two D-vectors is ~10.6 GB (ops/rdms)
+        e0 = c0 + jnp.real(_rdms.vdot_big(jnp.conj(psi), Hpsi))
         w = 2.0 * Hpsi
         # gram_last, not a raw J @ w: at (14e,14o) the unchunked f64
         # dot's operand expansion on the (nt, D) Jacobian is ~5 GB
@@ -688,11 +690,15 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         return _rdms_of(phi, psi)
 
     def _grad_c_vjp(theta, c0, psi, Hpsi, tables):
-        e0 = c0 + jnp.real(jnp.conj(psi) @ Hpsi)
+        # vdot_big everywhere a D-dot appears: the f64 dot emulation's
+        # ~8x operand expansion OOMs at (16e,16o); the inner scalar is
+        # differentiated, which vdot_big supports (gram_last does not)
+        e0 = c0 + jnp.real(_rdms.vdot_big(jnp.conj(psi), Hpsi))
         w = 2.0 * Hpsi
 
         def g(th):
-            return jnp.real(_state_only(th, tables) @ jnp.conj(w))
+            return jnp.real(_rdms.vdot_big(_state_only(th, tables),
+                                           jnp.conj(w)))
 
         return e0, jax.grad(g)(theta)
 

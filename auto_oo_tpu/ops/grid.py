@@ -825,4 +825,7 @@ def s2_expectation_grid(psi, gm, sm, nelecas):
     if psi.ndim == 1:
         psi = _as_grid2d(to_grid(psi, gm), gm)
     v = sminus_apply_grid(psi, sm)
-    return jnp.real(jnp.vdot(v, v)) + sz * sz - sz
+    # multiply+reduce, not vdot: the S^- image is 130.9M amplitudes at
+    # (16e,16o), where the f64 dot emulation's operand expansion OOMs
+    return (jnp.real(_rdms_mod().vdot_big(jnp.conj(v), v))
+            + sz * sz - sz)

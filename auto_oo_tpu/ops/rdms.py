@@ -216,6 +216,19 @@ def gram_last(a, b):
     return out
 
 
+def vdot_big(a, b):
+    """sum_i a_i * b_i of two LARGE same-shape operands as an
+    elementwise multiply + reduction (VPU), never a dot_general: the TPU
+    f64 dot emulation materializes ~8 f32 copies of EACH operand, which
+    is ~10.6 GB at D = 165.6M ((16e,16o)) — the OOM that killed the
+    16e16o demo's norm/overlap scalars.  The product fuses into the
+    reduce, so peak extra memory is O(1).  Reverse-differentiable
+    (unlike the fori_loop-chunked gram_last), so it is safe inside the
+    VJP scalars of the gradient pipelines.  Callers conjugate
+    explicitly, matching the raw-dot call sites it replaces."""
+    return jnp.sum(a * b)
+
+
 def small_matmul_free_last(C, X):
     """C (m, k) @ X (..., k, D) -> (..., m, D) with the small k axis
     contracted and the large FREE last axis sliced above _CHUNK_MIN_D

@@ -63,7 +63,9 @@ def main():
         t0 = time.time()
         psi = pqc.state(theta)
         jax.device_get(psi[:1])
-        nrm = float(jnp.vdot(psi, psi))
+        # multiply+reduce, never a raw D-dot: the f64 dot emulation
+        # expands both operands ~8x in f32 (~10.6 GB here) — OOM
+        nrm = float(jnp.sum(jnp.square(psi)))
         print(f"state build warm: {time.time() - t0:.2f}s  |psi|^2 = "
               f"{nrm:.12f}", flush=True)
         assert abs(nrm - 1.0) < 1e-10
