@@ -705,18 +705,70 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     def _pack_only(h1, g2, g1, G2):
         return _pack(h1, g2, g1, G2)
 
+    # ---- (16e,16o)-scale hosted routing --------------------------------
+    # one full-Phi pass at D = 165.6M is ~339 GB of gather traffic
+    # (~100 s) — over the device worker's single-program execution
+    # window — and ham_apply's pair blocks degenerate to 1 there, so the
+    # streamed RDM / H-apply programs run through the host-segmented
+    # drivers (ops/grid_hosted) instead.  Checked at call time (env-
+    # tunable budget) so tests can force the route at small D.
+
+    def _hosted_mode():
+        if not _grid_staged:
+            return False
+        from ..ops import grid_hosted as _gh
+        # psi stays f64 even in mixed mode (only Hessian blocks drop)
+        return _gh.needs_hosting(pqc.sector_maps, 8)
+
     def energy_gradient_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff,
                                nuc, tables):
         h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
             oao, int1e_ao, int2e_ao, oao_coeff, nuc)
         psi = _sj("state_g", _state_only)(theta, tables)
-        Hpsi = _sj("hrow", _hrow)(c1eff, c2, psi, tables)
+        if _hosted_mode():
+            from ..ops import grid_hosted as _gh
+            Hpsi = _gh.ham_apply_hosted(c1eff, c2, psi, pqc.sector_maps)
+        else:
+            Hpsi = _sj("hrow", _hrow)(c1eff, c2, psi, tables)
         e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
                                                tables)
-        g1, G2 = _sj("rdms_g", _rdms_streamed)(psi, tables)
+        if _hosted_mode():
+            from ..ops import grid_hosted as _gh
+            g1, G2 = _gh.rdms_hosted(psi, pqc.sector_maps, ncas)
+        else:
+            g1, G2 = _sj("rdms_g", _rdms_streamed)(psi, tables)
         grad_o = (_sj("orb_g", _pack_only)(h1, g2, g1, G2) if n_kappa
                   else jnp.zeros((0,), dtype=theta.dtype))
         return e0, jnp.concatenate([grad_c, grad_o]), (g1, G2)
+
+    def _energy_coeffs(kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc):
+        mo = oao_coeff @ oao @ expm(-k2m(kappa))
+        mo_sub = mo[:, sub]
+        h1 = _tr.int1e_transform(int1e_ao, mo_sub)
+        g2 = _tr.int2e_transform(int2e_ao, mo_sub)
+        return _tr.molecular_hamiltonian_coefficients(
+            nuc, h1, g2, occ_rel, act_rel)
+
+    def energy_hosted(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff,
+                      nuc, tables):
+        """E(theta, kappa) with the RDM extraction host-segmented: a
+        small coefficients program, one state dispatch, the hosted RDM
+        driver, one tiny contraction — same value as the fused
+        ``energy`` program (reference oo_pqc.py:64-84)."""
+        from ..ops import grid_hosted as _gh
+        c0, c1, c2 = _sj("ecoeffs", _energy_coeffs)(
+            kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc)
+        psi = _sj("state_g", _state_only)(theta, tables)
+        g1, G2 = _gh.rdms_hosted(psi, pqc.sector_maps, ncas)
+        return _sj("efr", _tr.energy_from_rdms)(c0, c1, c2, g1, G2)
+
+    def _energy_call(theta, kappa, oao, int1e_ao, int2e_ao, oao_coeff,
+                     nuc, tables):
+        if _hosted_mode():
+            return energy_hosted(theta, kappa, oao, int1e_ao, int2e_ao,
+                                 oao_coeff, nuc, tables)
+        return _sj("energy", energy)(theta, kappa, oao, int1e_ao,
+                                     int2e_ao, oao_coeff, nuc, tables)
 
     _STAGED_MIN_D = 1 << 19
     D_static = pqc.state_dim
@@ -746,7 +798,7 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                                               lambda_min)
         flat0 = jnp.concatenate(
             [theta, jnp.zeros(n_kappa, dtype=theta.dtype)])
-        e_jit = _sj("energy", energy)
+        e_jit = _energy_call
         e0_f = float(e0)
         gdp = float(grad @ dp)
         slack = 64.0 * np_.finfo(np_.float64).eps * max(1.0, abs(e0_f))
@@ -868,7 +920,10 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
 
     return {
         "energy": energy,
-        "energy_jit": jax.jit(energy),
+        # dispatcher, not a bare jit: above the hosted-traffic budget
+        # ((16e,16o)+) the fused state+RDM energy program cannot execute
+        # as one dispatch, so E routes through energy_hosted
+        "energy_jit": _energy_call,
         "orbital_gradient": orbital_gradient,
         "grad_hess_fused": grad_hess,
         "grad_hess_jit": grad_hess_jit,

@@ -204,6 +204,23 @@ def _as_grid2d(x, gm):
     return x.reshape(x.shape[:-1] + (gm.Na, gm.Nb))
 
 
+def inverse_alpha_maps(gm):
+    """Host inverse of the alpha E_pq row maps: dst[k, m] = the output
+    row that reads source row m for pair k (with its sign), 0/0 where no
+    output row does.  Exists because each pair's row map is a partial
+    injection (an excitation bijects occupation subsets).  Consumed by
+    the scatter-form Hamiltonian applies (parallel/grid_sharded and the
+    host-segmented ops/grid_hosted)."""
+    srcA = np.asarray(gm.srcA)
+    sgnA = np.asarray(gm.sgnA)
+    dst = np.zeros_like(srcA)
+    dsg = np.zeros_like(sgnA)
+    ks, iis = np.nonzero(sgnA != 0)
+    dst[ks, srcA[ks, iis]] = iis
+    dsg[ks, srcA[ks, iis]] = sgnA[ks, iis]
+    return dst, dsg
+
+
 def _pallas_dispatch(dtype):
     """True when the pallas DMA-gather kernels should take this op:
     opted in via config and an f32 operand (the kernels are f32-only).

@@ -1,0 +1,264 @@
+"""Host-segmented drivers for the string-grid kernels at (16e,16o)+ scale.
+
+Two measured facts force multi-dispatch execution of the big streamed
+kernels (BASELINE.md round-4 ninth phase):
+
+1. the tunneled TPU worker kills any single program that executes for
+   ~80 s or longer (a 26 s program runs fine; the same scan extended to
+   ~85 s reproducibly crashes the worker) — so a (16e,16o) full-Phi
+   pass (~339 GB of gather traffic, ~100 s) cannot run as ONE XLA
+   program even though its compiled peak memory (6.7 GB) fits;
+2. `ops/hamiltonian.ham_apply`'s pair-blocked streaming degenerates at
+   D = 165.6M: one f64 Y row is 1.3 GB, so the 5-live-buffer budget
+   forces pair_block = 1 — i.e. n2 = 256 full-Phi passes, hours of
+   gather traffic.
+
+The drivers here run the SAME math as `ops/grid.rdms_rows` /
+`ham_apply_rows`, but as a host Python loop over fixed-shape jitted
+SEGMENT programs: every intermediate (the RDM accumulators, the
+H-apply output accumulator) stays device-resident between dispatches,
+each dispatch scans a bounded number of grid A-row chunks, and one
+compiled program serves every full-size segment (plus one for the
+remainder shape).  The Hamiltonian apply additionally switches from
+pair-blocked gather-reduce to the inverse-map SCATTER form of the
+row-sharded engine (parallel/grid_sharded._ham_local — this is its
+n_dev = 1 case): Y is computed slab-by-slab in SOURCE rows and
+scattered through the transpose maps (E_pq row maps are partial
+injections, ops/grid.inverse_alpha_maps), so the total traffic is ONE
+full-Phi pass regardless of D.
+
+All grid tables ride as runtime ARGUMENTS of the segment programs —
+closure capture would embed them as program constants (the s2g
+permutation alone is 662 MB at (16e,16o), simulator/circuit.py:238).
+
+Exactness vs the single-program kernels is pinned in tests/test_grid.py
+(closed and open shell, segment remainders included).  No reference
+counterpart: the reference architecture (pqc.py:192-218, Python sparse
+loops over 4^ncas vectors) cannot represent these scales at all.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import grid as _grid
+from . import rdms as _rdms
+
+
+# ---- policy ---------------------------------------------------------------
+
+# one full-Phi gather pass above this many bytes must not run as a
+# single program (the ~80 s worker kill window at measured gather
+# rates); (14e,14o) is 18.5 GB (runs fused, 4.3 s), (16e,16o) is 339 GB
+_HOSTED_MIN_BYTES_ENV = "AUTO_OO_TPU_HOSTED_MIN_BYTES"
+# grid A-row chunks per segment program: ~0.3 s/chunk for the RDM gram,
+# ~0.6 s/chunk for the scatter H-apply at (16e,16o), so 32 keeps every
+# dispatch in the 10-20 s band — far under the kill window
+_SEG_CHUNKS_ENV = "AUTO_OO_TPU_SEG_CHUNKS"
+
+
+def hosted_min_bytes():
+    return int(float(os.environ.get(_HOSTED_MIN_BYTES_ENV, 64e9)))
+
+
+def seg_chunks_default():
+    return max(1, int(os.environ.get(_SEG_CHUNKS_ENV, 32)))
+
+
+def needs_hosting(gm, itemsize=8):
+    """True when one full-Phi pass over ``gm`` exceeds the
+    single-program traffic budget and the streamed kernels must run
+    through the hosted drivers below."""
+    return gm.n2 * gm.Na * gm.Nb * itemsize >= hosted_min_bytes()
+
+
+_JIT_CACHE = {}
+
+
+def _seg_jit(name, fn):
+    if name not in _JIT_CACHE:
+        _JIT_CACHE[name] = jax.jit(fn)
+    return _JIT_CACHE[name]
+
+
+# ---- shared chunk primitives ----------------------------------------------
+
+
+def _phi_chunk_t(xg, rows_k, srcA_k, sgnA_k, tA_k, srcB, sgnB, tB):
+    """One row chunk of Phi with every table an explicit argument
+    (the hosted segment programs must not close over gm arrays); same
+    math as ops/grid._phi_chunk's XLA branch.  The pallas kernels are
+    deliberately not dispatched here: hosting targets the f64
+    (16e,16o)+ paths, the kernels are f32-only and measured ties."""
+    dt = xg.dtype
+    pa = (jnp.take(xg, srcA_k, axis=-2)
+          * sgnA_k.astype(dt)[:, :, None] * tB.astype(dt)[:, None, :])
+    pb = jnp.take(rows_k, srcB, axis=-1)          # (rows, n2, Nb)
+    pb = jnp.moveaxis(pb, -2, -3)                 # (n2, rows, Nb)
+    pb = (pb * tA_k.astype(dt)[:, :, None]
+          * sgnB.astype(dt)[:, None, :])
+    return pa + pb
+
+
+def _chunked_inverse_tables(gm, row_chunk, nchunk, pad):
+    """Inverse alpha maps padded and chunked exactly like
+    ops/grid._row_scan_tables (pad rows carry dst 0 / sign 0 — they
+    scatter exactly nothing into row 0)."""
+    dst, dsg = _grid.inverse_alpha_maps(gm)
+    n2 = gm.n2
+
+    def chunked(a):
+        a = np.pad(np.asarray(a), ((0, 0), (0, pad)))
+        return jnp.asarray(
+            np.swapaxes(a.reshape(n2, nchunk, row_chunk), 0, 1))
+
+    return chunked(dst), chunked(dsg)
+
+
+def _assemble_rdms(gamma, corr, ncas):
+    gamma = gamma.reshape(ncas, ncas)
+    corr = corr.reshape(ncas, ncas, ncas, ncas)
+    epq_ers = jnp.transpose(corr, (1, 0, 2, 3))
+    delta = jnp.eye(ncas, dtype=gamma.dtype)
+    Gamma = epq_ers - jnp.einsum("qr,ps->pqrs", delta, gamma)
+    return gamma, Gamma
+
+
+# ---- hosted RDMs ----------------------------------------------------------
+
+
+def _rdms_segment(psig, srcA_s, sgnA_s, tA_s, rows_s, srcB, sgnB, tB,
+                  gamma, corr):
+    """One segment of the rdms_rows scan: same body as
+    ops/grid.rdms_rows, accumulators carried ACROSS dispatches."""
+
+    def body(carry, xs):
+        g, c = carry
+        srcA_k, sgnA_k, tA_k, rows_k = xs
+        phi_c = _phi_chunk_t(psig, rows_k, srcA_k, sgnA_k, tA_k,
+                             srcB, sgnB, tB).reshape(srcA_k.shape[0], -1)
+        bra_c = jnp.conj(rows_k).reshape(-1)
+        g = g + jnp.real(_rdms.gram_last(phi_c, bra_c))
+        c = c + jnp.real(_rdms.gram_last(jnp.conj(phi_c), phi_c))
+        return (g, c), None
+
+    (gamma, corr), _ = jax.lax.scan(
+        body, (gamma, corr), (srcA_s, sgnA_s, tA_s, rows_s))
+    return gamma, corr
+
+
+def rdms_hosted(psi, gm, ncas, row_chunk=None, seg_chunks=None,
+                grid_order=True):
+    """(gamma, Gamma) of a sector state, bit-identical math to
+    ops/grid.rdms_rows (reference pqc.py:192-218), executed as
+    ceil(nchunk/seg_chunks) bounded segment dispatches.
+
+    ``psi`` is a device array in GRID order (pass grid_order=False for
+    canonical sorted-determinant order).  Host-driven: must be called
+    OUTSIDE jit."""
+    dt = psi.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    if not grid_order:
+        psi = _seg_jit("to_grid", _grid.to_grid)(psi, gm)
+    n2, Nb = gm.n2, gm.Nb
+    if row_chunk is None:
+        row_chunk = _grid._row_chunk(1, n2, Nb, itemsize)
+    seg = seg_chunks or seg_chunks_default()
+    psig = _grid._as_grid2d(psi, gm)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
+        gm, row_chunk)
+    rows_c = _grid._pad_rows(psig, pad).reshape((nchunk, row_chunk, Nb))
+    rdt = jnp.zeros((), dtype=dt).real.dtype
+    gamma = jnp.zeros((n2,), rdt)
+    corr = jnp.zeros((n2, n2), rdt)
+    run = _seg_jit("rdms_seg", _rdms_segment)
+    for lo in range(0, nchunk, seg):
+        hi = min(nchunk, lo + seg)
+        gamma, corr = run(psig, srcA_c[lo:hi], sgnA_c[lo:hi],
+                          tA_c[lo:hi], rows_c[lo:hi],
+                          gm.srcB, gm.sgnB, gm.tB, gamma, corr)
+    # tiny eager assembly (a handful of ncas^4-element ops)
+    return _assemble_rdms(gamma, corr, ncas)
+
+
+# ---- hosted Hamiltonian apply ----------------------------------------------
+
+
+def _ham_segment(xg, C2, c1f, srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s,
+                 rowidx_s, rows_s, srcB, sgnB, tB, acc):
+    """One segment of the scatter-form H-apply: per row chunk, build the
+    chunk's Phi, form Y = C2 Phi + c1 x (SOURCE rows), reduce the
+    row-local beta half directly and scatter the alpha half through the
+    inverse maps into the full-height accumulator (exactly
+    parallel/grid_sharded._ham_local with the psum_scatter removed)."""
+    dt = xg.dtype
+    n2 = C2.shape[0]
+    Nb_ = xg.shape[-1]
+    rows2 = jnp.arange(n2)[:, None]
+
+    def body(acc, xs):
+        srcA_k, sgnA_k, tA_k, dstA_k, dsgnA_k, rowidx_k, rows_k = xs
+        phi_c = _phi_chunk_t(xg, rows_k, srcA_k, sgnA_k, tA_k,
+                             srcB, sgnB, tB)                # (n2, R, Nb)
+        R = phi_c.shape[-2]
+        yc = _rdms.small_matmul_free_last(
+            C2, phi_c.reshape(n2, R * Nb_)).reshape(n2, R, Nb_)
+        yc = yc + c1f[:, None, None] * rows_k[None, :, :]
+        # beta half: row-local gather-reduce (grid_sharded._beta_reduce)
+        Yt = jnp.swapaxes(yc, -1, -2)                       # (n2, Nb, R)
+        Gb = Yt[rows2, srcB, :]
+        outBt = jnp.sum(Gb * sgnB.astype(dt)[:, :, None]
+                        * tA_k.astype(dt)[:, None, :], axis=0)
+        # alpha half: scatter through the inverse maps
+        contrib = (yc * dsgnA_k.astype(dt)[:, :, None]
+                   * tB.astype(dt)[:, None, :])
+        acc = acc.at[dstA_k].add(contrib)
+        acc = acc.at[rowidx_k].add(outBt.T)
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        body, acc,
+        (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s, rows_s))
+    return acc
+
+
+def ham_apply_hosted(c1eff, c2, x, gm, row_chunk=None, seg_chunks=None,
+                     grid_order=True):
+    """H|x> (without the c0 constant) for a string-grid sector state,
+    equal to ops/hamiltonian.ham_apply, executed as bounded segment
+    dispatches with ONE full-Phi pass of total gather traffic (the
+    pair-blocked in-jit form pays n2 passes once a single Y row
+    outgrows its budget — D >= ~40M f64).  Host-driven: call OUTSIDE
+    jit.  ``x``: (D,) grid-ordered (grid_order=False for canonical)."""
+    dt = x.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    if not grid_order:
+        x = _seg_jit("to_grid", _grid.to_grid)(x, gm)
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    if row_chunk is None:
+        row_chunk = _grid._row_chunk(1, n2, Nb, itemsize)
+    seg = seg_chunks or seg_chunks_default()
+    xg = _grid._as_grid2d(x, gm)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
+        gm, row_chunk)
+    Na_pad = nchunk * row_chunk
+    rows_c = _grid._pad_rows(xg, pad).reshape((nchunk, row_chunk, Nb))
+    dstA_c, dsgnA_c = _chunked_inverse_tables(gm, row_chunk, nchunk, pad)
+    rowidx_c = jnp.arange(Na_pad, dtype=jnp.int32).reshape(
+        nchunk, row_chunk)
+    C2g = c2.reshape(n2, n2).astype(dt)
+    c1f = c1eff.reshape(n2).astype(dt)
+    acc = jnp.zeros((Na_pad, Nb), dt)
+    run = _seg_jit("ham_seg", _ham_segment)
+    for lo in range(0, nchunk, seg):
+        hi = min(nchunk, lo + seg)
+        acc = run(xg, C2g, c1f, srcA_c[lo:hi], sgnA_c[lo:hi],
+                  tA_c[lo:hi], dstA_c[lo:hi], dsgnA_c[lo:hi],
+                  rowidx_c[lo:hi], rows_c[lo:hi],
+                  gm.srcB, gm.sgnB, gm.tB, acc)
+    out = acc[:Na].reshape(-1)      # eager row slice, one small dispatch
+    if not grid_order:
+        out = _seg_jit("from_grid", _grid.from_grid)(out, gm)
+    return out

@@ -34,22 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ops.grid import GridMaps
-
-
-def inverse_alpha_maps(gm):
-    """Host inverse of the alpha E_pq row maps: dst[k, m] = the output
-    row that reads source row m for pair k (with its sign), 0/0 where no
-    output row does.  Exists because each pair's row map is a partial
-    injection (an excitation bijects occupation subsets)."""
-    srcA = np.asarray(gm.srcA)
-    sgnA = np.asarray(gm.sgnA)
-    dst = np.zeros_like(srcA)
-    dsg = np.zeros_like(sgnA)
-    ks, iis = np.nonzero(sgnA != 0)
-    dst[ks, srcA[ks, iis]] = iis
-    dsg[ks, srcA[ks, iis]] = sgnA[ks, iis]
-    return dst, dsg
+from ..ops.grid import GridMaps, inverse_alpha_maps
 
 
 def _padded_tables(gm, n_dev, dtype):

@@ -125,6 +125,7 @@ class Parameterized_circuit:
 
         _rdms.warm_tables(ncas, self.up_then_down)  # eager (see ops/rdms.py)
         self._state_jit = jax.jit(self._state_impl)
+        self._state_grid_jit = jax.jit(self._state_impl_grid)
         self._rdms_jit = jax.jit(self._rdms_impl)
         self._rdms_u_jit = jax.jit(self._rdms_unrestricted_impl)
 
@@ -384,6 +385,10 @@ class Parameterized_circuit:
         # complex states are handled natively inside the kernels (the bra
         # side is conjugated, real part taken — reference pqc.py:214-216)
         if restricted:
+            if self._rdms_hosted_needed(jnp.dtype(state.dtype).itemsize):
+                from ..ops import grid_hosted as _gh
+                return _gh.rdms_hosted(state, self.sector_maps, self.ncas,
+                                       grid_order=False)
             return _rdms.rdms_from_state(state, self.ncas,
                                          self.up_then_down,
                                          maps=self.sector_maps)
@@ -393,10 +398,28 @@ class Parameterized_circuit:
                 state, self.sector_maps, self._umaps(), self.ncas)
         return _rdms.rdms_from_state_unrestricted(state, self.ncas)
 
+    def _rdms_hosted_needed(self, itemsize=8):
+        """(16e,16o)-scale routing: True when one full-Phi pass over the
+        grid maps exceeds the single-program budget, so restricted RDMs
+        must run through the host-segmented driver (ops/grid_hosted) —
+        a single fused state+RDM program at that scale exceeds the
+        device worker's execution window (BASELINE.md ninth phase)."""
+        from ..ops.grid import GridMaps
+        if not isinstance(getattr(self, "sector_maps", None), GridMaps):
+            return False
+        from ..ops import grid_hosted as _gh
+        return _gh.needs_hosting(self.sector_maps, itemsize)
+
     def get_rdms(self, theta, restricted=True):
         if not restricted:
             return self._rdms_u_jit(jnp.asarray(theta), self._tables(),
                                     self._umaps())
+        if (self._rdms_hosted_needed()
+                and getattr(self, "grid_program", None) is not None):
+            from ..ops import grid_hosted as _gh
+            psi_g = self._state_grid_jit(jnp.asarray(theta),
+                                         self._tables())
+            return _gh.rdms_hosted(psi_g, self.sector_maps, self.ncas)
         return self._rdms_jit(jnp.asarray(theta), self._tables())
 
     # -- spin diagnostics -------------------------------------------------

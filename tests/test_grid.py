@@ -536,3 +536,69 @@ def test_state_and_s2_programs_carry_no_large_constants():
     assert abs(float(psi @ psi) - 1.0) < 1e-12
     s2 = float(pqc.s2_expectation(theta))
     assert abs(s2) < 1e-10
+
+
+# ---- host-segmented drivers (ops/grid_hosted, (16e,16o)-scale path) -------
+
+
+@pytest.mark.parametrize("ncas,nelec", [(4, 4), (4, (3, 1)), (5, (3, 2))])
+def test_hosted_rdms_and_ham_match_fused(ncas, nelec):
+    """The host-segmented drivers (bounded multi-dispatch, scatter-form
+    H-apply) must be machine-precision equal to the in-jit kernels —
+    forced multi-segment + ragged remainder via tiny row_chunk/seg."""
+    from auto_oo_tpu.ops import grid_hosted as gh
+
+    gm = G.build_grid_maps(ncas, nelec, False)
+    D = gm.Na * gm.Nb
+    x = jax.random.normal(jax.random.PRNGKey(1), (D,), jnp.float64)
+    x = x / jnp.linalg.norm(x)
+    g1a, G2a = _rdms.rdms_from_state(x, ncas, maps=gm, grid_order=True)
+    g1b, G2b = gh.rdms_hosted(x, gm, ncas, row_chunk=3, seg_chunks=2)
+    assert float(jnp.max(jnp.abs(g1a - g1b))) < 1e-13
+    assert float(jnp.max(jnp.abs(G2a - G2b))) < 1e-13
+
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (ncas, ncas))
+    c1 = (c1 + c1.T) / 2
+    c2 = jax.random.normal(jax.random.PRNGKey(3), (ncas,) * 4)
+    c2 = (c2 + jnp.transpose(c2, (1, 0, 3, 2))
+          + jnp.transpose(c2, (2, 3, 0, 1))) / 3
+    ha = _ham.ham_apply(c1, c2, x, ncas, maps=gm)
+    hb = gh.ham_apply_hosted(c1, c2, x, gm, row_chunk=3, seg_chunks=2)
+    assert float(jnp.max(jnp.abs(ha - hb))) < 1e-13
+    # canonical-order round trip
+    xc = G.from_grid(x, gm)
+    hc = gh.ham_apply_hosted(c1, c2, xc, gm, row_chunk=3, seg_chunks=2,
+                             grid_order=False)
+    assert float(jnp.max(jnp.abs(hc - G.from_grid(ha, gm)))) < 1e-13
+
+
+def test_hosted_routes_match_fused_end_to_end(monkeypatch):
+    """Forcing the hosted-traffic budget to zero must leave every public
+    value unchanged: energy_from_parameters, energy_and_gradient, the
+    line-search energies inside newton_update_staged, and get_rdms all
+    reroute through ops/grid_hosted at (4e,4o) and agree to 1e-12."""
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.moldata import Moldata
+
+    mol = Moldata("H 0 0 0; H 0 0 1.2; H 0 0 2.4; H 0 0 3.6", "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    oo = OO_pqc(pqc, mol, 4, 4)
+    e_ref = float(oo.energy_from_parameters(theta))
+    eg_ref, grad_ref, (g1_ref, G2_ref) = oo.energy_and_gradient(theta)
+    rdm_ref = pqc.get_rdms(theta)
+
+    monkeypatch.setenv("AUTO_OO_TPU_HOSTED_MIN_BYTES", "1")
+    # fresh objects: the route check is call-time but get_rdms caches
+    # nothing, so the same instances must reroute too
+    e_h = float(oo.energy_from_parameters(theta))
+    eg_h, grad_h, (g1_h, G2_h) = oo.energy_and_gradient(theta)
+    rdm_h = pqc.get_rdms(theta)
+    assert abs(e_h - e_ref) < 1e-12
+    assert abs(float(eg_h) - float(eg_ref)) < 1e-12
+    assert float(jnp.max(jnp.abs(grad_h - grad_ref))) < 1e-12
+    assert float(jnp.max(jnp.abs(g1_h - g1_ref))) < 1e-12
+    assert float(jnp.max(jnp.abs(G2_h - G2_ref))) < 1e-12
+    assert float(jnp.max(jnp.abs(rdm_h[0] - rdm_ref[0]))) < 1e-12
+    assert float(jnp.max(jnp.abs(rdm_h[1] - rdm_ref[1]))) < 1e-12
