@@ -726,16 +726,16 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             oao, int1e_ao, int2e_ao, oao_coeff, nuc)
         psi = _sj("state_g", _state_only)(theta, tables)
         if _hosted_mode():
+            # ONE hosted full-Phi pass yields H|psi> AND the RDMs
             from ..ops import grid_hosted as _gh
-            Hpsi = _gh.ham_apply_hosted(c1eff, c2, psi, pqc.sector_maps)
+            Hpsi, g1, G2 = _gh.ham_and_rdms_hosted(
+                c1eff, c2, psi, pqc.sector_maps, ncas)
+            e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
+                                                   tables)
         else:
             Hpsi = _sj("hrow", _hrow)(c1eff, c2, psi, tables)
-        e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
-                                               tables)
-        if _hosted_mode():
-            from ..ops import grid_hosted as _gh
-            g1, G2 = _gh.rdms_hosted(psi, pqc.sector_maps, ncas)
-        else:
+            e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
+                                                   tables)
             g1, G2 = _sj("rdms_g", _rdms_streamed)(psi, tables)
         grad_o = (_sj("orb_g", _pack_only)(h1, g2, g1, G2) if n_kappa
                   else jnp.zeros((0,), dtype=theta.dtype))

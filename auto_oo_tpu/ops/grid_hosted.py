@@ -224,6 +224,90 @@ def _ham_segment(xg, C2, c1f, srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s,
     return acc
 
 
+def _ham_rdms_segment(xg, C2, c1f, srcA_s, sgnA_s, tA_s, dstA_s,
+                      dsgnA_s, rowidx_s, rows_s, srcB, sgnB, tB, acc,
+                      gamma, corr):
+    """Fused segment: ONE Phi build per chunk feeds both the
+    scatter-form H-apply accumulation and the RDM grams — halves the
+    hosted gather traffic of an energy+gradient evaluation, where both
+    H|psi> and (gamma, Gamma) of the SAME state are needed."""
+    dt = xg.dtype
+    n2 = C2.shape[0]
+    Nb_ = xg.shape[-1]
+    rows2 = jnp.arange(n2)[:, None]
+
+    def body(carry, xs):
+        acc, g, c = carry
+        srcA_k, sgnA_k, tA_k, dstA_k, dsgnA_k, rowidx_k, rows_k = xs
+        phi_c = _phi_chunk_t(xg, rows_k, srcA_k, sgnA_k, tA_k,
+                             srcB, sgnB, tB)                # (n2, R, Nb)
+        R = phi_c.shape[-2]
+        phi_f = phi_c.reshape(n2, R * Nb_)
+        # RDM grams (ops/grid.rdms_rows body)
+        bra_c = jnp.conj(rows_k).reshape(-1)
+        g = g + jnp.real(_rdms.gram_last(phi_f, bra_c))
+        c = c + jnp.real(_rdms.gram_last(jnp.conj(phi_f), phi_f))
+        # H-apply (scatter form, _ham_segment body)
+        yc = _rdms.small_matmul_free_last(C2, phi_f).reshape(n2, R, Nb_)
+        yc = yc + c1f[:, None, None] * rows_k[None, :, :]
+        Yt = jnp.swapaxes(yc, -1, -2)
+        Gb = Yt[rows2, srcB, :]
+        outBt = jnp.sum(Gb * sgnB.astype(dt)[:, :, None]
+                        * tA_k.astype(dt)[:, None, :], axis=0)
+        contrib = (yc * dsgnA_k.astype(dt)[:, :, None]
+                   * tB.astype(dt)[:, None, :])
+        acc = acc.at[dstA_k].add(contrib)
+        acc = acc.at[rowidx_k].add(outBt.T)
+        return (acc, g, c), None
+
+    (acc, gamma, corr), _ = jax.lax.scan(
+        body, (acc, gamma, corr),
+        (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s, rows_s))
+    return acc, gamma, corr
+
+
+def ham_and_rdms_hosted(c1eff, c2, x, gm, ncas, row_chunk=None,
+                        seg_chunks=None, grid_order=True):
+    """(H|x>, gamma, Gamma) of one sector state with a SINGLE hosted
+    full-Phi pass (the gradient pipeline needs all three; running
+    ham_apply_hosted + rdms_hosted separately pays the pass twice).
+    Values equal the separate drivers exactly (same chunk math)."""
+    dt = x.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    if not grid_order:
+        x = _seg_jit("to_grid", _grid.to_grid)(x, gm)
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    if row_chunk is None:
+        row_chunk = _grid._row_chunk(1, n2, Nb, itemsize)
+    seg = seg_chunks or seg_chunks_default()
+    xg = _grid._as_grid2d(x, gm)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
+        gm, row_chunk)
+    Na_pad = nchunk * row_chunk
+    rows_c = _grid._pad_rows(xg, pad).reshape((nchunk, row_chunk, Nb))
+    dstA_c, dsgnA_c = _chunked_inverse_tables(gm, row_chunk, nchunk, pad)
+    rowidx_c = jnp.arange(Na_pad, dtype=jnp.int32).reshape(
+        nchunk, row_chunk)
+    C2g = c2.reshape(n2, n2).astype(dt)
+    c1f = c1eff.reshape(n2).astype(dt)
+    rdt = jnp.zeros((), dtype=dt).real.dtype
+    acc = jnp.zeros((Na_pad, Nb), dt)
+    gamma = jnp.zeros((n2,), rdt)
+    corr = jnp.zeros((n2, n2), rdt)
+    run = _seg_jit("hamrdms_seg", _ham_rdms_segment)
+    for lo in range(0, nchunk, seg):
+        hi = min(nchunk, lo + seg)
+        acc, gamma, corr = run(
+            xg, C2g, c1f, srcA_c[lo:hi], sgnA_c[lo:hi], tA_c[lo:hi],
+            dstA_c[lo:hi], dsgnA_c[lo:hi], rowidx_c[lo:hi],
+            rows_c[lo:hi], gm.srcB, gm.sgnB, gm.tB, acc, gamma, corr)
+    out = acc[:Na].reshape(-1)
+    if not grid_order:
+        out = _seg_jit("from_grid", _grid.from_grid)(out, gm)
+    g1, G2 = _assemble_rdms(gamma, corr, ncas)
+    return out, g1, G2
+
+
 def ham_apply_hosted(c1eff, c2, x, gm, row_chunk=None, seg_chunks=None,
                      grid_order=True):
     """H|x> (without the c0 constant) for a string-grid sector state,

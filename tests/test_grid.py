@@ -602,3 +602,27 @@ def test_hosted_routes_match_fused_end_to_end(monkeypatch):
     assert float(jnp.max(jnp.abs(G2_h - G2_ref))) < 1e-12
     assert float(jnp.max(jnp.abs(rdm_h[0] - rdm_ref[0]))) < 1e-12
     assert float(jnp.max(jnp.abs(rdm_h[1] - rdm_ref[1]))) < 1e-12
+
+
+@pytest.mark.parametrize("ncas,nelec", [(4, 4), (4, (3, 1))])
+def test_fused_hosted_ham_rdms(ncas, nelec):
+    """ham_and_rdms_hosted (one Phi pass) == the separate drivers."""
+    from auto_oo_tpu.ops import grid_hosted as gh
+
+    gm = G.build_grid_maps(ncas, nelec, False)
+    D = gm.Na * gm.Nb
+    x = jax.random.normal(jax.random.PRNGKey(4), (D,), jnp.float64)
+    x = x / jnp.linalg.norm(x)
+    c1 = jax.random.normal(jax.random.PRNGKey(5), (ncas, ncas))
+    c1 = (c1 + c1.T) / 2
+    c2 = jax.random.normal(jax.random.PRNGKey(6), (ncas,) * 4)
+    c2 = (c2 + jnp.transpose(c2, (1, 0, 3, 2))
+          + jnp.transpose(c2, (2, 3, 0, 1))) / 3
+    h, g1, G2 = gh.ham_and_rdms_hosted(c1, c2, x, gm, ncas,
+                                       row_chunk=3, seg_chunks=2)
+    h_ref = _ham.ham_apply(c1, c2, x, ncas, maps=gm)
+    g1_ref, G2_ref = _rdms.rdms_from_state(x, ncas, maps=gm,
+                                           grid_order=True)
+    assert float(jnp.max(jnp.abs(h - h_ref))) < 1e-13
+    assert float(jnp.max(jnp.abs(g1 - g1_ref))) < 1e-13
+    assert float(jnp.max(jnp.abs(G2 - G2_ref))) < 1e-13
