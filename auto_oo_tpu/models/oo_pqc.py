@@ -728,8 +728,19 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         if _hosted_mode():
             # ONE hosted full-Phi pass yields H|psi> AND the RDMs
             from ..ops import grid_hosted as _gh
+            # mixed mode: the hosted pass IS the traffic (339 GB of f64
+            # gathers+scatters at (16e,16o)), so the state is cast to
+            # f32 for it — every byte of the pass halves.  The RDM
+            # accumulators stay f64 inside the driver, and the VJP
+            # backward (gate program) runs f64; only H|psi| and the
+            # energy/gradient it feeds carry f32-level (~1e-6 relative)
+            # error — the gradient-only Adam loop this pipeline drives
+            # at these scales takes 1e-2-scale steps.  Second-order
+            # convergence tiers never route here (they are far below
+            # the hosted-traffic budget).
+            psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
             Hpsi, g1, G2 = _gh.ham_and_rdms_hosted(
-                c1eff, c2, psi, pqc.sector_maps, ncas)
+                c1eff, c2, psi_p, pqc.sector_maps, ncas)
             e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
                                                    tables)
         else:

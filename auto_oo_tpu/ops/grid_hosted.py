@@ -37,6 +37,7 @@ counterpart: the reference architecture (pqc.py:192-218, Python sparse
 loops over 4^ncas vectors) cannot represent these scales at all.
 """
 
+import contextlib
 import os
 
 import numpy as np
@@ -81,6 +82,19 @@ def _seg_jit(name, fn):
     if name not in _JIT_CACHE:
         _JIT_CACHE[name] = jax.jit(fn)
     return _JIT_CACHE[name]
+
+
+def _prec_ctx(dt):
+    """Trace-time matmul-precision scope for f32-family segment traces.
+
+    TPU f32 dots default to ONE bf16 pass (~1e-2 relative error — far too
+    coarse for RDM grams); 'float32' stamps the bf16x3 passes that
+    deliver true f32 accuracy.  f64 traces stay OUTSIDE the scope (the
+    f64 emulation path is precision-flag sensitive on some backends) —
+    same policy as models/oo_pqc._build_nr_core's prec_ctx."""
+    if jnp.dtype(dt) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.complex64)):
+        return jax.default_matmul_precision("float32")
+    return contextlib.nullcontext()
 
 
 # ---- shared chunk primitives ----------------------------------------------
@@ -132,7 +146,10 @@ def _assemble_rdms(gamma, corr, ncas):
 def _rdms_segment(psig, srcA_s, sgnA_s, tA_s, rows_s, srcB, sgnB, tB,
                   gamma, corr):
     """One segment of the rdms_rows scan: same body as
-    ops/grid.rdms_rows, accumulators carried ACROSS dispatches."""
+    ops/grid.rdms_rows, accumulators carried ACROSS dispatches.  The
+    accumulators are f64 regardless of the state dtype (an f32 state —
+    the mixed-precision hosted gradient pass — keeps its chunk grams
+    f32 on the MXU but accumulates them losslessly)."""
 
     def body(carry, xs):
         g, c = carry
@@ -144,8 +161,9 @@ def _rdms_segment(psig, srcA_s, sgnA_s, tA_s, rows_s, srcB, sgnB, tB,
         c = c + jnp.real(_rdms.gram_last(jnp.conj(phi_c), phi_c))
         return (g, c), None
 
-    (gamma, corr), _ = jax.lax.scan(
-        body, (gamma, corr), (srcA_s, sgnA_s, tA_s, rows_s))
+    with _prec_ctx(psig.dtype):
+        (gamma, corr), _ = jax.lax.scan(
+            body, (gamma, corr), (srcA_s, sgnA_s, tA_s, rows_s))
     return gamma, corr
 
 
@@ -170,9 +188,10 @@ def rdms_hosted(psi, gm, ncas, row_chunk=None, seg_chunks=None,
     srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
         gm, row_chunk)
     rows_c = _grid._pad_rows(psig, pad).reshape((nchunk, row_chunk, Nb))
-    rdt = jnp.zeros((), dtype=dt).real.dtype
-    gamma = jnp.zeros((n2,), rdt)
-    corr = jnp.zeros((n2, n2), rdt)
+    # f64 accumulators even for an f32 state (mixed hosted pass): the
+    # per-chunk grams stay f32, their cross-dispatch sum is exact
+    gamma = jnp.zeros((n2,), jnp.float64)
+    corr = jnp.zeros((n2, n2), jnp.float64)
     run = _seg_jit("rdms_seg", _rdms_segment)
     for lo in range(0, nchunk, seg):
         hi = min(nchunk, lo + seg)
@@ -218,9 +237,10 @@ def _ham_segment(xg, C2, c1f, srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s,
         acc = acc.at[rowidx_k].add(outBt.T)
         return acc, None
 
-    acc, _ = jax.lax.scan(
-        body, acc,
-        (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s, rows_s))
+    with _prec_ctx(xg.dtype):
+        acc, _ = jax.lax.scan(
+            body, acc,
+            (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s, rows_s))
     return acc
 
 
@@ -260,9 +280,10 @@ def _ham_rdms_segment(xg, C2, c1f, srcA_s, sgnA_s, tA_s, dstA_s,
         acc = acc.at[rowidx_k].add(outBt.T)
         return (acc, g, c), None
 
-    (acc, gamma, corr), _ = jax.lax.scan(
-        body, (acc, gamma, corr),
-        (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s, rows_s))
+    with _prec_ctx(xg.dtype):
+        (acc, gamma, corr), _ = jax.lax.scan(
+            body, (acc, gamma, corr),
+            (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s, rows_s))
     return acc, gamma, corr
 
 
@@ -290,10 +311,11 @@ def ham_and_rdms_hosted(c1eff, c2, x, gm, ncas, row_chunk=None,
         nchunk, row_chunk)
     C2g = c2.reshape(n2, n2).astype(dt)
     c1f = c1eff.reshape(n2).astype(dt)
-    rdt = jnp.zeros((), dtype=dt).real.dtype
+    # H|x> stays in the state dtype (D-sized; f32 halves its scatter
+    # traffic in the mixed pass) — the RDM accumulators are f64 always
     acc = jnp.zeros((Na_pad, Nb), dt)
-    gamma = jnp.zeros((n2,), rdt)
-    corr = jnp.zeros((n2, n2), rdt)
+    gamma = jnp.zeros((n2,), jnp.float64)
+    corr = jnp.zeros((n2, n2), jnp.float64)
     run = _seg_jit("hamrdms_seg", _ham_rdms_segment)
     for lo in range(0, nchunk, seg):
         hi = min(nchunk, lo + seg)

@@ -12,6 +12,9 @@ Stages (argv 2, comma-separated, default "state,rdms,s2,energy"):
   s2      — spin purity via the string-factorized S^- maps
   energy  — variational E(0) vs RHF through the OO_pqc energy program
   grad    — energy + full circuit gradient (adjoint VJP)
+  gradmixed — same through precision="mixed": the hosted pass runs on
+          an f32 state (half of the 339 GB gather/scatter budget), RDM
+          accumulators stay f64, the VJP backward stays f64
   adam    — 2 Adam steps of gradient-only OO-VQE
 
 Run: python scripts/demo_16e16o.py [n_layers] [stages]
@@ -119,6 +122,22 @@ def main():
         e_g, grad, _ = oo.energy_and_gradient(theta)
         jax.device_get(grad[:1])
         print(f"energy+gradient warm: {time.time() - t0:.2f}s", flush=True)
+
+    if "gradmixed" in stages:
+        oomx = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
+                      precision="mixed")
+        t0 = time.time()
+        e_m, grad_m, _ = oomx.energy_and_gradient(theta)
+        jax.device_get(grad_m[:1])
+        print(f"energy+gradient MIXED (compile+1st): "
+              f"{time.time() - t0:.1f}s  "
+              f"|grad| = {float(jnp.linalg.norm(grad_m)):.6e}  "
+              f"E = {float(e_m):.8f}", flush=True)
+        t0 = time.time()
+        e_m, grad_m, _ = oomx.energy_and_gradient(theta)
+        jax.device_get(grad_m[:1])
+        print(f"energy+gradient MIXED warm: {time.time() - t0:.2f}s",
+              flush=True)
 
     if "adam" in stages:
         t0 = time.time()

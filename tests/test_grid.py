@@ -626,3 +626,68 @@ def test_fused_hosted_ham_rdms(ncas, nelec):
     assert float(jnp.max(jnp.abs(h - h_ref))) < 1e-13
     assert float(jnp.max(jnp.abs(g1 - g1_ref))) < 1e-13
     assert float(jnp.max(jnp.abs(G2 - G2_ref))) < 1e-13
+
+
+@pytest.mark.parametrize("ncas,nelec", [(4, 4), (4, (3, 1))])
+def test_hosted_drivers_f32_state(ncas, nelec):
+    """The mixed-precision hosted pass: an f32 state through the hosted
+    drivers must return f64 RDM accumulators at f32-level accuracy and
+    an f32 H|x> — the (16e,16o)-scale route where casting the state
+    halves every gather/scatter byte of the pass."""
+    from auto_oo_tpu.ops import grid_hosted as gh
+
+    gm = G.build_grid_maps(ncas, nelec, False)
+    D = gm.Na * gm.Nb
+    x = jax.random.normal(jax.random.PRNGKey(7), (D,), jnp.float64)
+    x = x / jnp.linalg.norm(x)
+    c1 = jax.random.normal(jax.random.PRNGKey(8), (ncas, ncas))
+    c1 = (c1 + c1.T) / 2
+    c2 = jax.random.normal(jax.random.PRNGKey(9), (ncas,) * 4)
+    c2 = (c2 + jnp.transpose(c2, (1, 0, 3, 2))
+          + jnp.transpose(c2, (2, 3, 0, 1))) / 3
+    x32 = x.astype(jnp.float32)
+
+    g1_ref, G2_ref = _rdms.rdms_from_state(x, ncas, maps=gm,
+                                           grid_order=True)
+    g1, G2 = gh.rdms_hosted(x32, gm, ncas, row_chunk=3, seg_chunks=2)
+    assert g1.dtype == jnp.float64 and G2.dtype == jnp.float64
+    assert float(jnp.max(jnp.abs(g1 - g1_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(G2 - G2_ref))) < 1e-5
+
+    h, g1f, G2f = gh.ham_and_rdms_hosted(c1, c2, x32, gm, ncas,
+                                         row_chunk=3, seg_chunks=2)
+    h_ref = _ham.ham_apply(c1, c2, x, ncas, maps=gm)
+    assert h.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(h - h_ref.astype(jnp.float32)))) < 1e-4
+    assert float(jnp.max(jnp.abs(g1f - g1_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(G2f - G2_ref))) < 1e-5
+
+
+def test_hosted_mixed_gradient_matches_f64(monkeypatch):
+    """precision='mixed' + forced hosting: energy_and_gradient runs the
+    f32 hosted pass (f64 VJP backward) and must agree with the f64 path
+    to f32 accuracy — the gradient contract of the (16e,16o)-scale
+    gradient-only pipeline (BASELINE.md round-4 ninth phase)."""
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.moldata import Moldata
+
+    mol = Moldata("H 0 0 0; H 0 0 1.2; H 0 0 2.4; H 0 0 3.6", "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    oo = OO_pqc(pqc, mol, 4, 4)
+    e_ref, grad_ref, (g1_ref, G2_ref) = oo.energy_and_gradient(theta)
+
+    monkeypatch.setenv("AUTO_OO_TPU_HOSTED_MIN_BYTES", "1")
+    oo_m = OO_pqc(pqc, mol, 4, 4, precision="mixed")
+    e_m, grad_m, (g1_m, G2_m) = oo_m.energy_and_gradient(theta)
+    # energy carries the f32 H|psi> error; RDMs are f64-accumulated
+    assert abs(float(e_m) - float(e_ref)) < 1e-5
+    scale = float(jnp.max(jnp.abs(grad_ref))) + 1.0
+    assert float(jnp.max(jnp.abs(grad_m - grad_ref))) < 1e-4 * scale
+    assert float(jnp.max(jnp.abs(g1_m - g1_ref))) < 1e-5
+    assert float(jnp.max(jnp.abs(G2_m - G2_ref))) < 1e-5
+    # the f64 hosted route of the SAME spec stays bit-exact
+    e_h, grad_h, _ = oo.energy_and_gradient(theta)
+    assert abs(float(e_h) - float(e_ref)) < 1e-12
+    assert float(jnp.max(jnp.abs(grad_h - grad_ref))) < 1e-12
