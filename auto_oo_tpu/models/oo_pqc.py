@@ -689,6 +689,15 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         phi = _rdms.apply_epq_all(psi, ncas, utd, maps)
         return _rdms_of(phi, psi)
 
+    def _hrow_mixed(c1eff, c2, v32, tables):
+        # coefficients cast INSIDE the program: f64 c1eff/c2 arguments
+        # would silently upcast every phi product back to f64
+        return _hrow(_lowp(c1eff), _lowp(c2), v32, tables)
+
+    def _rdms_streamed_mixed(v32, tables):
+        g1, G2 = _rdms_streamed(v32, tables)
+        return g1.astype(jnp.float64), G2.astype(jnp.float64)
+
     def _grad_c_vjp(theta, c0, psi, Hpsi, tables):
         # vdot_big everywhere a D-dot appears: the f64 dot emulation's
         # ~8x operand expansion OOMs at (16e,16o); the inner scalar is
@@ -741,6 +750,18 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
             Hpsi, g1, G2 = _gh.ham_and_rdms_hosted(
                 c1eff, c2, psi_p, pqc.sector_maps, ncas)
+            e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
+                                                   tables)
+        elif mixed:
+            # same traffic split below the hosted budget ((14e,14o)-class
+            # streamed kernels): H-apply + RDM streams on an f32 state,
+            # RDMs cast back to f64 for the orbital block, VJP f64
+            psi_p = _sj("lowp_psi", _lowp)(psi)
+            with prec_ctx():
+                Hpsi = _sj("hrow32", _hrow_mixed)(c1eff, c2, psi_p,
+                                                  tables)
+                g1, G2 = _sj("rdms_g32", _rdms_streamed_mixed)(psi_p,
+                                                               tables)
             e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
                                                    tables)
         else:
@@ -995,7 +1016,16 @@ class OO_pqc(OO_energy):
         cost (~8 f32 passes per f64 matmul avoided) at no cost to the
         converged energy (the stationary point is fixed by the f64
         gradient; validated to ~1e-10 Ha in tests/test_mixed_precision.py
-        and promised at config.py:8)."""
+        and promised at config.py:8).
+
+        In the GRADIENT-ONLY pipeline (``energy_and_gradient`` /
+        ``gradient_optimization``, the beyond-Hessian path), 'mixed'
+        instead runs the H-apply/RDM streams on an f32 state — at
+        (14e,14o)+/(16e,16o) those streams are the entire cost, so the
+        traffic halves — with the VJP backward and the RDM hand-off kept
+        f64.  There energy and gradient carry f32-level (~1e-6 relative)
+        error, absorbed by the 1e-2-scale Adam steps; keep 'f64' if the
+        logged gradient-loop energies must be exact beyond ~1e-6 Ha."""
         super().__init__(mol, ncas, nelecas, oao_mo_coeff=oao_mo_coeff,
                          freeze_active=freeze_active)
         self.pqc = pqc

@@ -147,6 +147,24 @@ def main():
         print(f"2 Adam steps: {time.time() - t0:.1f}s  "
               f"dE = {energy_l[-1] - energy_l[0]:+.2e} Ha", flush=True)
         assert energy_l[-1] <= energy_l[0] + 1e-10
+
+    if "adammixed" in stages:
+        oomx2 = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
+                       precision="mixed")
+        t0 = time.time()
+        energy_l, _ = oomx2.gradient_optimization(
+            pqc.init_zeros(), max_iterations=3, learning_rate=0.05,
+            orbital_every=0, verbose=1)
+        n = len(energy_l)
+        print(f"{n} MIXED Adam steps: {time.time() - t0:.1f}s "
+              f"({(time.time() - t0) / n:.1f}s/step)  "
+              f"dE = {energy_l[-1] - energy_l[0]:+.2e} Ha", flush=True)
+        # mixed energies carry ~1e-6-level noise; descent must dominate
+        assert energy_l[-1] <= energy_l[0] + 1e-5
+        # E(0) through the mixed pass == RHF to f32 accuracy (the HF
+        # determinant is the theta=0 fabric state)
+        assert abs(energy_l[0] - mol.hf.e_tot) < 1e-4, (
+            energy_l[0], mol.hf.e_tot)
     print("DEMO OK", flush=True)
 
 

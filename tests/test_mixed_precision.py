@@ -5,6 +5,13 @@ energy and gradient stay f64.  The contract: the converged energy is
 unchanged to ~1e-9 Ha (the stationary point is fixed by the f64
 gradient; the Hessian only conditions the steps), and the Hessian
 entries carry f32 accuracy.
+
+The GRADIENT-ONLY pipeline (``energy_and_gradient`` — the beyond-Hessian
+path that drives ``gradient_optimization`` at (14e,14o)+/(16e,16o)+) has
+a different mixed contract: there the H-apply/RDM streams ARE the cost,
+so they run on an f32 state (half the gather/scatter traffic) with the
+VJP backward and RDM hand-off kept f64 — energy/gradient carry f32-level
+(~1e-6 relative) error, which the 1e-2-scale Adam steps absorb.
 """
 
 import numpy as np
@@ -76,3 +83,27 @@ def test_mixed_staged_matches_mixed_fused():
     # staged row order sums grams differently, so not bit-identical)
     hn = np.linalg.norm(np.asarray(h_f))
     assert np.linalg.norm(np.asarray(h_f) - np.asarray(h_s)) < 1e-5 * hn
+
+
+def test_mixed_streamed_gradient_matches_f64():
+    """The NON-hosted mixed gradient pipeline (f32 H-apply + RDM streams,
+    f64 VJP backward) must match the f64 energy_and_gradient to f32
+    accuracy, return f64 RDMs, and drive a descending Adam loop."""
+    mol = Moldata("H 0 0 0; H 0 0 1.2; H 0 0 2.4; H 0 0 3.6", "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    oo64 = OO_pqc(pqc, mol, 4, 4)
+    e64, g64, (g1_64, G2_64) = oo64.energy_and_gradient(theta)
+    oomx = OO_pqc(pqc, mol, 4, 4, precision="mixed")
+    emx, gmx, (g1_mx, G2_mx) = oomx.energy_and_gradient(theta)
+    assert g1_mx.dtype == jnp.float64 and G2_mx.dtype == jnp.float64
+    assert abs(float(emx) - float(e64)) < 1e-5
+    scale = float(jnp.max(jnp.abs(g64))) + 1.0
+    assert float(jnp.max(jnp.abs(gmx - g64))) < 1e-4 * scale
+    assert float(jnp.max(jnp.abs(gmx - g64))) > 0.0  # f32 genuinely ran
+    assert float(jnp.max(jnp.abs(g1_mx - g1_64))) < 1e-5
+    el, _ = oomx.gradient_optimization(pqc.init_zeros(), max_iterations=4,
+                                       learning_rate=0.05,
+                                       orbital_every=0, verbose=0)
+    assert el[-1] < el[0]
