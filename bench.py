@@ -2,18 +2,29 @@
 Hessian + damped step) for formaldimine OO-PQC — the BASELINE.json metric.
 
 Runs on whatever jax platform the environment provides (the real TPU chip
-under the driver).  Prints ONE JSON line on stdout:
+under the driver).  Prints the result as a JSON line on stdout:
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
 (progress goes to stderr).
 
-Tiers (all formaldimine, np_fabric ansatz):
-  (6e,6o)  sto-3g   full space      — the headline BASELINE.json metric
-  (4e,3o)  sto-3g   full space
-  (8e,8o)  sto-3g   full space      — reference-architecture ceiling
-  (8e,8o)  sto-3g   SECTOR basis    — D = C(8,4)^2 = 4,900 (13x smaller)
-  (10e,10o) sto-3g  SECTOR basis    — D = 63,504 (full space needs ~32G)
-  (4e,4o)  cc-pVDZ  full space      — polarized basis (nao = 43): stresses
-                                      the nao^4 transform + native ERI path
+EVIDENCE-FIRST STRUCTURE (round-5 redesign after BENCH_r04's rc=124 /
+parsed=null): the cumulative JSON line is (re)printed after EVERY
+completed tier, a SIGTERM/SIGINT handler prints it one final time when
+an external `timeout` kills the run, and a wall-clock budget
+(AUTO_OO_BENCH_BUDGET_S, default 1500 s) skips remaining optional tiers
+so the run normally finishes well inside the driver's window.  Tiers
+are ordered headline-first; one slow tier can no longer forfeit the
+whole round's perf evidence.  The LAST JSON line on stdout is always
+the most complete result.
+
+Default tiers (all formaldimine, sto-3g unless noted):
+  (6e,6o)   full space        — the headline BASELINE.json metric
+  (3e,3o)   doublet (cation)  — the literal BASELINE.json north-star config
+  (4e,3o)   full space
+  (8e,8o)   SECTOR basis      — D = C(8,4)^2 = 4,900 (the production config)
+  (10e,10o) SECTOR, mixed     — string-grid kernels, f32 Hessian blocks
+  (12e,12o) SECTOR, mixed     — D = 853,776, staged pipeline
+Extra tiers (--full, or leftover budget): (8e,8o) full space,
+(10e,10o) f64 / synced / pallas A/B, (4e,4o) cc-pVDZ, device-loop runs.
 
 Each tier reports median, p95 and the max/min iteration ratio — iteration
 time of a fixed compiled program should be flat; the ratio quantifies
@@ -30,6 +41,7 @@ skip the (large) one-time compile of the NR-iteration programs.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -38,9 +50,56 @@ import numpy as np
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       ".jax_cache")
 
+_T_START = time.time()
+
+
+def _budget_s():
+    return float(os.environ.get("AUTO_OO_BENCH_BUDGET_S", 1500.0))
+
+
+def _elapsed():
+    return time.time() - _T_START
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+# ---- incremental result emission -------------------------------------------
+
+_RESULT = {
+    "metric": "nr_iter_wall_s_formaldimine_6e6o_sto3g",
+    "value": None,
+    "unit": "s",
+    "vs_baseline": None,
+    "extra": {},
+}
+
+
+def _emit(note=None):
+    """Print the cumulative result JSON line (the driver parses stdout;
+    the LAST such line is the most complete)."""
+    out = dict(_RESULT)
+    if note is not None:
+        out = dict(out, note=note)
+    print(json.dumps(out), flush=True)
+
+
+def _install_signal_emit():
+    """On SIGTERM/SIGINT (the `timeout` kill path) print the cumulative
+    JSON one final time so a timed-out run still yields parsed != null."""
+    def handler(signum, frame):
+        _emit(note=f"killed by signal {signum} at {_elapsed():.0f}s; "
+                   "partial tier set")
+        # restore + re-raise so the exit code still reflects the kill
+        signal.signal(signum, signal.SIG_DFL)
+        os.kill(os.getpid(), signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):  # non-main thread / platform quirk
+            pass
 
 
 def _stats(times):
@@ -56,7 +115,8 @@ def _stats(times):
 
 def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
                   basis="sto-3g", sync_per_program=False,
-                  precision="f64", pallas=False):
+                  precision="f64", pallas=False, ansatz="np_fabric",
+                  add_singles=False, charge=0, spin=0):
     """Time NR iterations; returns (stats, compile_s, energy, flop_info).
 
     sync_per_program=True inserts a block_until_ready between the two NR
@@ -67,7 +127,9 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     pallas=True routes the f32 grid gathers through the DMA kernels
     (ops/pallas_grid.py) for the duration of this tier — the A/B against
     XLA's gather lowering; only meaningful with precision='mixed'.
-    """
+
+    charge/spin select an ionized/open-shell molecule (the (3e,3o)
+    doublet north-star tier runs the formaldimine cation)."""
     from auto_oo_tpu import config
 
     prev = config.pallas_enabled()
@@ -76,33 +138,39 @@ def time_nr_iters(ncas, nelecas, n_layers, n_iters=6, sector=False,
     try:
         return _time_nr_iters_body(
             ncas, nelecas, n_layers, n_iters, sector, basis,
-            sync_per_program, precision)
+            sync_per_program, precision, ansatz, add_singles, charge,
+            spin)
     finally:
         if pallas:
             config.set_pallas(prev)   # restore (honor AUTO_OO_TPU_PALLAS=1)
 
 
 def _time_nr_iters_body(ncas, nelecas, n_layers, n_iters, sector, basis,
-                        sync_per_program, precision):
+                        sync_per_program, precision, ansatz, add_singles,
+                        charge, spin):
     import jax
     import jax.numpy as jnp
 
     from auto_oo_tpu import Moldata, get_formal_geo
     from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
-    from auto_oo_tpu.utils import flops as _flops
 
     t0 = time.time()
     # one trivial executable first: the first compile+load on a fresh
     # device session carries tens of seconds of one-time warmup that is
     # not this program's compile time
     jax.jit(lambda x: x + 1.0)(jnp.zeros(8)).block_until_ready()
-    mol = Moldata(get_formal_geo(140, 80), basis)
-    pqc = Parameterized_circuit(ncas, nelecas, ansatz="np_fabric",
+    kw = {}
+    if charge or spin:
+        kw = {"charge": charge, "spin": spin}
+    mol = Moldata(get_formal_geo(140, 80), basis, **kw)
+    pqc = Parameterized_circuit(ncas, nelecas, ansatz=ansatz,
+                                add_singles=add_singles,
                                 n_layers=n_layers, sector=sector)
     oo = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
                 precision=precision)
     theta = pqc.init_zeros()
-    log(f"setup ({nelecas}e,{ncas}o) {basis}"
+    ne = (nelecas if isinstance(nelecas, int) else sum(nelecas))
+    log(f"setup ({ne}e,{ncas}o) {basis}"
         f"{' sector' if sector else ''}: {time.time() - t0:.1f}s "
         f"(n_theta={pqc.theta_shape}, n_kappa={oo.n_kappa}, "
         f"D={pqc.state_dim})")
@@ -133,6 +201,7 @@ def _time_nr_iters_body(ncas, nelecas, n_layers, n_iters, sector, basis,
     st = _stats(times)
     # device-efficiency accounting: statically known algorithmic f64
     # FLOPs per iteration / measured median wall-clock
+    from auto_oo_tpu.utils import flops as _flops
     fl = _flops.nr_iteration_flops(pqc, oo)
     achieved, frac = _flops.mfu(fl["total"], st["median"])
     flop_info = {
@@ -145,7 +214,8 @@ def _time_nr_iters_body(ncas, nelecas, n_layers, n_iters, sector, basis,
         # diagnostic (O(ncas * D) gather maps, no 4^ncas operator)
         s2 = float(pqc.s2_expectation(th))
         flop_info["s2_final"] = round(s2, 10)
-        assert abs(s2) < 1e-6, f"spin contamination: <S^2> = {s2}"
+        s2_ref = 0.0 if spin == 0 else (spin / 2) * (spin / 2 + 1)
+        assert abs(s2 - s2_ref) < 1e-6, f"spin contamination: <S^2> = {s2}"
     return st, compile_s, float(energy), flop_info
 
 
@@ -203,14 +273,12 @@ def _probe_backend(timeout_s=300):
         log(f"backend probe failed: {r.stdout!r} {r.stderr[-400:]!r}")
     except subprocess.TimeoutExpired:
         log(f"backend probe timed out after {timeout_s}s")
-    print(json.dumps({
-        "metric": "nr_iteration_wall_s", "value": None, "unit": "s",
-        "vs_baseline": None,
-        "error": "device backend unreachable (probe timeout)"}))
+    _emit(note="device backend unreachable (probe timeout)")
     return False
 
 
 def main():
+    _install_signal_emit()
     os.makedirs(_CACHE, exist_ok=True)
     if not _probe_backend():
         return
@@ -221,10 +289,8 @@ def main():
     except Exception as exc:  # cache is best-effort
         log(f"compilation cache unavailable: {exc}")
 
-    st, compile_s, energy, fl = time_nr_iters(6, 6, 2)
-    value = st["median"]
-    extra = {"compile_s_6e6o": round(compile_s, 2), "energy_6e6o": energy,
-             "stats_6e6o": st, "flops_6e6o": fl}
+    full = "--full" in sys.argv[1:]
+    extra = _RESULT["extra"]
 
     def tier(label, *args, **kwargs):
         try:
@@ -233,60 +299,94 @@ def main():
             extra[f"stats_{label}"] = s
             extra[f"compile_s_{label}"] = round(c, 2)
             extra[f"flops_{label}"] = f
+            extra[f"energy_{label}"] = e
         except Exception as exc:
             log(f"{label} tier skipped: {exc}")
+            extra[f"tier_{label}_skipped"] = str(exc)[:200]
+        _emit()
 
-    tier("4e3o", 3, 4, 1)
-    # (8e,8o): full space (the reference architecture's ceiling) AND the
-    # sector basis (D = 4,900 vs 65,536 — the production configuration)
-    tier("8e8o", 8, 8, 2, n_iters=3)
-    tier("8e8o_sector", 8, 8, 2, n_iters=6, sector=True)
-    # (10e,10o)/(12e,12o) run in the conserved-particle sector basis
-    # (D = 63,504 / 853,776; the full spaces need ~32G / ~512G HBM)
-    tier("10e10o_sector", 10, 10, 2, n_iters=3, sector=True)
-    # mixed-precision variant of the same tier: Hessian blocks in f32 on
-    # the MXU, energy/gradient f64 (VERDICT r3 item 1; converged energies
-    # agree with f64 to ~1e-10 Ha, tests/test_mixed_precision.py).  The
-    # MFU fields of this row are conservative: the f64-FLOP count is
-    # divided by the measured wall, so the f32 blocks' true utilization
-    # is higher than printed.
-    tier("10e10o_sector_mixed", 10, 10, 2, n_iters=3, sector=True,
-         precision="mixed")
-    # pallas-kernel variant of the mixed tier: the f32 grid gathers run
-    # through the DMA kernels (ops/pallas_grid.py) — the A/B against
-    # XLA's gather lowering; logs 'tier skipped' if Mosaic lowering is
-    # unavailable on this backend
-    tier("10e10o_sector_mixed_pallas", 10, 10, 2, n_iters=3, sector=True,
-         precision="mixed", pallas=True)
-    # synced-dispatch variant of the same tier: per-program
-    # block_until_ready removes the async-dispatch stalls of the remote
-    # device link (BASELINE.md variance diagnosis), so ratio_max_min on
-    # this row quantifies the genuinely flat compute time
-    tier("10e10o_sector_synced", 10, 10, 2, n_iters=3, sector=True,
-         sync_per_program=True)
-    # (12e,12o) sector, D = 853,776, through the STAGED large-D pipeline
-    # (models/oo_pqc.py).  With the string-grid kernels (ops/grid.py +
-    # simulator/grid_program.py) a warm mixed-precision iteration is
-    # ~2-3 s, so the tier now fits the driver run; the one-time stage
-    # compiles (~9 min cold) amortize through .jax_cache/.  n_layers=1
-    # matches scripts/bench_12e12o.py (nt = 10).
-    tier("12e12o_sector_mixed", 12, 12, 1, n_iters=3, sector=True,
-         precision="mixed")
-    # polarized-basis tier: nao = 43 stresses the nao^4 transform and the
-    # native ERI engine (reference ran cc-pVDZ in its north-star test,
-    # test_oo_pqc.py:160-185)
-    tier("4e4o_ccpvdz", 4, 4, 2, n_iters=3, basis="cc-pvdz")
-    # one-dispatch whole-optimization runs (device_loop=True): the entire
-    # damped-Newton loop as a single XLA program — per-iteration host
-    # round trips vanish, so s_per_iter_effective against the host-loop
-    # medians above isolates the tunnel's dispatch+sync overhead
+    def over_budget(label):
+        if full:
+            return False
+        if _elapsed() > _budget_s():
+            log(f"budget exceeded ({_elapsed():.0f}s > {_budget_s():.0f}s)"
+                f" — skipping {label} and later optional tiers")
+            extra.setdefault("tiers_skipped_for_budget", []).append(label)
+            return True
+        return False
+
+    # ---- headline tier: always first, always runs --------------------
+    try:
+        st, compile_s, energy, fl = time_nr_iters(6, 6, 2)
+        _RESULT["value"] = round(st["median"], 6)
+        _RESULT["vs_baseline"] = round(1.0 / st["median"], 3)
+        extra.update({"compile_s_6e6o": round(compile_s, 2),
+                      "energy_6e6o": energy, "stats_6e6o": st,
+                      "flops_6e6o": fl})
+    except Exception as exc:
+        log(f"headline 6e6o tier FAILED: {exc}")
+        extra["tier_6e6o_skipped"] = str(exc)[:200]
+    _emit()
+
+    # ---- core tiers, headline-value first -----------------------------
+    # the literal BASELINE.json north-star config: formaldimine cation,
+    # (3e,3o) doublet active space, UCCSD ansatz (GateFabric needs an
+    # even electron pair count); target < 1 s/NR-iter
+    if not over_budget("3e3o_doublet"):
+        tier("3e3o_doublet", 3, (2, 1), 1, ansatz="ucc",
+             add_singles=True, charge=1, spin=1)
+    if not over_budget("4e3o"):
+        tier("4e3o", 3, 4, 1)
+    # (8e,8o) sector basis: D = 4,900 vs 65,536 — the production config
+    if not over_budget("8e8o_sector"):
+        tier("8e8o_sector", 8, 8, 2, n_iters=6, sector=True)
+    # (10e,10o)/(12e,12o) sector tiers (D = 63,504 / 853,776), mixed
+    # precision: Hessian blocks f32 on the MXU through the string-grid
+    # kernels, energy/gradient f64 (converged energies agree with f64 to
+    # ~1e-10 Ha, tests/test_mixed_precision.py)
+    if not over_budget("10e10o_sector_mixed"):
+        tier("10e10o_sector_mixed", 10, 10, 2, n_iters=3, sector=True,
+             precision="mixed")
+    # (12e,12o) through the STAGED large-D pipeline + string-grid
+    # kernels: warm mixed iterations ~2-3 s; one-time stage compiles
+    # amortize through .jax_cache/.  n_layers=1 (nt = 12).
+    if not over_budget("12e12o_sector_mixed"):
+        tier("12e12o_sector_mixed", 12, 12, 1, n_iters=3, sector=True,
+             precision="mixed")
+
+    # ---- optional tiers (leftover budget, or --full) ------------------
+    # (8e,8o) full space: the reference architecture's practical ceiling
+    if not over_budget("8e8o"):
+        tier("8e8o", 8, 8, 2, n_iters=3)
+    # f64 variant of the (10e,10o) sector tier (mixed speedup denominator)
+    if not over_budget("10e10o_sector"):
+        tier("10e10o_sector", 10, 10, 2, n_iters=3, sector=True)
+    # synced-dispatch variant: per-program block_until_ready removes the
+    # async-dispatch stalls of the remote link (BASELINE.md variance
+    # diagnosis) — ratio_max_min here quantifies the flat compute floor
+    if not over_budget("10e10o_sector_synced"):
+        tier("10e10o_sector_synced", 10, 10, 2, n_iters=3, sector=True,
+             sync_per_program=True)
+    # pallas A/B: f32 grid gathers through the DMA kernels
+    # (ops/pallas_grid.py) vs XLA's gather lowering (a documented tie)
+    if not over_budget("10e10o_sector_mixed_pallas"):
+        tier("10e10o_sector_mixed_pallas", 10, 10, 2, n_iters=3,
+             sector=True, precision="mixed", pallas=True)
+    # polarized-basis tier: nao = 43 stresses the nao^4 transform and
+    # the native ERI engine
+    if not over_budget("4e4o_ccpvdz"):
+        tier("4e4o_ccpvdz", 4, 4, 2, n_iters=3, basis="cc-pvdz")
+    # one-dispatch whole-optimization runs (device_loop=True)
     for label, args in (("6e6o", (6, 6, 2)),
                         ("8e8o_sector", (8, 8, 2))):
+        if over_budget(f"device_loop_{label}"):
+            break
         try:
             extra[f"device_loop_{label}"] = time_device_loop(
                 *args, sector=label.endswith("sector"))
         except Exception as exc:
             log(f"device_loop {label} tier skipped: {exc}")
+        _emit()
 
     # PyTorch-CPU reference-pattern baseline, measured on this host with
     # scripts/bench_torch_cpu.py (the reference's own deps are not
@@ -295,20 +395,16 @@ def main():
     # blocks + analytic orbital blocks, Armijo NR step — in torch):
     torch_cpu_6e6o = 35.823  # scripts/bench_torch_cpu.py on this host
     extra["torch_cpu_ref_nr_iter_s_6e6o"] = torch_cpu_6e6o
-    extra["speedup_vs_torch_cpu_6e6o"] = round(torch_cpu_6e6o / value, 1)
+    if _RESULT["value"]:
+        extra["speedup_vs_torch_cpu_6e6o"] = round(
+            torch_cpu_6e6o / _RESULT["value"], 1)
     torch_cpu_44dz = 18.045  # same script, (4e,4o) cc-pVDZ tier
     if "nr_iter_wall_s_4e4o_ccpvdz" in extra:
         extra["torch_cpu_ref_nr_iter_s_4e4o_ccpvdz"] = torch_cpu_44dz
         extra["speedup_vs_torch_cpu_4e4o_ccpvdz"] = round(
             torch_cpu_44dz / extra["nr_iter_wall_s_4e4o_ccpvdz"], 1)
-    target_s = 1.0
-    print(json.dumps({
-        "metric": "nr_iter_wall_s_formaldimine_6e6o_sto3g",
-        "value": round(value, 6),
-        "unit": "s",
-        "vs_baseline": round(target_s / value, 3),
-        "extra": extra,
-    }))
+    extra["bench_wall_s"] = round(_elapsed(), 1)
+    _emit()
 
 
 if __name__ == "__main__":
