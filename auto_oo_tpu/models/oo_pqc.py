@@ -726,7 +726,10 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         if not _grid_staged:
             return False
         from ..ops import grid_hosted as _gh
-        # psi stays f64 even in mixed mode (only Hessian blocks drop)
+        # routing deliberately keyed on the f64 itemsize even in mixed
+        # mode (where the hosted pass actually runs on an f32 state):
+        # a sector either needs hosting in BOTH precision modes or in
+        # neither, so mixed/f64 runs of one problem take the same route
         return _gh.needs_hosting(pqc.sector_maps, 8)
 
     def energy_gradient_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff,
@@ -739,14 +742,15 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             from ..ops import grid_hosted as _gh
             # mixed mode: the hosted pass IS the traffic (339 GB of f64
             # gathers+scatters at (16e,16o)), so the state is cast to
-            # f32 for it — every byte of the pass halves.  The RDM
-            # accumulators stay f64 inside the driver, and the VJP
-            # backward (gate program) runs f64; only H|psi| and the
-            # energy/gradient it feeds carry f32-level (~1e-6 relative)
-            # error — the gradient-only Adam loop this pipeline drives
-            # at these scales takes 1e-2-scale steps.  Second-order
-            # convergence tiers never route here (they are far below
-            # the hosted-traffic budget).
+            # f32 for it — every byte of the pass halves.  The grams
+            # are computed from the f32 state, so H|psi>, the RDMs and
+            # everything they feed (energy, both gradient halves) carry
+            # f32-level (~1e-6 relative, ~1e-5 per the tests) error;
+            # the driver's f64 accumulators only avoid cross-dispatch
+            # summation loss on top of that.  The VJP backward (gate
+            # program) runs f64.  Acceptable here: the gradient-only
+            # Adam loop this pipeline drives at these scales takes
+            # 1e-2-scale steps.
             psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
             Hpsi, g1, G2 = _gh.ham_and_rdms_hosted(
                 c1eff, c2, psi_p, pqc.sector_maps, ncas)
@@ -1145,7 +1149,7 @@ class OO_pqc(OO_energy):
         return e0, grad, rdms
 
     def gradient_optimization(self, theta_init, max_iterations=200,
-                              learning_rate=0.05, conv_tol=1e-8,
+                              learning_rate=0.05, conv_tol=None,
                               orbital_every=10, orbital_kwargs=None,
                               verbose=0, flush=True, monitor=None,
                               optimizer=None, eval_fn=None):
@@ -1165,8 +1169,17 @@ class OO_pqc(OO_energy):
         is a zero-arg callable returning (gamma, Gamma) at the SAME
         theta, invoked only on orbital-relaxation iterations — the hook
         through which parallel.row_sharded_gradient_optimization runs
-        this exact loop with every large-D stage on a device mesh."""
+        this exact loop with every large-D stage on a device mesh.
+
+        ``conv_tol`` defaults to 1e-8 (f64) / 1e-5 (precision='mixed'):
+        the mixed hosted/streamed pass carries ~1e-6-relative energy
+        noise, so a 1e-8 two-consecutive-delta test would essentially
+        never fire and every mixed run would silently go to
+        max_iterations.  Pass conv_tol explicitly to override."""
         import optax
+
+        if conv_tol is None:
+            conv_tol = 1e-5 if self.precision == "mixed" else 1e-8
 
         theta = jnp.asarray(theta_init)
         # any optax GradientTransformation may be substituted (the

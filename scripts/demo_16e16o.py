@@ -16,6 +16,8 @@ Stages (argv 2, comma-separated, default "state,rdms,s2,energy"):
           an f32 state (half of the 339 GB gather/scatter budget), RDM
           accumulators stay f64, the VJP backward stays f64
   adam    — 2 Adam steps of gradient-only OO-VQE
+  adammixed — the same Adam steps through precision="mixed" (the f32
+          hosted pass of gradmixed driving the whole loop)
 
 Run: python scripts/demo_16e16o.py [n_layers] [stages]
 """
