@@ -12,7 +12,7 @@ instead of PySCF.
 import numpy as np
 
 from .mole import Mole
-from .scf import RHF
+from .scf import RHF, ROHF
 from .casscf import CASSCF
 from . import fci as _fci
 
@@ -86,16 +86,22 @@ class Moldata:
         return occ_idx, act_idx, virt_idx
 
     def run_rhf(self, verbose=0):
+        """RHF for closed shells; ROHF (one spatial-orbital set, singly
+        occupied open shell) when the molecule has spin != 0 — mirrors
+        what PySCF's scf.RHF does for open-shell moles."""
         if self.hf is None:
-            self.hf = RHF(self.mol).run()
+            cls = ROHF if self.mol.spin else RHF
+            self.hf = cls(self.mol).run()
 
     def run_fci(self, n_roots=1, fix_singlet=1, verbose=0):
         """Full CI over all orbitals (CAS = full space)."""
         self.run_rhf()
         h1, g2 = self._mo_ints(self.hf.mo_coeff)
+        nelec = (self.mol.nelec if self.mol.spin
+                 else self.mol.nelectron)
         res = _fci.solve_cas(self.nuc, h1, 0.5 * g2, self.nao,
-                             self.mol.nelectron, n_roots=n_roots,
-                             fix_singlet=bool(fix_singlet))
+                             nelec, n_roots=n_roots,
+                             fix_singlet=_fix(fix_singlet, nelec))
         self.fci = _FCIResult(res.e_tot, res.vecs_full, res.s2)
 
     def run_casci(self, ncas, nelecas, n_roots=1, mo=None, fix_singlet=1,

@@ -16,11 +16,19 @@ from . import integrals as _ints
 class Mole:
     """Host-side molecule: integrals are numpy arrays, computed lazily."""
 
-    def __init__(self, atom, basis="sto-3g", unit="angstrom", charge=0):
+    def __init__(self, atom, basis="sto-3g", unit="angstrom", charge=0,
+                 spin=None):
         self.symbols, self.coords = parse_geometry(atom, unit=unit)
         self.charges = np.array([CHARGES[s] for s in self.symbols])
         self.charge = charge
         self.nelectron = int(self.charges.sum()) - charge
+        # spin = n_alpha - n_beta (pyscf convention); defaults to the
+        # lowest multiplicity compatible with the electron count
+        self.spin = int(self.nelectron % 2 if spin is None else spin)
+        if (self.nelectron + self.spin) % 2 or self.spin > self.nelectron:
+            raise ValueError(
+                f"spin={self.spin} incompatible with "
+                f"{self.nelectron} electrons")
         self.basis = basis
         self.shells = build_shells(self.symbols, self.coords, basis)
         self._s = self._t = self._v = self._norms = self._eri = None
@@ -52,6 +60,12 @@ class Mole:
                 self._eri = _ints.eri(self.shells, self._norms)
             return self._eri
         raise ValueError(f"unknown integral {name}")
+
+    @property
+    def nelec(self):
+        """(n_alpha, n_beta)."""
+        na = (self.nelectron + self.spin) // 2
+        return na, self.nelectron - na
 
     def get_enuc(self):
         return nuclear_repulsion(self.charges, self.coords)

@@ -77,3 +77,33 @@ def test_open_shell_casci_spin():
     mol = Moldata(get_formal_geo(140, 80), "sto-3g")
     mol.run_casci(4, (3, 1))
     assert abs(mol.casci.s2[0] - 2.0) < 1e-8
+
+
+def test_rohf_matches_rhf_closed_shell():
+    """ROHF with an empty open shell is exactly RHF (same Roothaan
+    fixed point)."""
+    from auto_oo_tpu.moldata.scf import RHF, ROHF
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    r = RHF(mol.mol).run()
+    ro = ROHF(mol.mol).run()
+    assert r.converged and ro.converged
+    assert abs(r.e_tot - ro.e_tot) < 1e-9
+
+
+def test_cation_doublet_oo_vqe_matches_casscf():
+    """The literal BASELINE.json north-star configuration: formaldimine
+    CATION, (3e,3o) doublet active space.  Charge/spin flow through
+    Mole -> ROHF -> CASCI/CASSCF oracles -> OO_pqc; the optimized state
+    is spin-pure (<S^2> = 3/4) and matches open-shell CASSCF."""
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g", charge=1, spin=1)
+    assert mol.mol.nelec == (8, 7)
+    mol.run_casci(3, (2, 1), n_roots=1)
+    assert abs(mol.casci.s2[0] - 0.75) < 1e-8
+    mol.run_casscf(3, (2, 1))
+    assert mol.casscf.converged
+    pqc = Parameterized_circuit(3, (2, 1), ansatz="ucc", add_singles=True,
+                                sector=True)
+    oo = OO_pqc(pqc, mol, 3, (2, 1), freeze_active=True)
+    el, thl, *_ = oo.full_optimization(pqc.init_zeros(), verbose=0)
+    assert abs(el[-1] - mol.casscf.e_tot) < 1e-8
+    assert abs(float(pqc.s2_expectation(thl[-1])) - 0.75) < 1e-9
