@@ -611,8 +611,98 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
     _phi_fits = (not _grid_staged) or (
         __pair_chunk(1, D_prog, n2s, 8) >= n2s)
 
+    def _pair_jvp(theta, v, tables):
+        """One Jacobian column J(theta) @ v via forward mode over the
+        plain grid gate program (jvp does not compose with the
+        custom-vjp adjoint apply).  Mixed mode computes it in f32 — the
+        column only ever feeds Hessian blocks."""
+        tabs = _lowp_tables(tables) if mixed else tables
+        th0 = theta.astype(jnp.float32) if mixed else theta
+        v0 = v.astype(th0.dtype)
+        return jax.jvp(lambda th: pqc._state_impl_grid(th, tabs),
+                       (th0,), (v0,))[1]
+
+    def _cc_row_pair(theta, v, HJ, Hpsi, tables):
+        """One hess_cc row — 2 Re<J_j|H J_i> + 2 Re<d2psi/dth_i th_j|
+        H psi> — as ONE reverse pass over the tangent-pair adjoint
+        program with both cotangent seeds: the row is the theta-gradient
+        of Re<psi(th)|2 H J_i> + Re<J(th) e_i|2 H psi>
+        (grid_program.apply_pair_adjoint; O(D) residuals)."""
+        tabs = _lowp_tables(tables) if mixed else tables
+        th0 = theta.astype(jnp.float32) if mixed else theta
+        v0 = v.astype(th0.dtype)
+        a = lp(2.0 * HJ)
+        b = lp(2.0 * Hpsi)
+        with prec_ctx():
+            def f(th):
+                ps, dl = pqc._pair_state_impl_grid(th, v0, tabs)
+                return (jnp.real(_rdms.vdot_big(ps, jnp.conj(a)))
+                        + jnp.real(_rdms.vdot_big(dl, jnp.conj(b))))
+
+            return jax.grad(f)(th0)
+
+    def _oc_row_hosted(h1, g2, G0, dgamma_f, dcorr):
+        """hess_oc row from the hosted transition-RDM accumulators
+        (same dgamma/dGamma assembly as _row_streamed; the pack runs
+        f64 — the accumulators already are)."""
+        dgamma = dgamma_f.reshape(ncas, ncas).astype(jnp.float64)
+        dcorr4 = dcorr.reshape(ncas, ncas, ncas, ncas).astype(
+            jnp.float64)
+        delta = jnp.eye(ncas, dtype=dgamma.dtype)
+        dGamma = (jnp.transpose(dcorr4, (1, 0, 2, 3))
+                  - jnp.einsum("qr,ps->pqrs", delta, dgamma))
+        return _pack(h1, g2, dgamma, dGamma) - G0
+
+    def grad_hess_hosted(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
+                         tables):
+        """(e0, grad, hess) with every large-D kernel host-segmented —
+        the (16e,16o)-scale second-order engine (reference capability
+        at scales its architecture cannot represent: oo_pqc.py:136-148).
+
+        Per-iteration budget: ONE fused hosted pass for (H psi, RDMs),
+        one adjoint-VJP dispatch for the circuit gradient, then per
+        tangent ONE pair-jvp dispatch (J_i), ONE hosted pass (H J_i,
+        fused with the transition RDMs when kappa parameters exist) and
+        ONE pair-adjoint reverse dispatch for the cc row.  In mixed
+        mode the tangent columns, hosted passes and cc rows all run
+        f32; e0/grad inherit the f32 H|psi> (documented ~1e-6-relative
+        noise, same contract as the hosted gradient pipeline)."""
+        from ..ops import grid_hosted as _gh
+        gm = pqc.sector_maps
+        h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
+            oao, int1e_ao, int2e_ao, oao_coeff, nuc)
+        psi = _sj("state_g", _state_only)(theta, tables)
+        psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
+        Hpsi, g1, G2 = _gh.ham_and_rdms_hosted(c1eff, c2, psi_p, gm,
+                                               ncas)
+        e0, grad_c = _sj("vjp_g", _grad_c_vjp)(theta, c0, psi, Hpsi,
+                                               tables)
+        grad_o, G0, hess_oo = _sj("orb", _orb)(h1, g2, g1, G2)
+        cc_rows, oc_rows = [], []
+        for i in range(nt):
+            v = jnp.zeros((nt,), theta.dtype).at[i].set(1.0)
+            Ji = _sj("pair_jvp", _pair_jvp)(theta, v, tables)
+            if n_kappa:
+                HJi, dg_i, dc_i = _gh.ham_and_trdms_hosted(
+                    c1eff, c2, psi_p, Ji, gm, ncas)
+                oc_rows.append(_sj("oc_row_h", _oc_row_hosted)(
+                    h1, g2, G0, dg_i, dc_i))
+            else:
+                HJi = _gh.ham_apply_hosted(c1eff, c2, Ji, gm)
+            cc_rows.append(_sj("cc_row", _cc_row_pair)(
+                theta, v, HJi, Hpsi, tables))
+        hess_cc = jnp.stack(cc_rows)
+        oc = (jnp.stack(oc_rows) if n_kappa
+              else jnp.zeros((nt, 0), dtype=jnp.float64))
+        grad, hess = _sj("asm", _assemble)(grad_c, grad_o, hess_cc, oc,
+                                           hess_oo)
+        return e0, grad, hess
+
     def grad_hess_staged(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                          tables):
+        if _hosted_mode():
+            return grad_hess_hosted(theta, oao, int1e_ao, int2e_ao,
+                                    oao_coeff, nuc, tables)
         h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
             oao, int1e_ao, int2e_ao, oao_coeff, nuc)
         psi, J = _sj("stateJ", _state_and_J)(theta, tables)
@@ -795,6 +885,12 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         c0, c1, c2 = _sj("ecoeffs", _energy_coeffs)(
             kappa, oao, int1e_ao, int2e_ao, oao_coeff, nuc)
         psi = _sj("state_g", _state_only)(theta, tables)
+        # mixed mode: the hosted RDM pass runs on the f32 state (halves
+        # the full-Phi traffic — this E feeds line-search trials of the
+        # hosted NR loop, whose Armijo slack absorbs the ~1e-6-relative
+        # noise; see newton_update_staged)
+        if mixed:
+            psi = _sj("lowp_psi", _lowp)(psi)
         g1, G2 = _gh.rdms_hosted(psi, pqc.sector_maps, ncas)
         return _sj("efr", _tr.energy_from_rdms)(c0, c1, c2, g1, G2)
 
@@ -838,6 +934,11 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         e0_f = float(e0)
         gdp = float(grad @ dp)
         slack = 64.0 * np_.finfo(np_.float64).eps * max(1.0, abs(e0_f))
+        if mixed and _hosted_mode():
+            # hosted mixed trials come from the f32 full-Phi pass
+            # (~1e-6-relative noise); a roundoff-level slack would burn
+            # every halving on precision, not physics
+            slack = max(slack, 2e-6 * max(1.0, abs(e0_f)))
         t = 1.0
         e_t = None
         for num in range(lmax):

@@ -330,6 +330,107 @@ def ham_and_rdms_hosted(c1eff, c2, x, gm, ncas, row_chunk=None,
     return out, g1, G2
 
 
+def _ham_trdms_segment(psig, tg, C2, c1f, srcA_s, sgnA_s, tA_s, dstA_s,
+                       dsgnA_s, rowidx_s, rows_p_s, rows_t_s, srcB,
+                       sgnB, tB, acc, dgamma, dcorr):
+    """Fused per-tangent segment: ONE pass over grid A-row chunks builds
+    the Phi chunks of BOTH the state ``psig`` and the tangent ``tg``,
+    feeding (a) the scatter-form H-apply of the TANGENT and (b) the
+    transition-RDM grams (ops/grid.transition_rdms_rows body) — the two
+    large-D ingredients of one per-tangent Hessian row
+    (models/oo_pqc._row_streamed), at (16e,16o)+ hosted granularity."""
+    dt = tg.dtype
+    n2 = C2.shape[0]
+    Nb_ = tg.shape[-1]
+    rows2 = jnp.arange(n2)[:, None]
+
+    def body(carry, xs):
+        acc, dg, dc = carry
+        (srcA_k, sgnA_k, tA_k, dstA_k, dsgnA_k, rowidx_k, rp_k,
+         rt_k) = xs
+        phi_p = _phi_chunk_t(psig, rp_k, srcA_k, sgnA_k, tA_k,
+                             srcB, sgnB, tB)                # (n2, R, Nb)
+        phi_t = _phi_chunk_t(tg, rt_k, srcA_k, sgnA_k, tA_k,
+                             srcB, sgnB, tB)
+        R = phi_t.shape[-2]
+        pf = phi_p.reshape(n2, R * Nb_)
+        tf = phi_t.reshape(n2, R * Nb_)
+        # transition grams (transition_rdms_rows body)
+        bra_p = jnp.conj(rp_k).reshape(-1)
+        bra_t = jnp.conj(rt_k).reshape(-1)
+        dg = dg + jnp.real(_rdms.gram_last(tf, bra_p)
+                           + _rdms.gram_last(pf, bra_t))
+        dc = dc + jnp.real(_rdms.gram_last(jnp.conj(tf), pf)
+                           + _rdms.gram_last(jnp.conj(pf), tf))
+        # H-apply on the tangent (scatter form, _ham_segment body)
+        yc = _rdms.small_matmul_free_last(C2, tf).reshape(n2, R, Nb_)
+        yc = yc + c1f[:, None, None] * rt_k[None, :, :]
+        Yt = jnp.swapaxes(yc, -1, -2)
+        Gb = Yt[rows2, srcB, :]
+        outBt = jnp.sum(Gb * sgnB.astype(dt)[:, :, None]
+                        * tA_k.astype(dt)[:, None, :], axis=0)
+        contrib = (yc * dsgnA_k.astype(dt)[:, :, None]
+                   * tB.astype(dt)[:, None, :])
+        acc = acc.at[dstA_k].add(contrib)
+        acc = acc.at[rowidx_k].add(outBt.T)
+        return (acc, dg, dc), None
+
+    with _prec_ctx(tg.dtype):
+        (acc, dgamma, dcorr), _ = jax.lax.scan(
+            body, (acc, dgamma, dcorr),
+            (srcA_s, sgnA_s, tA_s, dstA_s, dsgnA_s, rowidx_s,
+             rows_p_s, rows_t_s))
+    return acc, dgamma, dcorr
+
+
+def ham_and_trdms_hosted(c1eff, c2, psi, tpsi, gm, ncas, row_chunk=None,
+                         seg_chunks=None, grid_order=True):
+    """(H|tpsi>, dgamma, dcorr) for a state/tangent pair with a single
+    hosted pass over grid A-row chunks (two Phi builds per chunk — one
+    per state — plus the scatter H-apply of the tangent): the per-tangent
+    kernel of the hosted quadratic-form Hessian.  dgamma (n2,) and dcorr
+    (n2, n2) follow ops/grid.transition_rdms_rows exactly; f64
+    accumulators regardless of the state dtype (the mixed pass streams
+    f32 states).  Host-driven: call OUTSIDE jit."""
+    dt = tpsi.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    if not grid_order:
+        psi = _seg_jit("to_grid", _grid.to_grid)(psi, gm)
+        tpsi = _seg_jit("to_grid", _grid.to_grid)(tpsi, gm)
+    n2, Na, Nb = gm.n2, gm.Na, gm.Nb
+    if row_chunk is None:
+        # two Phi chunks live at once -> halve the single-Phi budget
+        row_chunk = _grid._row_chunk(2, n2, Nb, itemsize)
+    seg = seg_chunks or seg_chunks_default()
+    psig = _grid._as_grid2d(psi, gm).astype(dt)
+    tg = _grid._as_grid2d(tpsi, gm)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
+        gm, row_chunk)
+    Na_pad = nchunk * row_chunk
+    rows_p = _grid._pad_rows(psig, pad).reshape((nchunk, row_chunk, Nb))
+    rows_t = _grid._pad_rows(tg, pad).reshape((nchunk, row_chunk, Nb))
+    dstA_c, dsgnA_c = _chunked_inverse_tables(gm, row_chunk, nchunk, pad)
+    rowidx_c = jnp.arange(Na_pad, dtype=jnp.int32).reshape(
+        nchunk, row_chunk)
+    C2g = c2.reshape(n2, n2).astype(dt)
+    c1f = c1eff.reshape(n2).astype(dt)
+    acc = jnp.zeros((Na_pad, Nb), dt)
+    dgamma = jnp.zeros((n2,), jnp.float64)
+    dcorr = jnp.zeros((n2, n2), jnp.float64)
+    run = _seg_jit("hamtrdms_seg", _ham_trdms_segment)
+    for lo in range(0, nchunk, seg):
+        hi = min(nchunk, lo + seg)
+        acc, dgamma, dcorr = run(
+            psig, tg, C2g, c1f, srcA_c[lo:hi], sgnA_c[lo:hi],
+            tA_c[lo:hi], dstA_c[lo:hi], dsgnA_c[lo:hi],
+            rowidx_c[lo:hi], rows_p[lo:hi], rows_t[lo:hi],
+            gm.srcB, gm.sgnB, gm.tB, acc, dgamma, dcorr)
+    out = acc[:Na].reshape(-1)
+    if not grid_order:
+        out = _seg_jit("from_grid", _grid.from_grid)(out, gm)
+    return out, dgamma, dcorr
+
+
 def ham_apply_hosted(c1eff, c2, x, gm, row_chunk=None, seg_chunks=None,
                      grid_order=True):
     """H|x> (without the c0 constant) for a string-grid sector state,

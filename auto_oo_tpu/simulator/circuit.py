@@ -258,6 +258,19 @@ class Parameterized_circuit:
              else self.grid_program.apply)
         return f(self._expand_theta(jnp.ravel(theta)), tables=gates)
 
+    def _pair_state_impl_grid(self, theta, v, tables=None):
+        """(|psi(theta)>, J(theta) @ v) in GRID order through the
+        tangent-pair ADJOINT program (grid_program.apply_pair_adjoint):
+        reverse-mode over either output reconstructs intermediates by
+        inverse rotation — O(D) residuals, the (16e,16o)-scale Hessian
+        row path.  ``_expand_theta`` is linear, so the tangent expands
+        through it identically."""
+        gates = (tables.get("gates_grid")
+                 if isinstance(tables, dict) else None)
+        return self.grid_program.apply_pair_adjoint(
+            self._expand_theta(jnp.ravel(theta)),
+            self._expand_theta(jnp.ravel(v)), tables=gates)
+
     def _flat_maps(self):
         """Flat (2, n2, D) sector E_pq gather maps, built lazily: the
         GSPMD-sharded paths shard the flat determinant axis and cannot

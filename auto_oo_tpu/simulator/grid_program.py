@@ -252,6 +252,161 @@ class GridGateProgram:
                                   tabs)
         return Psi.reshape(-1)
 
+    def _g_add(self, Dst, Src, gi, g, coef, tabs):
+        """Dst += coef * G Src on gate ``gi``'s blocks, where G is the
+        gate's rotation GENERATOR (per pair: (va, vb) -> (-sgn*vb,
+        sgn*va), zero elsewhere; dR/da = G R = R G)."""
+        Ai_src, Ai_dst, sA, Bj_src, Bj_dst, sB = \
+            self._gate_tables(tabs, gi)
+        dt = Src.dtype
+        sgn = sA.astype(dt)[:, None] * sB.astype(dt)[None, :]
+        if g.beta_identity:
+            va = Src[Ai_src]
+            vb = Src[Ai_dst]
+            Dst = Dst.at[Ai_src].add(-coef * sgn * vb)
+            Dst = Dst.at[Ai_dst].add(coef * sgn * va)
+        elif g.alpha_identity:
+            va = Src[:, Bj_src]
+            vb = Src[:, Bj_dst]
+            Dst = Dst.at[:, Bj_src].add(-coef * sgn * vb)
+            Dst = Dst.at[:, Bj_dst].add(coef * sgn * va)
+        else:
+            ra = Src[Ai_src]
+            rb = Src[Ai_dst]
+            va = ra[:, Bj_src]
+            vb = rb[:, Bj_dst]
+            DA = jnp.zeros_like(ra).at[:, Bj_src].set(-coef * sgn * vb)
+            DB = jnp.zeros_like(rb).at[:, Bj_dst].set(coef * sgn * va)
+            Dst = Dst.at[Ai_src].add(DA)
+            Dst = Dst.at[Ai_dst].add(DB)
+        return Dst
+
+    def _g_dot(self, Ct, Y, gi, g, tabs):
+        """<Ct, G Y> restricted to gate ``gi``'s blocks (the only
+        nonzeros of G Y)."""
+        cta, ctb, _ = self._gate_blocks(Ct, gi, g, tabs)
+        ya, yb, sgn = self._gate_blocks(Y, gi, g, tabs)
+        return (jnp.sum(cta * (-sgn * yb)) + jnp.sum(ctb * (sgn * ya)))
+
+    def _pair_core(self, theta, v, psi, tabs):
+        """(|psi(theta)>, J(theta) v): state and one Jacobian column,
+        propagated together.  Per gate (angle a = half * theta_p,
+        da = half * v_p): Psi' = R Psi, Delta' = R Delta + da * G R Psi
+        — exactly jax.jvp of _apply_core, written out so the adjoint
+        custom_vjp below can reverse it without residuals."""
+        cos_t, sin_t = self._trig(theta)
+        half_dev = jnp.asarray(self._half).astype(theta.dtype)
+        da = half_dev * v[jnp.asarray(self._param)]
+        Psi = psi.reshape(self.Na, self.Nb)
+        Delta = jnp.zeros_like(Psi)
+        for gi, g in enumerate(self.gates):
+            c, s = cos_t[gi], sin_t[gi]
+            Delta = self._g_add(Delta, Psi, gi, g, da[gi], tabs)
+            Delta = self._gate_step(Delta, gi, g, c, s, tabs)
+            Psi = self._gate_step(Psi, gi, g, c, s, tabs)
+        return Psi.reshape(-1), Delta.reshape(-1)
+
+    def apply_pair(self, theta, v, psi=None, tables=None):
+        """(|psi(theta)>, J(theta) @ v) over the GRID-ordered sector
+        basis — one forward sweep carrying the state and one tangent
+        column together (equals jax.jvp of ``apply``)."""
+        if psi is None:
+            psi = self.initial_state(
+                theta.dtype if jnp.issubdtype(theta.dtype, jnp.floating)
+                else jnp.float64)
+        if not self.gates:
+            return psi, jnp.zeros_like(psi)
+        tabs = tables if tables is not None else self.device_tables()
+        return self._pair_core(theta, v, psi, tabs)
+
+    def apply_pair_adjoint(self, theta, v, psi=None, tables=None):
+        """``apply_pair`` with ADJOINT (reversible) reverse-mode.
+
+        Under jax.grad/vjp of either output, the backward pass
+        reconstructs each intermediate (Psi, Delta) pair by applying the
+        INVERSE rotations in reverse order instead of storing them —
+        residual memory O(D) instead of O(n_gates * D).  This is what
+        makes a quadratic-form Hessian ROW computable at (16e,16o)
+        (D = 165.6M, where even the f32 residuals of plain AD over the
+        tangent pair would be ~60 GB): one row of
+        2 Re<J_j|H J_i> + 2 Re<d2psi/dth_i dth_j|H psi> is the gradient
+        of Re<psi(th)|2 H J_i> + Re<(J(th) e_i)|2 H psi>, a single
+        reverse pass over this function with both cotangent seeds.
+        Reference capability this serves at scale: the AD circuit
+        Hessian of /root/reference/src/auto_oo/oo_pqc.py:103-125.
+
+        Reverse-mode only (like apply_adjoint); forward-over-it is not
+        defined.  Real-dtype statevectors only."""
+        if psi is None:
+            psi = self.initial_state(
+                theta.dtype if jnp.issubdtype(theta.dtype, jnp.floating)
+                else jnp.float64)
+        if not self.gates:
+            return psi, jnp.zeros_like(psi)
+        tabs = tables if tables is not None else self.device_tables()
+        return self._pair_adjoint_fn()(theta, v, psi, tabs[0], tabs[1])
+
+    def _pair_adjoint_fn(self):
+        if getattr(self, "_pair_adjoint", None) is not None:
+            return self._pair_adjoint
+        import jax
+        from jax import dtypes as _dtypes
+
+        param_static = [int(p) for p in self._param]
+
+        @jax.custom_vjp
+        def fn(theta, v, psi, a_cat, b_cat):
+            return self._pair_core(theta, v, psi, (a_cat, b_cat))
+
+        def fwd(theta, v, psi, a_cat, b_cat):
+            out = self._pair_core(theta, v, psi, (a_cat, b_cat))
+            return out, (theta, v, out[0], out[1], a_cat, b_cat)
+
+        def bwd(res, cts):
+            theta, v, psi_out, delta_out, a_cat, b_cat = res
+            ct_psi, ct_delta = cts
+            tabs = (a_cat, b_cat)
+            cos_t, sin_t = self._trig(theta)
+            half_dev = jnp.asarray(self._half).astype(theta.dtype)
+            da = half_dev * v[jnp.asarray(self._param)]
+            Psi = psi_out.reshape(self.Na, self.Nb)
+            Delta = delta_out.reshape(self.Na, self.Nb)
+            CtP = ct_psi.reshape(self.Na, self.Nb)
+            CtD = ct_delta.reshape(self.Na, self.Nb)
+            dth = jnp.zeros(theta.shape, theta.dtype)
+            dv = jnp.zeros(v.shape, v.dtype)
+            for gi in reversed(range(len(self.gates))):
+                g = self.gates[gi]
+                c, s = cos_t[gi], sin_t[gi]
+                # d/d theta_p at POST-gate states: both outputs respond
+                # with their own G-image (dPsi'/da = G Psi',
+                # dDelta'/da = G Delta' — G commutes with R)
+                d = half_dev[gi] * (self._g_dot(CtP, Psi, gi, g, tabs)
+                                    + self._g_dot(CtD, Delta, gi, g,
+                                                  tabs))
+                dth = dth.at[param_static[gi]].add(d)
+                # d/d v_p: dDelta'/d(da) = G R Psi_pre = G Psi_post
+                dv = dv.at[param_static[gi]].add(
+                    half_dev[gi] * self._g_dot(CtD, Psi, gi, g, tabs))
+                # reconstruct the pre-gate pair (reversibility)
+                Psi = self._gate_step(Psi, gi, g, c, -s, tabs)
+                Delta = self._gate_step(Delta, gi, g, c, -s, tabs)
+                Delta = self._g_add(Delta, Psi, gi, g, -da[gi], tabs)
+                # transport the cotangents: J^T = [[R^T, -da G R^T],
+                # [0, R^T]] on (CtP, CtD)
+                CtP = self._gate_step(CtP, gi, g, c, -s, tabs)
+                CtD = self._gate_step(CtD, gi, g, c, -s, tabs)
+                CtP = self._g_add(CtP, CtD, gi, g, -da[gi], tabs)
+            # the transported CtP is the psi0 cotangent (it accumulated
+            # the -da G CtD couplings of every gate on the way down);
+            # the Delta0 slot is internal zeros, so CtD is discarded
+            f0 = lambda x: np.zeros(x.shape, dtype=_dtypes.float0)
+            return dth, dv, CtP.reshape(-1), f0(a_cat), f0(b_cat)
+
+        fn.defvjp(fwd, bwd)
+        self._pair_adjoint = fn
+        return fn
+
     def apply(self, theta, psi=None, tables=None):
         """|psi(theta)> over the GRID-ordered sector basis."""
         if psi is None:

@@ -691,3 +691,78 @@ def test_hosted_mixed_gradient_matches_f64(monkeypatch):
     e_h, grad_h, _ = oo.energy_and_gradient(theta)
     assert abs(float(e_h) - float(e_ref)) < 1e-12
     assert float(jnp.max(jnp.abs(grad_h - grad_ref))) < 1e-12
+
+
+def test_hosted_grad_hess_matches_fused(monkeypatch):
+    """Forced hosting must leave the FULL quadratic-form (e0, grad,
+    hess) unchanged: grad_hess_staged reroutes through
+    models/oo_pqc.grad_hess_hosted (pair-jvp tangent columns, hosted
+    H J_i / transition-RDM passes, pair-adjoint cc rows) and must equal
+    the fused single-program pipeline to near machine precision — the
+    exactness pin of the (16e,16o)-scale second-order engine.  Covers
+    n_kappa > 0 (formaldimine: oc/oo blocks + ham_and_trdms_hosted) and
+    n_kappa = 0 (full-valence H4: ham_apply_hosted route), closed and
+    open shell."""
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.moldata import Moldata
+    from auto_oo_tpu.utils.misc import get_formal_geo
+
+    cases = [
+        (Moldata(get_formal_geo(140, 80), "sto-3g"), 4, 4,
+         dict(ansatz="np_fabric", n_layers=1), {}),
+        (Moldata("H 0 0 0; H 0 0 1.2; H 0 0 2.4; H 0 0 3.6", "sto-3g"),
+         4, 4, dict(ansatz="np_fabric", n_layers=1),
+         dict(freeze_active=True)),
+        (Moldata(get_formal_geo(140, 80), "sto-3g"), 4, (3, 1),
+         dict(ansatz="ucc", add_singles=True), {}),
+    ]
+    for mol, ncas, nelecas, pqc_kw, oo_kw in cases:
+        pqc = Parameterized_circuit(ncas, nelecas, sector=True, **pqc_kw)
+        theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+        oo = OO_pqc(pqc, mol, ncas, nelecas, **oo_kw)
+        args = (theta, oo.oao_mo_coeff) + oo._mol_args
+        e_ref, g_ref, h_ref = oo._core["grad_hess_fused_jit"](*args)
+
+        monkeypatch.setenv("AUTO_OO_TPU_HOSTED_MIN_BYTES", "1")
+        try:
+            e_h, g_h, h_h = oo._core["grad_hess_staged"](*args)
+            # full hosted NR update from the hosted derivatives == the
+            # fused damped-Newton step (line-search energies rerouted)
+            up_h = oo._core["newton_update_staged"](
+                *args, e_h, g_h, h_h, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+            up_f = oo._core["newton_update_fused"](
+                *args, e_ref, g_ref, h_ref, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+        finally:
+            monkeypatch.delenv("AUTO_OO_TPU_HOSTED_MIN_BYTES")
+        assert abs(float(e_h) - float(e_ref)) < 1e-11
+        assert float(jnp.max(jnp.abs(g_h - g_ref))) < 1e-11
+        assert float(jnp.max(jnp.abs(h_h - h_ref))) < 1e-9
+        assert float(jnp.max(jnp.abs(up_h[0] - up_f[0]))) < 1e-9
+        assert abs(float(up_h[3]) - float(up_f[3])) < 1e-11
+
+
+def test_hosted_grad_hess_mixed_accuracy(monkeypatch):
+    """Mixed + forced hosting: the f32 hosted second-order pipeline's
+    (e0, grad, hess) agree with the f64 fused values to f32-level
+    accuracy — the measurement contract of the (16e,16o) mixed NR."""
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.moldata import Moldata
+    from auto_oo_tpu.utils.misc import get_formal_geo
+
+    mol = Moldata(get_formal_geo(140, 80), "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    oo = OO_pqc(pqc, mol, 4, 4)
+    args = (theta, oo.oao_mo_coeff) + oo._mol_args
+    e_ref, g_ref, h_ref = oo._core["grad_hess_fused_jit"](*args)
+
+    monkeypatch.setenv("AUTO_OO_TPU_HOSTED_MIN_BYTES", "1")
+    oo_m = OO_pqc(pqc, mol, 4, 4, precision="mixed")
+    args_m = (theta, oo_m.oao_mo_coeff) + oo_m._mol_args
+    e_m, g_m, h_m = oo_m._core["grad_hess_staged"](*args_m)
+    assert abs(float(e_m) - float(e_ref)) < 1e-5
+    gs = float(jnp.max(jnp.abs(g_ref))) + 1.0
+    hs = float(jnp.max(jnp.abs(h_ref))) + 1.0
+    assert float(jnp.max(jnp.abs(g_m - g_ref))) < 1e-4 * gs
+    assert float(jnp.max(jnp.abs(h_m - h_ref))) < 5e-4 * hs
