@@ -612,15 +612,17 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         __pair_chunk(1, D_prog, n2s, 8) >= n2s)
 
     def _pair_jvp(theta, v, tables):
-        """One Jacobian column J(theta) @ v via forward mode over the
-        plain grid gate program (jvp does not compose with the
-        custom-vjp adjoint apply).  Mixed mode computes it in f32 — the
-        column only ever feeds Hessian blocks."""
+        """One Jacobian column J(theta) @ v via the hand-written
+        tangent-pair program (grid_program.apply_pair forward) — NOT
+        jax.jvp over the plain apply: at (16e,16o) XLA's jvp lowering
+        rematerializes per-gate row-block copies (measured 25.5 GB at
+        compile), while the explicit pair chain schedules in-place like
+        the plain apply.  Mixed mode computes it in f32 — the column
+        only ever feeds Hessian blocks."""
         tabs = _lowp_tables(tables) if mixed else tables
         th0 = theta.astype(jnp.float32) if mixed else theta
         v0 = v.astype(th0.dtype)
-        return jax.jvp(lambda th: pqc._state_impl_grid(th, tabs),
-                       (th0,), (v0,))[1]
+        return pqc._pair_state_impl_grid(th0, v0, tabs)[1]
 
     def _cc_row_pair(theta, v, HJ, Hpsi, tables):
         """One hess_cc row — 2 Re<J_j|H J_i> + 2 Re<d2psi/dth_i th_j|

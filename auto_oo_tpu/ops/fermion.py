@@ -272,6 +272,33 @@ def project_sector(op, basis):
     return op[np.ix_(basis, basis)]
 
 
+def reorder_unrestricted_rdms(gamma, Gamma, ncas, to_up_then_down=True):
+    """Exact mode permutation of spin-resolved RDMs between the two JW
+    orderings (interleaved 2p+sigma <-> up-then-down p+sigma*ncas).
+
+    The reference exposes both orderings through its operator builders
+    (utils/active_space.py:29-57, `up_then_down` on e_pq/e_pqrs); here
+    the orderings differ only by a relabeling of the 2*ncas spin modes,
+    so converting the extracted RDMs is exact and O(nm^4) — the route
+    for sector circuits, whose basis convention is fixed interleaved
+    (simulator/circuit.py).  ``to_up_then_down=False`` applies the
+    inverse permutation."""
+    import jax.numpy as jnp
+
+    nm = 2 * ncas
+    # perm[m_target] = m_source: target ordering's mode m maps to the
+    # source ordering's mode for the same (p, sigma)
+    if to_up_then_down:
+        perm = np.array([mode_of(m % ncas, m // ncas, ncas, False)
+                         for m in range(nm)])
+    else:
+        perm = np.array([mode_of(m // 2, m % 2, ncas, True)
+                         for m in range(nm)])
+    gamma = jnp.asarray(gamma)[jnp.ix_(perm, perm)]
+    Gamma = jnp.asarray(Gamma)[perm][:, perm][:, :, perm][:, :, :, perm]
+    return gamma, Gamma
+
+
 def hf_bitstring(ncas, nelec):
     """Occupation vector of the HF reference determinant (interleaved
     ordering), as an int basis index and as a 0/1 vector (matching

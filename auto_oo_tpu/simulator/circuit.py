@@ -50,6 +50,24 @@ class Parameterized_circuit:
             raise ValueError(
                 "built-in ansatze use interleaved ordering; up_then_down "
                 "RDMs are supported for custom states / GatePrograms")
+        if up_then_down and sector:
+            # The sector machinery (fermion.sector_basis enumeration,
+            # string-grid factorization, S^- maps, the pair-annihilation
+            # maps) is built on the interleaved convention, and the two
+            # conventions select DIFFERENT determinant sets for the same
+            # (n_a, n_b) sector — mixing them would be silently wrong,
+            # not merely reordered.  Sector mode therefore fixes the
+            # interleaved convention at the API level; utd-ordered
+            # unrestricted RDMs of a sector state are an exact mode
+            # permutation away (ops/fermion.reorder_unrestricted_rdms).
+            # The reference supports both orderings only through its
+            # dense-4^ncas operators (utils/active_space.py:29-57) and
+            # has no sector mode at all.
+            raise ValueError(
+                "sector=True fixes the interleaved JW ordering (the "
+                "sector basis convention); extract RDMs interleaved and "
+                "permute with ops.fermion.reorder_unrestricted_rdms for "
+                "up_then_down ordering")
         self.up_then_down = bool(up_then_down)
         self.ansatz = ansatz
         self._custom_state_fn = None

@@ -18,6 +18,11 @@ Stages (argv 2, comma-separated, default "state,rdms,s2,energy"):
   adam    — 2 Adam steps of gradient-only OO-VQE
   adammixed — the same Adam steps through precision="mixed" (the f32
           hosted pass of gradmixed driving the whole loop)
+  nr / nrmixed — full SECOND-ORDER damped-Newton iterations (E +
+          gradient + full theta-Hessian + augmented solve + Armijo)
+          through the hosted quadratic-form engine
+          (models/oo_pqc.grad_hess_hosted: pair-jvp tangent columns,
+          per-tangent hosted H-apply passes, pair-adjoint cc rows)
 
 Run: python scripts/demo_16e16o.py [n_layers] [stages]
 """
@@ -167,6 +172,28 @@ def main():
         # determinant is the theta=0 fabric state)
         assert abs(energy_l[0] - mol.hf.e_tot) < 1e-4, (
             energy_l[0], mol.hf.e_tot)
+    if {"nr", "nrmixed"} & set(stages):
+        prec = "mixed" if "nrmixed" in stages else "f64"
+        oonr = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
+                      precision=prec)
+        th, oao = theta, oonr.oao_mo_coeff
+        es = []
+        t0 = time.time()
+        th, kp, oao, e, low = oonr._nr_iteration_jit(
+            th, oao, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+        es.append(float(e))
+        print(f"NR iter 1 ({prec}, incl. compiles): "
+              f"{time.time() - t0:.1f}s  E = {es[-1]:.10f}  "
+              f"lam0 = {float(low):.3e}", flush=True)
+        for i in range(2):
+            t0 = time.time()
+            th, kp, oao, e, low = oonr._nr_iteration_jit(
+                th, oao, 1e-4, 0.5, 1e-6, 1.1, 1e-6)
+            es.append(float(e))
+            print(f"NR iter {i + 2} warm: {time.time() - t0:.1f}s  "
+                  f"E = {es[-1]:.10f}", flush=True)
+        # descent must dominate (mixed energies carry ~1e-6-rel noise)
+        assert es[-1] <= es[0] + 1e-5, es
     print("DEMO OK", flush=True)
 
 

@@ -200,3 +200,63 @@ def test_sector_unrestricted_from_state_api():
                                          restricted=False)
     assert np.allclose(np.asarray(g_s), np.asarray(g_f), atol=1e-12)
     assert np.allclose(np.asarray(G_s), np.asarray(G_f), atol=1e-12)
+
+
+def test_reorder_unrestricted_rdms_roundtrip_and_oracle():
+    """Sector circuits fix the interleaved convention; utd-ordered
+    unrestricted RDMs come from the exact mode permutation
+    (ops/fermion.reorder_unrestricted_rdms) — pinned against the
+    full-space utd extraction (reference active_space.py:29-57 ordering
+    flag) and as an exact round trip."""
+    from auto_oo_tpu.ops import fermion, rdms as R
+
+    ncas = 2
+    rng = np.random.RandomState(5)
+    psi = rng.randn(1 << (2 * ncas))
+    psi = jnp.asarray(psi / np.linalg.norm(psi))
+    g_i, G_i = R.rdms_from_state_unrestricted(psi, ncas)
+    nm = 2 * ncas
+    g_p, G_p = fermion.reorder_unrestricted_rdms(g_i, G_i, ncas)
+    # round trip is exact
+    g_b, G_b = fermion.reorder_unrestricted_rdms(
+        g_p, G_p, ncas, to_up_then_down=False)
+    assert float(jnp.max(jnp.abs(g_b - g_i))) == 0.0
+    assert float(jnp.max(jnp.abs(G_b - G_i))) == 0.0
+    # oracle: <a^dag_P a_Q> computed directly from sparse mode operators
+    # in the utd labeling equals the permuted gamma
+    from auto_oo_tpu.ops.fermion import mode_of
+    import scipy.sparse as sp
+
+    def a_op(mode, nm):
+        # annihilation with JW signs on nm modes (dense small space)
+        D = 1 << nm
+        rows, cols, vals = [], [], []
+        for det in range(D):
+            if (det >> (nm - 1 - mode)) & 1:
+                out = det ^ (1 << (nm - 1 - mode))
+                sgn = (-1) ** bin(det >> (nm - mode)).count("1")
+                rows.append(out); cols.append(det); vals.append(sgn)
+        return sp.csr_matrix((vals, (rows, cols)), shape=(D, D))
+
+    psi_np = np.asarray(psi)
+    for P in range(nm):
+        for Q in range(nm):
+            # utd mode labels mapped onto the interleaved state
+            aP = a_op(mode_of(P % ncas, P // ncas, ncas, False), nm)
+            aQ = a_op(mode_of(Q % ncas, Q // ncas, ncas, False), nm)
+            val = psi_np @ (aP.T.conj() @ (aQ @ psi_np))
+            assert abs(val - float(g_p[P, Q])) < 1e-12
+
+
+def test_sector_rejects_up_then_down():
+    """sector=True fixes the interleaved convention loudly (the two
+    orderings select different determinant sets for one sector)."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    full = np.zeros(16)
+    full[3] = 1.0
+    fn = lambda th: jnp.asarray(full)
+    fn.theta_shape = 1
+    with pytest.raises(ValueError, match="interleaved"):
+        Parameterized_circuit(2, 2, ansatz=fn, up_then_down=True,
+                              sector=True)
