@@ -693,6 +693,7 @@ def test_hosted_mixed_gradient_matches_f64(monkeypatch):
     assert float(jnp.max(jnp.abs(grad_h - grad_ref))) < 1e-12
 
 
+@pytest.mark.slow
 def test_hosted_grad_hess_matches_fused(monkeypatch):
     """Forced hosting must leave the FULL quadratic-form (e0, grad,
     hess) unchanged: grad_hess_staged reroutes through
@@ -741,6 +742,7 @@ def test_hosted_grad_hess_matches_fused(monkeypatch):
         assert abs(float(up_h[3]) - float(up_f[3])) < 1e-11
 
 
+@pytest.mark.slow
 def test_hosted_grad_hess_mixed_accuracy(monkeypatch):
     """Mixed + forced hosting: the f32 hosted second-order pipeline's
     (e0, grad, hess) agree with the f64 fused values to f32-level

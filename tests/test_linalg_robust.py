@@ -38,6 +38,7 @@ def test_ns_inverse_residual_reports_nonconvergence():
     assert np.allclose(np.asarray(X), np.linalg.inv(H_ok), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_newton_dir_falls_back_to_eigh_on_unconverged_solve():
     """A Hessian whose Newton-Schulz solve is unconverged (ns_iters cut
     to 20 at cond=1e4) previously returned a silently corrupted dp; the

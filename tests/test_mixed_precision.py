@@ -26,6 +26,7 @@ from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
     (2, 2, "ucc", {}),
     (3, 4, "np_fabric", {"n_layers": 2}),
 ])
+@pytest.mark.slow
 def test_mixed_converges_to_f64_energy(ncas, nelecas, ansatz, kw):
     """freeze_active=False: with active-active rotations in kappa the
     minimum is path-independent, so the two modes must land on the SAME
@@ -64,6 +65,7 @@ def test_mixed_hessian_f32_accurate_gradient_f64_exact():
     assert rel > 0.0   # and the f32 path genuinely ran
 
 
+@pytest.mark.slow
 def test_mixed_staged_matches_mixed_fused():
     """The staged large-D pipeline in mixed mode computes the same
     (f32-accurate) Hessian as the fused mixed program."""

@@ -114,6 +114,7 @@ def test_quadratic_form_hessian_vs_pure_ad(setup_22):
                        atol=1e-9)
 
 
+@pytest.mark.slow
 def test_staged_grad_hess_equals_fused():
     """The staged large-D pipeline (separate modest-peak programs, used
     above D = 2^19 where the fused program forces XLA into
@@ -136,6 +137,7 @@ def test_staged_grad_hess_equals_fused():
         assert np.allclose(np.asarray(h_f), np.asarray(h_s), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_staged_newton_update_equals_fused():
     """The staged host-driven damped-Newton update (small solve program +
     one forward-pass program per Armijo trial) reproduces the fused
@@ -159,6 +161,7 @@ def test_staged_newton_update_equals_fused():
                        atol=1e-12)
 
 
+@pytest.mark.slow
 def test_energy_gradient_staged_equals_hessian_path():
     """The gradient-only pipeline (forward + streamed H-apply + VJP +
     streamed RDMs — the only derivative path that fits (14e,14o))

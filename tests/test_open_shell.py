@@ -54,6 +54,7 @@ def test_open_shell_sector_basis_state():
     assert np.allclose(sec, full[basis], atol=1e-14)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("sector", [False, True])
 def test_open_shell_oo_vqe_matches_casscf(sector):
     """Triplet OO-VQE converges to the open-shell CASSCF oracle, and the

@@ -63,6 +63,7 @@ def test_epq_sum_batched():
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_nr_core_with_pallas_flag():
     """Mixed-precision sector grad+Hessian with the pallas kernels
     enabled (interpreted on CPU) matches the XLA grid path — the f32

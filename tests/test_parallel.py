@@ -109,6 +109,7 @@ def test_geometry_batch_optimize_converges_to_casscf():
         assert abs(float(hist[-1][i]) - m.casscf.e_tot) < 1e-8
 
 
+@pytest.mark.slow
 def test_geometry_batch_optimize_device_loop_matches_host():
     """optimize_device_loop: the whole batched PES-scan optimization as
     ONE while_loop program equals the per-step host driver and reaches
@@ -175,6 +176,7 @@ def test_sharded_quadratic_form_2d_mesh():
     assert np.allclose(np.asarray(h_s), np.asarray(h_r), atol=1e-11)
 
 
+@pytest.mark.slow
 def test_sector_sharded_composition():
     """Sector mode composes with GSPMD sharding (VERDICT r2 item 2):
     sector-basis sharded RDMs equal the FULL-SPACE result, and the sector
@@ -207,6 +209,7 @@ def test_sector_sharded_composition():
     assert abs(e_fwd - float(oo_s.energy_from_parameters(theta))) < 1e-11
 
 
+@pytest.mark.slow
 def test_sector_grid_sharded_nr():
     """Tangent-only sharding keeps the string-grid sector kernels
     (sector_maps='auto'): the sharded quadratic-form grad+Hessian and the
@@ -333,6 +336,7 @@ def test_row_sharded_streamed_chunks():
     assert np.allclose(np.asarray(h_s), np.asarray(h_ref), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_row_sharded_gradient_optimization():
     """The mesh-wide first-order OO-VQE driver tracks the single-device
     gradient_optimization trajectory (short horizon: psum reduction
@@ -435,6 +439,7 @@ def test_sharded_state_large_dim_onthefly_maps():
 
 @pytest.mark.parametrize("nelecas", [
     4, pytest.param((3, 1), marks=pytest.mark.slow)])
+@pytest.mark.slow
 def test_grid2d_nr_matches_single_device(nelecas):
     """2D-sharded (tangent x row) quadratic-form Newton engine
     (parallel/grid_sharded.grid2d_nr_fns): energy, gradient, Hessian and
