@@ -9,6 +9,7 @@ backend-agnostic).
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from auto_oo_tpu.ops import linalg as L
