@@ -90,6 +90,7 @@ def formal_mol():
     return mol
 
 
+@pytest.mark.slow
 def test_complex_custom_ansatz_full_optimization(formal_mol):
     """A genuinely complex parameterized state (UCCD rotation times a
     parameterized occupation-dependent local phase) optimized end-to-end:

@@ -228,6 +228,7 @@ def test_chunked_kernels_match_full():
                                    atol=1e-13)
 
 
+@pytest.mark.slow
 def test_row_streamed_kernels_match_full():
     """A-row-streamed (D-axis) kernels — phi_rows / ham_apply_rows /
     rdms_rows, the one-gather-pass (14e,14o) path — equal the full

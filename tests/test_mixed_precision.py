@@ -44,6 +44,7 @@ def test_mixed_converges_to_f64_energy(ncas, nelecas, ansatz, kw):
     assert abs(e64[-1] - emx[-1]) < 1e-9
 
 
+@pytest.mark.slow
 def test_mixed_hessian_f32_accurate_gradient_f64_exact():
     """At a generic (non-stationary) point: the mixed gradient/energy are
     BIT-level f64 (same program), the mixed Hessian matches f64 to f32
@@ -87,6 +88,7 @@ def test_mixed_staged_matches_mixed_fused():
     assert np.linalg.norm(np.asarray(h_f) - np.asarray(h_s)) < 1e-5 * hn
 
 
+@pytest.mark.slow
 def test_mixed_streamed_gradient_matches_f64():
     """The NON-hosted mixed gradient pipeline (f32 H-apply + RDM streams,
     f64 VJP backward) must match the f64 energy_and_gradient to f32

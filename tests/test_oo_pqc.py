@@ -203,6 +203,7 @@ def test_gradient_optimization_converges_toward_casscf():
     assert energy_l[-1] - e_ref < 2e-4, (energy_l[-1], e_ref)
 
 
+@pytest.mark.slow
 def test_device_loop_full_optimization_matches_host_loop():
     """full_optimization(device_loop=True) — the whole damped-Newton run
     as ONE lax.while_loop device program — reproduces the host loop's

@@ -34,6 +34,7 @@ def test_open_shell_hf_bitstring_and_excitations():
     assert len(singles) == 6 and len(doubles) == 9
 
 
+@pytest.mark.slow
 def test_open_shell_sector_basis_state():
     """Sector program of an open-shell UCC ansatz equals the full-space
     program restricted to the (3,1) sector."""

@@ -26,6 +26,7 @@ def setup():
     return mol, pqc, oo, mesh
 
 
+@pytest.mark.slow
 def test_sharded_hessian_equals_replicated(setup):
     mol, pqc, oo, mesh = setup
     theta = jnp.array([0.21, -0.34])
@@ -51,6 +52,7 @@ def test_sharded_nr_step_descends(setup):
     assert np.allclose(np.asarray(new_theta), np.asarray(t2), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_geometry_batch_matches_individual():
     geos = [get_formal_geo(a, p) for a, p in
             [(140, 80), (135, 85), (130, 90), (125, 95)]]
@@ -72,6 +74,7 @@ def test_geometry_batch_matches_individual():
     assert np.allclose(np.asarray(g_th[0]), g0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_geometry_batch_newton_steps_match_sequential():
     """The vmapped batched damped-Newton step (dp axis) is EXACTLY the
     sequential per-geometry step: same energies, same parameter updates,
@@ -254,6 +257,7 @@ def test_sector_grid_sharded_nr():
                        atol=1e-9)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("ncas,nelecas", [(4, 4), (4, (3, 1))])
 def test_row_sharded_sector_engine(ncas, nelecas):
     """Row-sharded string-grid engine (parallel/grid_sharded.py): RDMs,
@@ -478,6 +482,7 @@ def test_grid2d_nr_matches_single_device(nelecas):
                        atol=1e-9)
 
 
+@pytest.mark.slow
 def test_row_sharded_complex_statevector():
     """Complex128 row-sharded engine (custom complex sector states):
     RDMs (returned f64), Hamiltonian apply and energy over the mesh

@@ -56,6 +56,7 @@ def test_matrix_diagonalization(dim):
     assert e_prev <= target + 1e-8
 
 
+@pytest.mark.slow
 def test_newton_step_class_api_diagonalization():
     """The reference-compatible NewtonStep class (eager, tuple-parameter
     path) on a small rotation problem (reference
