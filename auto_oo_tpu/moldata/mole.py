@@ -25,10 +25,12 @@ class Mole:
         # spin = n_alpha - n_beta (pyscf convention); defaults to the
         # lowest multiplicity compatible with the electron count
         self.spin = int(self.nelectron % 2 if spin is None else spin)
-        if (self.nelectron + self.spin) % 2 or self.spin > self.nelectron:
+        if (self.spin < 0 or (self.nelectron + self.spin) % 2
+                or self.spin > self.nelectron):
             raise ValueError(
                 f"spin={self.spin} incompatible with "
-                f"{self.nelectron} electrons")
+                f"{self.nelectron} electrons (need 0 <= spin = "
+                f"n_alpha - n_beta <= nelectron, same parity)")
         self.basis = basis
         self.shells = build_shells(self.symbols, self.coords, basis)
         self._s = self._t = self._v = self._norms = self._eri = None

@@ -124,10 +124,11 @@ class ROHF:
         w, v = np.linalg.eigh(S)
         X = v @ np.diag(w ** -0.5) @ v.T
 
-        def jk(D):
-            J = np.einsum("pqrs,rs->pq", g, D, optimize=True)
-            K = np.einsum("prqs,rs->pq", g, D, optimize=True)
-            return J, K
+        def coulomb(D):
+            return np.einsum("pqrs,rs->pq", g, D, optimize=True)
+
+        def exchange(D):
+            return np.einsum("prqs,rs->pq", g, D, optimize=True)
 
         def effective_fock(C):
             """Roothaan's single effective Fock in the ORTHONORMAL basis:
@@ -137,9 +138,9 @@ class ROHF:
             Ca, Cb = C[:, :na], C[:, :nb]
             Da = Ca @ Ca.T
             Db = Cb @ Cb.T
-            Jt, _ = jk(Da + Db)
-            _, Ka = jk(Da)
-            _, Kb = jk(Db)
+            Jt = coulomb(Da + Db)
+            Ka = exchange(Da)
+            Kb = exchange(Db)
             Fa = hcore + Jt - Ka
             Fb = hcore + Jt - Kb
             e_elec = 0.5 * (np.einsum("pq,pq->", Da + Db, hcore)

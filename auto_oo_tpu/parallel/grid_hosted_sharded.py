@@ -117,9 +117,11 @@ def hosted_sharded_fns(gm, mesh, axis="row", dtype=jnp.float64,
     nbloc = Nb_pad // n_dev
     itemsize = jnp.dtype(dtype).itemsize
     if row_chunk is None:
-        # ~4 live (n2, n_dev*chunk, Nb)-block copies per device target
+        # ~4 live chunk-block copies per device; one chunk row costs
+        # n2 * Nb elements PER DEVICE (the local phiT block is
+        # (Nb_pad/n_dev, n2, n_dev*chunk) — the n_dev factors cancel)
         per_row = 4 * n2 * Nb * itemsize
-        row_chunk = max(1, int(1.5e9 // max(1, per_row)) // n_dev)
+        row_chunk = max(1, int(1.5e9 // max(1, per_row)))
     row_chunk = max(1, min(row_chunk, rows_loc))
 
     # ---- host tables ---------------------------------------------------

@@ -172,8 +172,8 @@ def main():
         # determinant is the theta=0 fabric state)
         assert abs(energy_l[0] - mol.hf.e_tot) < 1e-4, (
             energy_l[0], mol.hf.e_tot)
-    if {"nr", "nrmixed"} & set(stages):
-        prec = "mixed" if "nrmixed" in stages else "f64"
+    for prec in [p for s, p in (("nr", "f64"), ("nrmixed", "mixed"))
+                 if s in stages]:
         oonr = OO_pqc(pqc, mol, ncas, nelecas, freeze_active=True,
                       precision=prec)
         th, oao = theta, oonr.oao_mo_coeff

@@ -769,3 +769,65 @@ def test_hosted_grad_hess_mixed_accuracy(monkeypatch):
     hs = float(jnp.max(jnp.abs(h_ref))) + 1.0
     assert float(jnp.max(jnp.abs(g_m - g_ref))) < 1e-4 * gs
     assert float(jnp.max(jnp.abs(h_m - h_ref))) < 5e-4 * hs
+
+
+def test_apply_pair_adjoint_matches_plain_ad():
+    """FAST default-profile pin of the tangent-pair adjoint program (the
+    (16e,16o) Hessian-row engine's core math): forward (psi, J v) equals
+    jax.jvp of the plain apply, and the reverse pass with both cotangent
+    seeds equals plain AD — closed shell (np_fabric) and open shell
+    (uccsd), under jit."""
+    from auto_oo_tpu.models import Parameterized_circuit
+
+    for ncas, nel, kw in ((4, 4, dict(ansatz="np_fabric", n_layers=1)),
+                          (3, (2, 1), dict(ansatz="ucc",
+                                           add_singles=True))):
+        pqc = Parameterized_circuit(ncas, nel, sector=True, **kw)
+        gp = pqc.grid_program
+        rng = np.random.RandomState(0)
+        th = jnp.asarray(0.3 * rng.randn(pqc.theta_shape))
+        v = jnp.asarray(rng.randn(pqc.theta_shape))
+        f = lambda t: pqc._state_impl_grid(t)
+        psi_ref, Jv_ref = jax.jvp(f, (th,), (v,))
+        psi, dl = pqc._pair_state_impl_grid(th, v)
+        assert float(jnp.max(jnp.abs(psi - psi_ref))) < 1e-13
+        assert float(jnp.max(jnp.abs(dl - Jv_ref))) < 1e-13
+        a = jnp.asarray(rng.randn(gp.dim))
+        b = jnp.asarray(rng.randn(gp.dim))
+
+        def g_pair(t):
+            ps, d = pqc._pair_state_impl_grid(t, v)
+            return ps @ a + d @ b
+
+        def g_plain(t):
+            ps, d = jax.jvp(f, (t,), (v,))
+            return ps @ a + d @ b
+
+        r_ref = jax.grad(g_plain)(th)
+        assert float(jnp.max(jnp.abs(jax.grad(g_pair)(th) - r_ref))) \
+            < 1e-11
+        assert float(jnp.max(jnp.abs(
+            jax.jit(jax.grad(g_pair))(th) - r_ref))) < 1e-11
+
+
+def test_hosted_grad_hess_fast_pin(monkeypatch):
+    """FAST default-profile pin of the hosted second-order route: at
+    one small closed-shell full-valence config (n_kappa = 0, the
+    (16e,16o) flagship shape) forced hosting must reproduce the fused
+    (e0, grad, hess) — the broader sweep (n_kappa > 0, open shell,
+    mixed, NR update) lives in the @slow tests above."""
+    from auto_oo_tpu.models import Parameterized_circuit, OO_pqc
+    from auto_oo_tpu.moldata import Moldata
+
+    mol = Moldata("H 0 0 0; H 0 0 1.2; H 0 0 2.4; H 0 0 3.6", "sto-3g")
+    pqc = Parameterized_circuit(4, 4, ansatz="np_fabric", n_layers=1,
+                                sector=True)
+    theta = 0.05 * jnp.arange(pqc.theta_shape, dtype=jnp.float64)
+    oo = OO_pqc(pqc, mol, 4, 4, freeze_active=True)
+    args = (theta, oo.oao_mo_coeff) + oo._mol_args
+    e_ref, g_ref, h_ref = oo._core["grad_hess_fused_jit"](*args)
+    monkeypatch.setenv("AUTO_OO_TPU_HOSTED_MIN_BYTES", "1")
+    e_h, g_h, h_h = oo._core["grad_hess_staged"](*args)
+    assert abs(float(e_h) - float(e_ref)) < 1e-11
+    assert float(jnp.max(jnp.abs(g_h - g_ref))) < 1e-11
+    assert float(jnp.max(jnp.abs(h_h - h_ref))) < 1e-9

@@ -58,7 +58,6 @@ def test_full_noisy_optimization_runs_and_converges(noisy):
 @pytest.mark.slow
 @pytest.mark.parametrize("variance,e_tol,basin_frac",
                          [(1e-6, 5e-3, 1.0), (1e-4, 5e-2, 1.0)])
-@pytest.mark.slow
 def test_shot_noise_robustness_statistics(variance, e_tol, basin_frac):
     """Realistic shot-noise regime (the reference class's stated purpose,
     noisy_oo_pqc.py:21): across seeds, the damped-Newton optimizer must

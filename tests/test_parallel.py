@@ -442,7 +442,7 @@ def test_sharded_state_large_dim_onthefly_maps():
 
 
 @pytest.mark.parametrize("nelecas", [
-    4, pytest.param((3, 1), marks=pytest.mark.slow)])
+    4, (3, 1)])
 @pytest.mark.slow
 def test_grid2d_nr_matches_single_device(nelecas):
     """2D-sharded (tangent x row) quadratic-form Newton engine
