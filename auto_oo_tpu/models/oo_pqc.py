@@ -37,6 +37,7 @@ Known reference bugs fixed here (SURVEY.md):
 """
 
 import contextlib
+import os
 
 import numpy as np
 import jax
@@ -655,24 +656,133 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
                   - jnp.einsum("qr,ps->pqrs", delta, dgamma))
         return _pack(h1, g2, dgamma, dGamma) - G0
 
+    def _t2_row_pair(theta, v, Hpsi, tables):
+        """term2 row i = the theta-gradient of Re<J(theta) e_i, 2 H psi>
+        — the pair-adjoint program with only the delta cotangent seeded
+        (gram-route companion of _cc_row_pair)."""
+        tabs = _lowp_tables(tables) if mixed else tables
+        th0 = theta.astype(jnp.float32) if mixed else theta
+        v0 = v.astype(th0.dtype)
+        b = lp(2.0 * Hpsi)
+        with prec_ctx():
+            def f(th):
+                _, dl = pqc._pair_state_impl_grid(th, v0, tabs)
+                return jnp.real(_rdms.vdot_big(dl, jnp.conj(b)))
+
+            return jax.grad(f)(th0)
+
+    def _gram_asm(M1, gsmall, cross0, c1eff, c0):
+        """e0 / circuit gradient / symmetrized term1 / psi RDMs from the
+        cross-sweep accumulators: <s_a|H|s_b> = M1 + c1f . gsmall."""
+        c1f = c1eff.reshape(n2s).astype(M1.dtype)
+        ham = M1 + gsmall @ c1f
+        e0 = c0 + ham[0, 0]
+        grad_c = 2.0 * ham[1:, 0]
+        t1 = ham[1:, 1:]
+        term1 = t1 + t1.T          # 2 * sym(<J_i|H|J_j>)
+        gamma_f = gsmall[0, 0]
+        from ..ops.grid_hosted import _assemble_rdms
+        gamma, Gamma = _assemble_rdms(gamma_f, cross0[0], ncas)
+        return e0, grad_c, term1, gamma, Gamma
+
+    def _oc_rows_gram(h1, g2, G0, gsmall, cross0):
+        """All hess_oc rows from the cross-sweep accumulators:
+        dgamma_i = gsmall[0,i] + gsmall[i,0], dcorr_i = cross0[i] +
+        cross0[i].T (transition_rdms_rows' pair ordering)."""
+        delta = jnp.eye(ncas, dtype=jnp.float64)
+        rows = []
+        for i in range(nt):
+            dgamma = (gsmall[0, i + 1]
+                      + gsmall[i + 1, 0]).reshape(ncas, ncas)
+            dcorr4 = (cross0[i + 1] + cross0[i + 1].T).reshape(
+                ncas, ncas, ncas, ncas)
+            dGamma = (jnp.transpose(dcorr4, (1, 0, 2, 3))
+                      - jnp.einsum("qr,ps->pqrs", delta, dgamma))
+            rows.append(_pack(h1, g2, dgamma, dGamma) - G0)
+        return jnp.stack(rows)
+
+    _stack_set_jit = []
+
+    def _stack_set(stack, row, i):
+        """Donated in-place row write (a plain .at[].set copies the
+        whole multi-GB stack per tangent)."""
+        if not _stack_set_jit:
+            _stack_set_jit.append(jax.jit(
+                lambda s, r, j: s.at[j].set(r.astype(s.dtype)),
+                donate_argnums=(0,)))
+        return _stack_set_jit[0](stack, row, i)
+
+    def grad_hess_hosted_gram(theta, oao, int1e_ao, int2e_ao, oao_coeff,
+                              nuc, tables, h1, g2, c0, c2, c1eff):
+        """Gram-route hosted second order: ONE multi-state cross sweep
+        (ops/grid_hosted.cross_hosted) replaces the per-tangent
+        H-apply passes — the phi+gram pass is ~4x cheaper than the
+        scatter-form pass (measured, BASELINE round 5), and term1,
+        grad_c, e0, psi's RDMs and the oc transition RDMs all read off
+        the sweep's accumulators.  Remaining dispatches: one hosted
+        H-apply of psi (term2's cotangent) and one pair-adjoint row
+        per tangent."""
+        from ..ops import grid_hosted as _gh
+        gm = pqc.sector_maps
+        cdt = jnp.float32 if mixed else jnp.float64
+        psi = _sj("state_g", _state_only)(theta, tables)
+        psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
+        stack = jnp.zeros((nt + 1, pqc.state_dim), cdt)
+        stack = _stack_set(stack, psi_p, 0)
+        for i in range(nt):
+            v = jnp.zeros((nt,), theta.dtype).at[i].set(1.0)
+            Ji = _sj("pair_jvp", _pair_jvp)(theta, v, tables)
+            stack = _stack_set(stack, Ji, i + 1)
+        M1, gsmall, cross0 = _gh.cross_hosted(stack, c2, gm, ncas)
+        del stack
+        e0, grad_c, term1, gamma, Gamma = _sj("gram_asm", _gram_asm)(
+            M1, gsmall, cross0, c1eff, c0)
+        grad_o, G0, hess_oo = _sj("orb", _orb)(h1, g2, gamma, Gamma)
+        oc = (_sj("oc_rows_g", _oc_rows_gram)(h1, g2, G0, gsmall,
+                                              cross0)
+              if n_kappa else jnp.zeros((nt, 0), dtype=jnp.float64))
+        Hpsi = _gh.ham_apply_hosted(c1eff, c2, psi_p, gm)
+        t2 = jnp.stack([
+            _sj("t2_row", _t2_row_pair)(
+                theta, jnp.zeros((nt,), theta.dtype).at[i].set(1.0),
+                Hpsi, tables)
+            for i in range(nt)])
+        hess_cc = term1 + t2.astype(jnp.float64)
+        grad, hess = _sj("asm", _assemble)(grad_c, grad_o, hess_cc, oc,
+                                           hess_oo)
+        return e0, grad, hess
+
+    # gram route: the (nt+1, D) stack must fit HBM next to the chunk
+    # temps; above the budget (f64 at (16e,16o): 20 GB) the per-tangent
+    # route streams one column at a time instead
+    def _hosted_stack_max_bytes():
+        return int(float(os.environ.get(
+            "AUTO_OO_TPU_HOSTED_STACK_MAX_BYTES", 11e9)))
+
     def grad_hess_hosted(theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc,
                          tables):
         """(e0, grad, hess) with every large-D kernel host-segmented —
         the (16e,16o)-scale second-order engine (reference capability
         at scales its architecture cannot represent: oo_pqc.py:136-148).
 
-        Per-iteration budget: ONE fused hosted pass for (H psi, RDMs),
-        one adjoint-VJP dispatch for the circuit gradient, then per
-        tangent ONE pair-jvp dispatch (J_i), ONE hosted pass (H J_i,
-        fused with the transition RDMs when kappa parameters exist) and
-        ONE pair-adjoint reverse dispatch for the cc row.  In mixed
-        mode the tangent columns, hosted passes and cc rows all run
-        f32; e0/grad inherit the f32 H|psi> (documented ~1e-6-relative
-        noise, same contract as the hosted gradient pipeline)."""
+        Default: the GRAM route (one multi-state cross sweep,
+        grad_hess_hosted_gram).  The PER-TANGENT route below (one
+        hosted H-apply pass per tangent) serves stacks over the HBM
+        budget and the A/B toggle AUTO_OO_TPU_HOSTED_PER_TANGENT=1.
+        In mixed mode everything Hessian-only runs f32; e0/grad inherit
+        the f32 sweep (documented ~1e-6-relative noise, same contract
+        as the hosted gradient pipeline)."""
         from ..ops import grid_hosted as _gh
         gm = pqc.sector_maps
         h1, g2, c0, c2, c1eff = _sj("coeffs", _coeffs)(
             oao, int1e_ao, int2e_ao, oao_coeff, nuc)
+        cdt = jnp.float32 if mixed else jnp.float64
+        stack_bytes = (nt + 1) * pqc.state_dim * jnp.dtype(cdt).itemsize
+        if (os.environ.get("AUTO_OO_TPU_HOSTED_PER_TANGENT", "") != "1"
+                and stack_bytes <= _hosted_stack_max_bytes()):
+            return grad_hess_hosted_gram(
+                theta, oao, int1e_ao, int2e_ao, oao_coeff, nuc, tables,
+                h1, g2, c0, c2, c1eff)
         psi = _sj("state_g", _state_only)(theta, tables)
         psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
         Hpsi, g1, G2 = _gh.ham_and_rdms_hosted(c1eff, c2, psi_p, gm,

@@ -431,6 +431,94 @@ def ham_and_trdms_hosted(c1eff, c2, psi, tpsi, gm, ncas, row_chunk=None,
     return out, dgamma, dcorr
 
 
+def _cross_segment(stack, C2, permT, srcA_s, sgnA_s, tA_s, rows_s,
+                   srcB, sgnB, tB, M1, gsmall, cross0):
+    """One segment of the multi-state cross sweep: per chunk, the Phi
+    chunks of ALL B stacked states feed every Hessian-relevant gram at
+    once —
+
+      M1[a, b]       += sum_p <phi_pT(s_a), (C2 phi(s_b))_p>
+      gsmall[a, b, p] += <s_a, phi_p(s_b)>
+      cross0[b, p, q] += <phi_p(s_0), phi_q(s_b)>
+
+    so that <s_a|H|s_b> = M1[a,b] + sum_p c1f_p gsmall[a,b,p] (H-apply
+    NEVER runs for the tangent states — the 4x-cheaper phi+gram pass
+    replaces the scatter-form pass per tangent), the cc Hessian block,
+    the circuit gradient, psi's RDMs (b = 0 rows of gsmall/cross0) and
+    the oc transition RDMs all read off the same accumulators.
+    E_p^T = E_pT (the pair transpose) turns every bra-side operator
+    application into a phi the sweep already built."""
+
+    def body(carry, xs):
+        M1_, gs_, c0_ = carry
+        srcA_k, sgnA_k, tA_k, rows_k = xs
+        B = rows_k.shape[0]
+        phi = _phi_chunk_t(stack, rows_k, srcA_k, sgnA_k, tA_k,
+                           srcB, sgnB, tB)     # (B, n2, R, Nb)
+        n2 = phi.shape[1]
+        pf = phi.reshape(B, n2, -1)
+        rf = rows_k.reshape(B, -1)
+        W = jnp.einsum("pq,bql->bpl", C2, pf)
+        pT = pf[:, permT, :]
+        M1_ = M1_ + jnp.einsum("apl,bpl->ab", jnp.conj(pT), W)
+        gs_ = gs_ + jnp.einsum("al,bpl->abp", jnp.conj(rf), pf)
+        c0_ = c0_ + jnp.einsum("pl,bql->bpq", jnp.conj(pf[0]), pf)
+        return (M1_, gs_, c0_), None
+
+    with _prec_ctx(stack.dtype):
+        (M1, gsmall, cross0), _ = jax.lax.scan(
+            body, (M1, gsmall, cross0),
+            (srcA_s, sgnA_s, tA_s, rows_s))
+    return M1, gsmall, cross0
+
+
+def cross_hosted(stack, c2, gm, ncas, row_chunk=None, seg_chunks=None):
+    """Hosted multi-state cross sweep over a (B, D) GRID-ordered stack
+    (state 0 = psi, states 1.. = tangent columns).
+
+    Returns f64 accumulators:
+      M1     (B, B)        sum_p <phi_pT(s_a), (C2 phi(s_b))_p>
+      gsmall (B, B, n2)    <s_a, phi_p(s_b)>
+      cross0 (B, n2, n2)   <phi_p(s_0), phi_q(s_b)>
+
+    With c1f = c1eff.reshape(n2): <s_a|H|s_b> = M1[a,b] +
+    c1f @ gsmall[a,b] — the quadratic-form Hessian's term1, the circuit
+    gradient (2<J_i|H psi>), e0, psi's RDMs (gamma = gsmall[0,0],
+    corr = cross0[0]) and the oc transition RDMs
+    (dcorr_i = cross0[i] + cross0[i].T) in ONE pass whose per-state
+    cost is a phi build + MXU grams (measured 4x cheaper than the
+    scatter-form H-apply pass it replaces, BASELINE.md round 5).
+    Host-driven: call OUTSIDE jit."""
+    dt = stack.dtype
+    itemsize = jnp.dtype(dt).itemsize
+    B = stack.shape[0]
+    n2, Nb = gm.n2, gm.Nb
+    if row_chunk is None:
+        # B phi chunks + the W copy live at once
+        row_chunk = _grid._row_chunk(2 * B, n2, Nb, itemsize)
+    seg = seg_chunks or seg_chunks_default()
+    stackg = stack.reshape(B, gm.Na, Nb)
+    srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
+        gm, row_chunk)
+    rows_c = jnp.moveaxis(
+        _grid._pad_rows(stackg, pad).reshape(
+            (B, nchunk, row_chunk, Nb)), 1, 0)
+    permT = jnp.asarray(
+        np.arange(n2).reshape(ncas, ncas).T.reshape(-1), jnp.int32)
+    C2g = c2.reshape(n2, n2).astype(dt)
+    M1 = jnp.zeros((B, B), jnp.float64)
+    gsmall = jnp.zeros((B, B, n2), jnp.float64)
+    cross0 = jnp.zeros((B, n2, n2), jnp.float64)
+    run = _seg_jit("cross_seg", _cross_segment)
+    for lo in range(0, nchunk, seg):
+        hi = min(nchunk, lo + seg)
+        M1, gsmall, cross0 = run(
+            stackg, C2g, permT, srcA_c[lo:hi], sgnA_c[lo:hi],
+            tA_c[lo:hi], rows_c[lo:hi], gm.srcB, gm.sgnB, gm.tB,
+            M1, gsmall, cross0)
+    return M1, gsmall, cross0
+
+
 def ham_apply_hosted(c1eff, c2, x, gm, row_chunk=None, seg_chunks=None,
                      grid_order=True):
     """H|x> (without the c0 constant) for a string-grid sector state,
