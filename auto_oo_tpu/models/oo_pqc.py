@@ -701,17 +701,6 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
             rows.append(_pack(h1, g2, dgamma, dGamma) - G0)
         return jnp.stack(rows)
 
-    _stack_set_jit = []
-
-    def _stack_set(stack, row, i):
-        """Donated in-place row write (a plain .at[].set copies the
-        whole multi-GB stack per tangent)."""
-        if not _stack_set_jit:
-            _stack_set_jit.append(jax.jit(
-                lambda s, r, j: s.at[j].set(r.astype(s.dtype)),
-                donate_argnums=(0,)))
-        return _stack_set_jit[0](stack, row, i)
-
     def grad_hess_hosted_gram(theta, oao, int1e_ao, int2e_ao, oao_coeff,
                               nuc, tables, h1, g2, c0, c2, c1eff):
         """Gram-route hosted second order: ONE multi-state cross sweep
@@ -725,23 +714,42 @@ def _build_nr_core(pqc, nao, occ, act, params_idx, mesh=None,
         from ..ops import grid_hosted as _gh
         gm = pqc.sector_maps
         cdt = jnp.float32 if mixed else jnp.float64
+        # pre-warm the hosted table caches while the heap is empty
+        # (see grid_hosted.warm_tables_for) — both the H-apply pass's
+        # tables and the sweep's own row_chunk variant
+        _gh.warm_tables_for(gm, cdt)
+        from ..ops.grid import _row_scan_tables as _rst
+        rc_sweep, _ = _gh.cross_stack_spec(gm, nt + 1, cdt)
+        _rst(gm, rc_sweep)
         psi = _sj("state_g", _state_only)(theta, tables)
         psi_p = _sj("lowp_psi", _lowp)(psi) if mixed else psi
-        stack = jnp.zeros((nt + 1, pqc.state_dim), cdt)
-        stack = _stack_set(stack, psi_p, 0)
+        # e0/grad come from the sweep accumulators — the f64 state is
+        # not needed again (1.3 GB at (16e,16o))
+        del psi
+        states = [psi_p]
         for i in range(nt):
             v = jnp.zeros((nt,), theta.dtype).at[i].set(1.0)
-            Ji = _sj("pair_jvp", _pair_jvp)(theta, v, tables)
-            stack = _stack_set(stack, Ji, i + 1)
-        M1, gsmall, cross0 = _gh.cross_hosted(stack, c2, gm, ncas)
-        del stack
+            states.append(_sj("pair_jvp", _pair_jvp)(theta, v, tables))
+        # settle barrier: let the pair programs' workspaces drain
+        # before the sweep dispatches under a near-full heap
+        states[-1].block_until_ready()
+        M1, gsmall, cross0 = _gh.cross_hosted(states, c2, gm, ncas)
+        del states
+        # barrier: the ~10 GB tangent-column set must actually be
+        # RELEASED (its last async consumer finished) before the
+        # H-apply pass below allocates — only psi_p stays live for it
+        M1.block_until_ready()
+        # H|psi> (term2's cotangent) AFTER the sweep: the H-apply pass
+        # and the (nt+1)-state column set are never co-resident at
+        # (16e,16o)
+        Hpsi = _gh.ham_apply_hosted(c1eff, c2, psi_p, gm)
+        del psi_p
         e0, grad_c, term1, gamma, Gamma = _sj("gram_asm", _gram_asm)(
             M1, gsmall, cross0, c1eff, c0)
         grad_o, G0, hess_oo = _sj("orb", _orb)(h1, g2, gamma, Gamma)
         oc = (_sj("oc_rows_g", _oc_rows_gram)(h1, g2, G0, gsmall,
                                               cross0)
               if n_kappa else jnp.zeros((nt, 0), dtype=jnp.float64))
-        Hpsi = _gh.ham_apply_hosted(c1eff, c2, psi_p, gm)
         t2 = jnp.stack([
             _sj("t2_row", _t2_row_pair)(
                 theta, jnp.zeros((nt,), theta.dtype).at[i].set(1.0),

@@ -204,13 +204,24 @@ def _as_grid2d(x, gm):
     return x.reshape(x.shape[:-1] + (gm.Na, gm.Nb))
 
 
+_INV_ALPHA_CACHE = {}
+
+
 def inverse_alpha_maps(gm):
     """Host inverse of the alpha E_pq row maps: dst[k, m] = the output
     row that reads source row m for pair k (with its sign), 0/0 where no
     output row does.  Exists because each pair's row map is a partial
     injection (an excitation bijects occupation subsets).  Consumed by
     the scatter-form Hamiltonian applies (parallel/grid_sharded and the
-    host-segmented ops/grid_hosted)."""
+    host-segmented ops/grid_hosted).
+
+    Memoized per maps identity: the device->host fetch of srcA/sgnA
+    costs ~1 s/MB over the tunneled link (13 MB at (16e,16o)) and was
+    re-paid on every hosted H-apply call."""
+    key = id(gm.srcA)
+    hit = _INV_ALPHA_CACHE.get(key)
+    if hit is not None:
+        return hit
     srcA = np.asarray(gm.srcA)
     sgnA = np.asarray(gm.sgnA)
     dst = np.zeros_like(srcA)
@@ -218,6 +229,7 @@ def inverse_alpha_maps(gm):
     ks, iis = np.nonzero(sgnA != 0)
     dst[ks, srcA[ks, iis]] = iis
     dsg[ks, srcA[ks, iis]] = sgnA[ks, iis]
+    _INV_ALPHA_CACHE[key] = (dst, dsg)
     return dst, dsg
 
 
@@ -502,11 +514,29 @@ def _row_chunk(B, n2, Nb, itemsize):
     return max(1, int(_PAIR_CHUNK_BYTES // max(1, per_row)))
 
 
+_ROW_SCAN_CACHE = {}
+
+
 def _row_scan_tables(gm, row_chunk):
     """Per-chunk xs for a lax.scan over grid A-row chunks: the row axis
     is padded to a multiple of ``row_chunk`` using the grid-map invalid-
     entry convention (src 0 / sgn 0 / t 0 — pad rows contribute exactly
-    zero), then each table is reshaped to (nchunk, n2, L)."""
+    zero), then each table is reshaped to (nchunk, n2, L).
+
+    Memoized per (maps identity, row_chunk): the hosted drivers call
+    this once per PASS, and re-dispatching the pad/reshape programs
+    under (16e,16o)-scale heap pressure was measured to race pending
+    async frees into transient RESOURCE_EXHAUSTED."""
+    key = (id(gm.srcA), int(row_chunk))
+    hit = _ROW_SCAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _row_scan_tables_impl(gm, row_chunk)
+    _ROW_SCAN_CACHE[key] = out
+    return out
+
+
+def _row_scan_tables_impl(gm, row_chunk):
     n2, Na = gm.srcA.shape
     nchunk = -(-Na // row_chunk)
     pad = nchunk * row_chunk - Na

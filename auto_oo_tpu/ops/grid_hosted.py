@@ -75,6 +75,21 @@ def needs_hosting(gm, itemsize=8):
     return gm.n2 * gm.Na * gm.Nb * itemsize >= hosted_min_bytes()
 
 
+def warm_tables_for(gm, dtype):
+    """Pre-build every hosted table this module derives from ``gm`` for
+    states of ``dtype`` (scan tables + chunked inverse maps at the
+    default single-state row_chunk).  Call while the device heap is
+    near-empty: building them mid-flow — a 13 MB device->host fetch or
+    a table upload dispatched right after hundreds of segment
+    dispatches — was measured to hit transient RESOURCE_EXHAUSTED at
+    (16e,16o) heap pressure.  All results are memoized, so the
+    mid-flow calls become cache hits."""
+    itemsize = jnp.dtype(dtype).itemsize
+    rc = _grid._row_chunk(1, gm.n2, gm.Nb, itemsize)
+    _, _, _, nchunk, pad = _grid._row_scan_tables(gm, rc)
+    _chunked_inverse_tables(gm, rc, nchunk, pad)
+
+
 _JIT_CACHE = {}
 
 
@@ -116,10 +131,19 @@ def _phi_chunk_t(xg, rows_k, srcA_k, sgnA_k, tA_k, srcB, sgnB, tB):
     return pa + pb
 
 
+_CHUNKED_INV_CACHE = {}
+
+
 def _chunked_inverse_tables(gm, row_chunk, nchunk, pad):
     """Inverse alpha maps padded and chunked exactly like
     ops/grid._row_scan_tables (pad rows carry dst 0 / sign 0 — they
-    scatter exactly nothing into row 0)."""
+    scatter exactly nothing into row 0).  Memoized per (maps identity,
+    row_chunk) like the scan tables — rebuilt-per-call uploads raced
+    pending frees at (16e,16o) heap pressure."""
+    key = (id(gm.srcA), int(row_chunk))
+    hit = _CHUNKED_INV_CACHE.get(key)
+    if hit is not None:
+        return hit
     dst, dsg = _grid.inverse_alpha_maps(gm)
     n2 = gm.n2
 
@@ -128,7 +152,9 @@ def _chunked_inverse_tables(gm, row_chunk, nchunk, pad):
         return jnp.asarray(
             np.swapaxes(a.reshape(n2, nchunk, row_chunk), 0, 1))
 
-    return chunked(dst), chunked(dsg)
+    out = (chunked(dst), chunked(dsg))
+    _CHUNKED_INV_CACHE[key] = out
+    return out
 
 
 def _assemble_rdms(gamma, corr, ncas):
@@ -431,11 +457,10 @@ def ham_and_trdms_hosted(c1eff, c2, psi, tpsi, gm, ncas, row_chunk=None,
     return out, dgamma, dcorr
 
 
-def _cross_segment(stack, C2, permT, srcA_s, sgnA_s, tA_s, rows_s,
+def _cross_segment(states, C2, permT, srcA_s, sgnA_s, tA_s, starts_s,
                    srcB, sgnB, tB, M1, gsmall, cross0):
     """One segment of the multi-state cross sweep: per chunk, the Phi
-    chunks of ALL B stacked states feed every Hessian-relevant gram at
-    once —
+    chunks of ALL B states feed every Hessian-relevant gram at once —
 
       M1[a, b]       += sum_p <phi_pT(s_a), (C2 phi(s_b))_p>
       gsmall[a, b, p] += <s_a, phi_p(s_b)>
@@ -447,34 +472,62 @@ def _cross_segment(stack, C2, permT, srcA_s, sgnA_s, tA_s, rows_s,
     the circuit gradient, psi's RDMs (b = 0 rows of gsmall/cross0) and
     the oc transition RDMs all read off the same accumulators.
     E_p^T = E_pT (the pair transpose) turns every bra-side operator
-    application into a phi the sweep already built."""
+    application into a phi the sweep already built.
+
+    ``states`` is a TUPLE of B separate (Na_pad, Nb) padded grids — NOT
+    one fused (Na_pad, B*Nb) buffer: per-state narrow row gathers are
+    the shape the TPU gather lowering handles with zero temps, while
+    every wide/fused variant measured 6.7-9.3 GB of gather/slice temps
+    at (16e,16o) (B*Nb-wide rows split internally; column-band slices
+    materialize)."""
+    B = len(states)
+    Nb = tB.shape[1]
 
     def body(carry, xs):
         M1_, gs_, c0_ = carry
-        srcA_k, sgnA_k, tA_k, rows_k = xs
-        B = rows_k.shape[0]
-        phi = _phi_chunk_t(stack, rows_k, srcA_k, sgnA_k, tA_k,
-                           srcB, sgnB, tB)     # (B, n2, R, Nb)
-        n2 = phi.shape[1]
-        pf = phi.reshape(B, n2, -1)
-        rf = rows_k.reshape(B, -1)
-        W = jnp.einsum("pq,bql->bpl", C2, pf)
-        pT = pf[:, permT, :]
-        M1_ = M1_ + jnp.einsum("apl,bpl->ab", jnp.conj(pT), W)
-        gs_ = gs_ + jnp.einsum("al,bpl->abp", jnp.conj(rf), pf)
-        c0_ = c0_ + jnp.einsum("pl,bql->bpq", jnp.conj(pf[0]), pf)
+        srcA_k, sgnA_k, tA_k, r0 = xs
+        n2 = srcA_k.shape[0]
+        R = srcA_k.shape[-1]
+        z = jnp.zeros((), dtype=r0.dtype)
+        rows_l, phi_l = [], []
+        for b in range(B):
+            rows_b = jax.lax.dynamic_slice(states[b], (r0, z), (R, Nb))
+            rows_l.append(rows_b)
+            phi_l.append(_phi_chunk_t(states[b], rows_b, srcA_k, sgnA_k,
+                                      tA_k, srcB, sgnB, tB))
+        phi = jnp.stack(phi_l, axis=2)               # (n2, R, B, Nb)
+        rows_k = jnp.stack(rows_l, axis=1)           # (R, B, Nb)
+        W = jnp.einsum("pq,qrbn->prbn", C2, phi)
+        phiT = phi[permT]
+        M1_ = M1_ + jnp.einsum("pran,prbn->ab", jnp.conj(phiT), W)
+        gs_ = gs_ + jnp.einsum("ran,prbn->abp", jnp.conj(rows_k), phi)
+        c0_ = c0_ + jnp.einsum("prn,qrbn->bpq",
+                               jnp.conj(phi[:, :, 0, :]), phi)
         return (M1_, gs_, c0_), None
 
-    with _prec_ctx(stack.dtype):
+    with _prec_ctx(states[0].dtype):
         (M1, gsmall, cross0), _ = jax.lax.scan(
             body, (M1, gsmall, cross0),
-            (srcA_s, sgnA_s, tA_s, rows_s))
+            (srcA_s, sgnA_s, tA_s, starts_s))
     return M1, gsmall, cross0
 
 
-def cross_hosted(stack, c2, gm, ncas, row_chunk=None, seg_chunks=None):
-    """Hosted multi-state cross sweep over a (B, D) GRID-ordered stack
-    (state 0 = psi, states 1.. = tangent columns).
+def cross_stack_spec(gm, B, dtype, row_chunk=None):
+    """(row_chunk, Na_pad) for the cross sweep: states enter as B
+    separate (Na_pad, Nb) zero-padded grids (pad rows contribute
+    exactly nothing — the scan tables carry sign 0 there)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    # ~4 live (n2, R, B, Nb) chunk blocks
+    if row_chunk is None:
+        row_chunk = _grid._row_chunk(4 * B, gm.n2, gm.Nb, itemsize)
+    nchunk = -(-gm.Na // row_chunk)
+    return row_chunk, nchunk * row_chunk
+
+
+def cross_hosted(states, c2, gm, ncas, row_chunk=None, seg_chunks=None):
+    """Hosted multi-state cross sweep over B GRID-ordered states
+    (state 0 = psi, states 1.. = tangent columns); ``states`` is a
+    sequence of flat (D,) device arrays (or a (B, D) array).
 
     Returns f64 accumulators:
       M1     (B, B)        sum_p <phi_pT(s_a), (C2 phi(s_b))_p>
@@ -489,20 +542,29 @@ def cross_hosted(stack, c2, gm, ncas, row_chunk=None, seg_chunks=None):
     cost is a phi build + MXU grams (measured 4x cheaper than the
     scatter-form H-apply pass it replaces, BASELINE.md round 5).
     Host-driven: call OUTSIDE jit."""
-    dt = stack.dtype
-    itemsize = jnp.dtype(dt).itemsize
-    B = stack.shape[0]
+    states = [jnp.asarray(x) for x in states]
+    dt = states[0].dtype
+    B = len(states)
     n2, Nb = gm.n2, gm.Nb
-    if row_chunk is None:
-        # B phi chunks + the W copy live at once
-        row_chunk = _grid._row_chunk(2 * B, n2, Nb, itemsize)
-    seg = seg_chunks or seg_chunks_default()
-    stackg = stack.reshape(B, gm.Na, Nb)
-    srcA_c, sgnA_c, tA_c, nchunk, pad = _grid._row_scan_tables(
+    row_chunk, Na_pad = cross_stack_spec(gm, B, dt, row_chunk)
+    pad = Na_pad - gm.Na
+
+    # per-state padded grids (pad rows zero); one small dispatch each
+    def to_padded(x):
+        xg = x.reshape(gm.Na, Nb)
+        if pad:
+            xg = jnp.pad(xg, ((0, pad), (0, 0)))
+        return xg
+    states = tuple(to_padded(x) for x in states)
+    srcA_c, sgnA_c, tA_c, nchunk, _ = _grid._row_scan_tables(
         gm, row_chunk)
-    rows_c = jnp.moveaxis(
-        _grid._pad_rows(stackg, pad).reshape(
-            (B, nchunk, row_chunk, Nb)), 1, 0)
+    starts_c = jnp.arange(nchunk, dtype=jnp.int32) * row_chunk
+    # XLA pipelines/hoists the per-chunk gathers across the scan, so
+    # the scan length is capped to keep the hoisted chunk blocks
+    # ~1.5 GB; small sectors keep the long scans
+    chunk_bytes = n2 * row_chunk * B * Nb * jnp.dtype(dt).itemsize
+    seg = seg_chunks or max(1, min(seg_chunks_default(),
+                                   int(1.5e9 // max(1, chunk_bytes))))
     permT = jnp.asarray(
         np.arange(n2).reshape(ncas, ncas).T.reshape(-1), jnp.int32)
     C2g = c2.reshape(n2, n2).astype(dt)
@@ -513,8 +575,8 @@ def cross_hosted(stack, c2, gm, ncas, row_chunk=None, seg_chunks=None):
     for lo in range(0, nchunk, seg):
         hi = min(nchunk, lo + seg)
         M1, gsmall, cross0 = run(
-            stackg, C2g, permT, srcA_c[lo:hi], sgnA_c[lo:hi],
-            tA_c[lo:hi], rows_c[lo:hi], gm.srcB, gm.sgnB, gm.tB,
+            states, C2g, permT, srcA_c[lo:hi], sgnA_c[lo:hi],
+            tA_c[lo:hi], starts_c[lo:hi], gm.srcB, gm.sgnB, gm.tB,
             M1, gsmall, cross0)
     return M1, gsmall, cross0
 

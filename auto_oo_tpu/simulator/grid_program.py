@@ -27,6 +27,7 @@ sorted-determinant order only at public API boundaries.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import fermion
@@ -293,7 +294,12 @@ class GridGateProgram:
         propagated together.  Per gate (angle a = half * theta_p,
         da = half * v_p): Psi' = R Psi, Delta' = R Delta + da * G R Psi
         — exactly jax.jvp of _apply_core, written out so the adjoint
-        custom_vjp below can reverse it without residuals."""
+        custom_vjp below can reverse it without residuals.
+
+        An optimization_barrier pins the per-gate order: left free, the
+        XLA scheduler overlaps gates and keeps several row-block temps
+        live at once (3.5 GB at (16e,16o), where the hosted gram route
+        builds nt columns next to a ~10 GB working set)."""
         cos_t, sin_t = self._trig(theta)
         half_dev = jnp.asarray(self._half).astype(theta.dtype)
         da = half_dev * v[jnp.asarray(self._param)]
@@ -304,6 +310,7 @@ class GridGateProgram:
             Delta = self._g_add(Delta, Psi, gi, g, da[gi], tabs)
             Delta = self._gate_step(Delta, gi, g, c, s, tabs)
             Psi = self._gate_step(Psi, gi, g, c, s, tabs)
+            Psi, Delta = jax.lax.optimization_barrier((Psi, Delta))
         return Psi.reshape(-1), Delta.reshape(-1)
 
     def apply_pair(self, theta, v, psi=None, tables=None):
